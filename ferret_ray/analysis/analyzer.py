@@ -1,0 +1,212 @@
+"""Analyzer chains: tokenizer -> filters, mirroring c/src/analysis.c.
+
+The reference StandardAnalyzer chain is
+``StandardTokenizer -> LowerCaseFilter -> StopFilter -> HyphenFilter``
+(c/src/analysis.c:1497-1516).  Filters are implemented as generator
+transforms over :class:`~ferret_ray.analysis.tokenizer.Token` streams.
+
+Golden behavior (c/test/test_analysis.c:591-616):
+  * StopFilter accumulates ``pos_inc`` across dropped words
+    (c/src/analysis.c:1138-1152).
+  * HyphenFilter: for an all-alpha hyphenated token ("e-mail") emit the
+    concatenation ("email") first with the original pos_inc, then each part
+    ("e" at pos_inc 0, "mail" at pos_inc 1) with offsets into the original
+    text (c/src/analysis.c:1271-1336).  The leading char is not inspected
+    and digits/punctuation disable the split.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Iterator
+
+from .stopwords import FULL_ENGLISH_STOP_WORDS
+from .tokenizer import (
+    LetterTokenizer,
+    NonTokenizer,
+    StandardTokenizer,
+    Token,
+    WhitespaceTokenizer,
+    tokenize,
+    tokenize_raw,
+)
+
+TokenStream = Iterable[Token]
+
+_ASCII_LOWER = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+)
+
+
+def lowercase_filter(stream: TokenStream) -> Iterator[Token]:
+    """ASCII tolower per byte (c/src/analysis.c:1376-1395)."""
+    for tk in stream:
+        yield tk._replace(text=tk.text.translate(_ASCII_LOWER))
+
+
+def stop_filter(
+    stream: TokenStream, stop_words: frozenset[str] = FULL_ENGLISH_STOP_WORDS
+) -> Iterator[Token]:
+    """Drop stop words, accumulating pos_inc (c/src/analysis.c:1138-1152)."""
+    gap = 0
+    for tk in stream:
+        if tk.text in stop_words:
+            gap += tk.pos_inc
+        else:
+            if gap:
+                tk = tk._replace(pos_inc=tk.pos_inc + gap)
+                gap = 0
+            yield tk
+
+
+def _is_splittable(text: str) -> bool:
+    # c/src/analysis.c:1297-1310: scan from the SECOND char; need >=1 hyphen
+    # and nothing but alpha/hyphen after the first char.
+    seen_hyphen = False
+    for ch in text[1:]:
+        if ch == "-":
+            seen_hyphen = True
+        elif not ch.isalpha():
+            return False
+    return seen_hyphen
+
+
+def hyphen_filter(stream: TokenStream) -> Iterator[Token]:
+    """Expand all-alpha hyphen compounds (c/src/analysis.c:1271-1336)."""
+    for tk in stream:
+        if "-" in tk.text and _is_splittable(tk.text):
+            # concat token keeps the ORIGINAL start/end offsets
+            concat = tk.text.replace("-", "")
+            yield Token(concat, tk.start, tk.end, tk.pos_inc)
+            offset = 0
+            first = True
+            for part in tk.text.split("-"):
+                start = tk.start + offset
+                yield Token(part, start, start + len(part), 0 if first else 1)
+                offset += len(part) + 1
+                first = False
+        else:
+            yield tk
+
+
+class Analyzer:
+    """A configurable tokenizer+filter chain, picklable for Ray tasks."""
+
+    def __init__(
+        self,
+        tokenizer: Callable[[str], Iterable[Token]] | None = None,
+        lowercase: bool = True,
+        stop_words: frozenset[str] | None = FULL_ENGLISH_STOP_WORDS,
+        hyphen: bool = True,
+    ) -> None:
+        self.tokenizer = tokenizer or StandardTokenizer()
+        self.lowercase = lowercase
+        self.stop_words = stop_words
+        self.hyphen = hyphen
+
+    def token_stream(self, text: str) -> Iterator[Token]:
+        stream: Iterable[Token] = self.tokenizer(text)
+        if self.lowercase:
+            stream = lowercase_filter(stream)
+        if self.stop_words is not None:
+            stream = stop_filter(stream, self.stop_words)
+        if self.hyphen:
+            stream = hyphen_filter(stream)
+        return iter(stream)
+
+    def terms_positions(
+        self, text: str, max_field_length: int = 10_000
+    ) -> tuple[list[str], list[int]]:
+        """Hot-path API for the indexer: (terms, positions).
+
+        Fuses tokenizer + lowercase + stop + hyphen filters in one loop
+        (no Token objects).  Position accumulation and the
+        max_field_length cut-off replicate dw_invert_field
+        (c/src/index.c:5565-5640): ``pos += pos_inc``, clamped at 0, and
+        the field is truncated after max_field_length+1 tokens (the
+        reference's post-increment check keeps one extra).
+        """
+        if isinstance(self.tokenizer, StandardTokenizer):
+            raw = (t for t, _, _ in tokenize_raw(text))
+        else:
+            raw = (tk.text for tk in self.tokenizer(text))
+        lowercase = self.lowercase
+        stop = self.stop_words
+        hyphen = self.hyphen
+        terms: list[str] = []
+        positions: list[int] = []
+        append_t = terms.append
+        append_p = positions.append
+        pos = -1
+        gap = 0  # accumulated pos_inc from dropped stop words
+        n = 0
+        for t in raw:
+            if lowercase:
+                t = t.lower()
+            if stop is not None and t in stop:
+                gap += 1
+                continue
+            pos += 1 + gap
+            gap = 0
+            if pos < 0:
+                pos = 0
+            if hyphen and "-" in t and _is_splittable(t):
+                append_t(t.replace("-", ""))
+                append_p(pos)
+                n += 1
+                if n > max_field_length:
+                    break
+                first = True
+                stop_all = False
+                for part in t.split("-"):
+                    if not first:
+                        pos += 1
+                    first = False
+                    append_t(part)
+                    append_p(pos)
+                    n += 1
+                    if n > max_field_length:
+                        stop_all = True
+                        break
+                if stop_all:
+                    break
+            else:
+                append_t(t)
+                append_p(pos)
+                n += 1
+                if n > max_field_length:
+                    break
+        return terms, positions
+
+
+def standard_analyzer(
+    stop_words: frozenset[str] | None = FULL_ENGLISH_STOP_WORDS,
+    lowercase: bool = True,
+) -> Analyzer:
+    """standard_analyzer_new (c/src/analysis.c:1497-1516)."""
+    return Analyzer(StandardTokenizer(), lowercase, stop_words, True)
+
+
+def whitespace_analyzer(lowercase: bool = False) -> Analyzer:
+    return Analyzer(WhitespaceTokenizer(), lowercase, None, False)
+
+
+def letter_analyzer(lowercase: bool = True) -> Analyzer:
+    return Analyzer(LetterTokenizer(), lowercase, None, False)
+
+
+def keyword_analyzer() -> Analyzer:
+    return Analyzer(NonTokenizer(), False, None, False)
+
+
+__all__ = [
+    "Analyzer",
+    "Token",
+    "hyphen_filter",
+    "keyword_analyzer",
+    "letter_analyzer",
+    "lowercase_filter",
+    "standard_analyzer",
+    "stop_filter",
+    "tokenize",
+    "whitespace_analyzer",
+]
