@@ -1,0 +1,85 @@
+"""Vectorized VInt codec, byte-compatible with Ferret's store format.
+
+Reference encoding (c/src/store.c:545-560): LSB-first 7-bit groups, 0x80
+continuation bit on every byte except the last:
+
+    while (vi & ~0x7f) { write((vi & 0x7f) | 0x80); vi >>= 7; }
+    write(vi);
+
+Both directions are numpy-vectorized (no per-value Python loop): encode
+computes per-value byte counts from bit lengths and scatters 7-bit groups;
+decode finds value boundaries from the continuation bits and combines the
+groups with shift + add.reduceat.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_SEVEN = np.uint64(7)
+_MASK7 = np.uint64(0x7F)
+
+
+def vint_encode(values: np.ndarray) -> bytes:
+    """Encode a non-negative int array to a Ferret VInt byte stream."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed = ceil(bit_length / 7), min 1
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp != 0
+        if not nz.any():
+            break
+        nbits[nz] += 1
+        tmp >>= _SEVEN
+    np.maximum(nbits, 1, out=nbits)  # value 0 -> 1 byte
+    nbytes = nbits
+    total = int(nbytes.sum())
+    out = np.empty(total, dtype=np.uint8)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    # position of each output byte within its value group
+    idx = np.arange(total, dtype=np.int64)
+    group = np.repeat(np.arange(v.size, dtype=np.int64), nbytes)
+    pos_in_group = idx - starts[group]
+    shifted = v[group] >> (pos_in_group.astype(np.uint64) * _SEVEN)
+    b = (shifted & _MASK7).astype(np.uint8)
+    is_last = idx == (ends[group] - 1)
+    b[~is_last] |= 0x80
+    out[:] = b
+    return out.tobytes()
+
+
+def vint_decode(buf: bytes | memoryview | np.ndarray) -> np.ndarray:
+    """Decode a Ferret VInt byte stream to an int64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.int64)
+    is_last = (b & 0x80) == 0
+    # group start indices: 0 and every index following a terminator
+    starts = np.flatnonzero(np.concatenate(([True], is_last[:-1])))
+    idx = np.arange(b.size, dtype=np.int64)
+    group = np.cumsum(np.concatenate(([0], is_last[:-1].astype(np.int64))))
+    pos_in_group = idx - starts[group]
+    contrib = (b & 0x7F).astype(np.uint64) << (
+        pos_in_group.astype(np.uint64) * _SEVEN
+    )
+    vals = np.add.reduceat(contrib, starts)
+    return vals.astype(np.int64)
+
+
+def vint_byte_len(values: np.ndarray) -> np.ndarray:
+    """Per-value encoded byte length (vectorized)."""
+    v = np.asarray(values, dtype=np.uint64)
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp != 0
+        if not nz.any():
+            break
+        nbits[nz] += 1
+        tmp >>= _SEVEN
+    np.maximum(nbits, 1, out=nbits)
+    return nbits
