@@ -126,9 +126,9 @@ class Analyzer:
         reference's post-increment check keeps one extra).
         """
         if isinstance(self.tokenizer, StandardTokenizer):
-            raw = (t for t, _, _ in tokenize_raw(text))
+            raw = ((t, 1) for t, _, _ in tokenize_raw(text))
         else:
-            raw = (tk.text for tk in self.tokenizer(text))
+            raw = ((tk.text, tk.pos_inc) for tk in self.tokenizer(text))
         lowercase = self.lowercase
         stop = self.stop_words
         hyphen = self.hyphen
@@ -139,13 +139,13 @@ class Analyzer:
         pos = -1
         gap = 0  # accumulated pos_inc from dropped stop words
         n = 0
-        for t in raw:
+        for t, pos_inc in raw:
             if lowercase:
                 t = t.lower()
             if stop is not None and t in stop:
-                gap += 1
+                gap += pos_inc
                 continue
-            pos += 1 + gap
+            pos += pos_inc + gap
             gap = 0
             if pos < 0:
                 pos = 0

@@ -48,12 +48,15 @@ def encode_postings(
     freqs: np.ndarray,
     positions: np.ndarray | None,
     pos_doc_offsets: np.ndarray | None,
+    prx_lens_arr: np.ndarray | None = None,
 ) -> EncodedPostings:
     """Encode one term's postings.
 
     ``docs``/``freqs``: int64/int32 arrays (docs ascending).
     ``positions``: flat int32 array of all positions (doc-major order);
     ``pos_doc_offsets``: int64 array of len(docs)+1 giving each doc's slice.
+    ``prx_lens_arr``: pre-computed per-doc prx byte lengths (merge path,
+    where position blobs are concatenated without re-decoding).
     """
     docs = np.asarray(docs, dtype=np.int64)
     freqs = np.asarray(freqs, dtype=np.int64)
@@ -84,7 +87,10 @@ def encode_postings(
         prx_lens_enc = vint_encode(prx_lens_arr)
     else:
         prx_enc = b""
-        prx_lens_arr = np.zeros(n, dtype=np.int64)
+        if prx_lens_arr is None:
+            prx_lens_arr = np.zeros(n, dtype=np.int64)
+        else:
+            prx_lens_arr = np.asarray(prx_lens_arr, dtype=np.int64)
         prx_lens_enc = vint_encode(prx_lens_arr) if n else b""
 
     # skip data every SKIP_INTERVAL docs + block-max freqs

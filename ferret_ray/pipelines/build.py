@@ -1,0 +1,132 @@
+"""The index build pipeline (Ray Data, streaming, resumable).
+
+Lifecycle (the Ray re-expression of the reference's add_doc -> flush ->
+merge -> commit lifecycle, SURVEY.md §3.1):
+
+1. driver lists input parquet fragments (footer metadata only) and assigns
+   deterministic doc bases;
+2. ``from_items(fragments) -> map_batches(InvertFragment)``  — stateless
+   tokenize+invert tasks, one per row-group, each writing its segment +
+   docs-table partition and a checkpoint (skip on resume);
+3. ``read_parquet(segments/) -> groupby(shard_salt) ->
+   map_groups(ShardWriter)``  — the single wide shuffle: salted term-hash
+   merge into the final shard files (skip on resume per shard);
+4. driver commits ``manifest.json`` atomically (generation protocol) with
+   global stats (N, per-field doc-length sums for BM25), per-stage metrics
+   and lineage records.
+
+All intermediate datasets hold only compressed posting fragments or tiny
+metrics rows; document text never passes through the shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from ..schema import IndexConfig
+from ..sources.fragments import list_fragments
+from ..stages.invert import InvertFragment
+from ..stages.merge import ShardWriter
+from ..state.manifest import read_manifest, write_manifest
+
+
+def build_index(
+    input_paths: str | list[str],
+    index_dir: str,
+    cfg: IndexConfig,
+    *,
+    concurrency: int | None = None,
+) -> dict:
+    """Build (or resume building) an index; returns the manifest."""
+    import ray.data
+
+    t_start = time.time()
+    fragments, input_fp = list_fragments(input_paths)
+    cfg_fp = _config_fingerprint(cfg)
+    build_fp = f"{input_fp}:{cfg_fp}"
+
+    existing = read_manifest(index_dir)
+    if existing and existing.get("fingerprint") == build_fp:
+        return existing  # already committed for these exact inputs
+
+    os.makedirs(index_dir, exist_ok=True)
+
+    # ---- phase 1: tokenize + invert, one task per fragment --------------
+    frag_ds = ray.data.from_items(fragments)
+    invert_metrics = frag_ds.map_batches(
+        InvertFragment(cfg, index_dir, build_fp),
+        batch_size=1,
+        concurrency=concurrency,
+    ).take_all()
+    t_invert = time.time()
+
+    # ---- phase 2: salted term-hash shuffle + per-shard merge ------------
+    seg_ds = ray.data.read_parquet(os.path.join(index_dir, "segments"))
+    writer = ShardWriter(index_dir, build_fp)
+
+    def merge_shard(group):
+        return writer(group)
+
+    shard_metrics = (
+        seg_ds.groupby("shard_salt")
+        .map_groups(merge_shard, batch_format="pyarrow")
+        .take_all()
+    )
+    t_merge = time.time()
+
+    # ---- phase 3: stats + atomic manifest commit ------------------------
+    num_docs = sum(m["num_docs"] for m in invert_metrics)
+    field_names = list(cfg.fields)
+    len_sums = {
+        f: int(sum(m.get(f"len_sum_{f}", 0) for m in invert_metrics))
+        for f in cfg.indexed_fields
+    }
+    manifest = {
+        "version": 1,
+        "fingerprint": build_fp,
+        "config": cfg.to_json(),
+        "field_names": field_names,
+        "num_docs": int(num_docs),
+        "len_sums": len_sums,
+        "num_fragments": len(fragments),
+        "shards": sorted(
+            int(m["shard_salt"]) for m in shard_metrics
+        ),
+        "metrics": {
+            "docs_tokenized": int(num_docs),
+            "tokens": int(sum(m["num_tokens"] for m in invert_metrics)),
+            "postings_emitted": int(
+                sum(m["num_postings"] for m in invert_metrics)
+            ),
+            "segments_merged": len(
+                [m for m in shard_metrics if not m["skipped"]]
+            ),
+            "terms_merged": int(
+                sum(m["num_terms"] for m in shard_metrics)
+            ),
+            "shard_bytes": int(sum(m["bytes"] for m in shard_metrics)),
+            "fragments_skipped": len(
+                [m for m in invert_metrics if m["skipped"]]
+            ),
+            "invert_sec": t_invert - t_start,
+            "merge_sec": t_merge - t_invert,
+            "total_sec": time.time() - t_start,
+        },
+        "lineage": {
+            "input_fingerprint": input_fp,
+            "config_fingerprint": cfg_fp,
+            "inputs": sorted({os.path.basename(f["path"]) for f in fragments}),
+        },
+    }
+    write_manifest(index_dir, manifest)
+    return manifest
+
+
+def _config_fingerprint(cfg: IndexConfig) -> str:
+    import hashlib
+    import json
+
+    return hashlib.sha256(
+        json.dumps(cfg.to_json(), sort_keys=True).encode()
+    ).hexdigest()[:16]

@@ -1,0 +1,127 @@
+"""Index schema / per-field options (FieldInfos equivalent).
+
+The reference packs per-field flags (stored / indexed / tokenized /
+positions / norms) into FieldInfo bits (c/include/index.h:73-165) with
+dynamic field addition.  Ours is a small picklable config object serialized
+as JSON into the index manifest.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Any
+
+from .analysis import Analyzer, standard_analyzer
+
+
+@dataclass
+class FieldConfig:
+    indexed: bool = True
+    stored: bool = True
+    positions: bool = True
+    norms: bool = True
+    boost: float = 1.0
+    # analyzer key: "standard" | "whitespace" | "whitespace_double" |
+    # "letter" | "keyword" — resolved via analyzer_for(); custom Analyzer
+    # instances may be passed directly (picklable).
+    analyzer: str | Analyzer = "standard"
+    max_field_length: int = 10_000  # c/src/index.c:36
+
+
+@dataclass
+class IndexConfig:
+    fields: dict[str, FieldConfig]
+    # column holding a per-document boost multiplier (test corpora);
+    # doc_boost propagates into norms (c/src/index.c:5676-5681)
+    boost_column: str | None = None
+    # columns copied to the docs table but not indexed
+    id_columns: tuple[str, ...] = ()
+    num_shards: int = 16
+    # skew handling: a term whose df within one input fragment exceeds
+    # hot_df_per_fragment gets salted sub-groups of salt_doc_range docs
+    hot_df_per_fragment: int = 4096
+    salt_doc_range: int = 1 << 22
+    similarity: str = "default"  # "default" (Ferret TF-IDF) | "bm25"
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "fields": {
+                name: {
+                    "indexed": fc.indexed,
+                    "stored": fc.stored,
+                    "positions": fc.positions,
+                    "norms": fc.norms,
+                    "boost": fc.boost,
+                    "analyzer": fc.analyzer
+                    if isinstance(fc.analyzer, str)
+                    else "custom",
+                    "max_field_length": fc.max_field_length,
+                }
+                for name, fc in self.fields.items()
+            },
+            "boost_column": self.boost_column,
+            "id_columns": list(self.id_columns),
+            "num_shards": self.num_shards,
+            "hot_df_per_fragment": self.hot_df_per_fragment,
+            "salt_doc_range": self.salt_doc_range,
+            "similarity": self.similarity,
+        }
+
+    @property
+    def indexed_fields(self) -> list[str]:
+        return [n for n, fc in self.fields.items() if fc.indexed]
+
+
+def analyzer_for(spec: str | Analyzer) -> Analyzer:
+    if isinstance(spec, Analyzer):
+        return spec
+    from .analysis import (
+        keyword_analyzer,
+        letter_analyzer,
+        whitespace_analyzer,
+    )
+
+    if spec == "standard":
+        return standard_analyzer()
+    if spec == "standard_nostop":
+        return standard_analyzer(stop_words=None)
+    if spec == "whitespace":
+        return whitespace_analyzer()
+    if spec == "whitespace_double":
+        # the conformance corpus' token-doubling analyzer
+        # (c/test/test_search.c:225-252): every lowercase-starting token is
+        # emitted lowercase at pos_inc 0, then uppercased at pos_inc 1.
+        from .analysis.analyzer import Analyzer as _A
+        from .analysis.tokenizer import Token, WhitespaceTokenizer
+
+        class _DoubleTok:
+            _ws = WhitespaceTokenizer()
+
+            def __call__(self, text):
+                for tk in self._ws(text):
+                    if tk.text[:1].islower():
+                        yield Token(tk.text, tk.start, tk.end, 0)
+                        yield Token(tk.text.upper(), tk.start, tk.end, 1)
+                    else:
+                        yield tk
+
+        return _A(_DoubleTok(), lowercase=False, stop_words=None, hyphen=False)
+    if spec == "letter":
+        return letter_analyzer()
+    if spec == "keyword":
+        return keyword_analyzer()
+    raise ValueError(f"unknown analyzer spec: {spec!r}")
+
+
+def source_code_config(num_shards: int = 16) -> IndexConfig:
+    """Config for the BASELINE.json corpus (repo,path,commit,lang,content)."""
+    return IndexConfig(
+        fields={
+            "content": FieldConfig(analyzer="standard", stored=False),
+            "repo": FieldConfig(analyzer="keyword", positions=False),
+            "path": FieldConfig(analyzer="keyword", positions=False),
+            "lang": FieldConfig(analyzer="keyword", positions=False),
+        },
+        id_columns=("commit",),
+        num_shards=num_shards,
+    )

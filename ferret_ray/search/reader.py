@@ -1,0 +1,243 @@
+"""IndexReader: term dictionary + postings + norms access over shard files.
+
+The query-time analogue of Ferret's IndexReader/TermInfosReader
+(c/src/index.c:2712-2869 term dict, :2999-3060 postings enums): each reader
+memoizes per-shard term dictionaries (term -> row) and decodes posting
+blobs to numpy arrays on demand with an LRU cache.  A term lives in exactly
+one term-hash shard, split across doc-range files by the salted shuffle;
+range blocks concatenate in doc order (exact merge).
+
+Scale note: a scorer actor opens only the shard files it needs, lazily;
+dictionaries are per-shard and sorted, so at cluster scale this maps to
+object-store / S3 range reads with a sampled in-memory term index
+(INDEX_INTERVAL=128 sampling like the reference's .tix).  Norms are one
+byte per (doc, field) loaded as numpy arrays — the same layout the
+reference mmaps (c/src/index.c:5676-5681).
+"""
+
+from __future__ import annotations
+
+import bisect
+import os
+from collections import OrderedDict
+from typing import NamedTuple
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from ..codec.postings import decode_docs_freqs, decode_positions
+from ..stages.invert import term_shard
+from ..state.manifest import read_manifest
+
+
+class Postings(NamedTuple):
+    docs: np.ndarray           # int64, ascending
+    freqs: np.ndarray          # int64
+    # per-range raw blobs for lazy position decode:
+    prx_parts: list[tuple[bytes, bytes, int]]  # (prx, prx_lens, n_docs)
+
+
+class _Shard:
+    """One shard file: lazy-loaded columns + term -> row index."""
+
+    def __init__(self, path: str):
+        t = pq.read_table(path)
+        self.fields = t.column("field").to_numpy()
+        self.terms = t.column("term").to_pylist()
+        self.df = t.column("df").to_numpy()
+        self.tf_sum = t.column("tf_sum").to_numpy()
+        self.docs_enc = t.column("docs_enc").to_pylist()
+        self.freqs_enc = t.column("freqs_enc").to_pylist()
+        self.prx_enc = t.column("prx_enc").to_pylist()
+        self.prx_lens_enc = t.column("prx_lens_enc").to_pylist()
+        self.index: dict[tuple[int, str], int] = {
+            (int(f), s): i
+            for i, (f, s) in enumerate(zip(self.fields, self.terms))
+        }
+
+
+class IndexReader:
+    def __init__(self, index_dir: str, postings_cache: int = 4096):
+        self.index_dir = index_dir
+        m = read_manifest(index_dir)
+        if m is None:
+            raise FileNotFoundError(f"no manifest in {index_dir}")
+        self.manifest = m
+        self.field_names: list[str] = m["field_names"]
+        self.num_shards: int = m["config"]["num_shards"]
+        self.num_docs: int = m["num_docs"]
+        self.len_sums: dict[str, int] = m.get("len_sums", {})
+        self._shard_salts: list[int] = m["shards"]
+        # shard -> ordered range files (salt = range * num_shards + shard)
+        self._by_shard: dict[int, list[int]] = {}
+        for ss in self._shard_salts:
+            self._by_shard.setdefault(ss % self.num_shards, []).append(ss)
+        for v in self._by_shard.values():
+            v.sort()
+        self._shards: dict[int, _Shard] = {}
+        self._postings_cache: OrderedDict[tuple[int, str], Postings] = (
+            OrderedDict()
+        )
+        self._cache_cap = postings_cache
+        self._norms: dict[str, np.ndarray] = {}
+        self._doc_lens: dict[str, np.ndarray] = {}
+        self._docs_parts: list[tuple[int, str]] | None = None
+
+    # ---- schema ---------------------------------------------------------
+
+    def field_num(self, field: str) -> int:
+        try:
+            return self.field_names.index(field)
+        except ValueError:
+            return -1
+
+    def is_indexed(self, field: str) -> bool:
+        fc = self.manifest["config"]["fields"].get(field)
+        return bool(fc and fc["indexed"])
+
+    def max_doc(self) -> int:
+        return self.num_docs
+
+    def avg_doc_len(self, field: str) -> float:
+        s = self.len_sums.get(field, 0)
+        return s / self.num_docs if self.num_docs else 0.0
+
+    # ---- term dictionary / postings ------------------------------------
+
+    def _shard_for(self, shard_salt: int) -> _Shard:
+        sh = self._shards.get(shard_salt)
+        if sh is None:
+            path = os.path.join(
+                self.index_dir, f"shards/shard-{shard_salt:08d}.parquet"
+            )
+            sh = _Shard(path)
+            self._shards[shard_salt] = sh
+        return sh
+
+    def _term_rows(self, field_num: int, term: str) -> list[tuple[_Shard, int]]:
+        s = term_shard(field_num, term, self.num_shards)
+        rows: list[tuple[_Shard, int]] = []
+        for ss in self._by_shard.get(s, ()):
+            sh = self._shard_for(ss)
+            idx = sh.index.get((field_num, term))
+            if idx is not None:
+                rows.append((sh, idx))
+        return rows
+
+    def doc_freq(self, field: str, term: str) -> int:
+        fn = self.field_num(field)
+        if fn < 0:
+            return 0
+        return sum(int(sh.df[i]) for sh, i in self._term_rows(fn, term))
+
+    def postings(self, field: str, term: str) -> Postings | None:
+        fn = self.field_num(field)
+        if fn < 0:
+            return None
+        key = (fn, term)
+        cached = self._postings_cache.get(key)
+        if cached is not None:
+            self._postings_cache.move_to_end(key)
+            return cached
+        rows = self._term_rows(fn, term)
+        if not rows:
+            return None
+        docs_l, freqs_l, prx_parts = [], [], []
+        for sh, i in rows:
+            d, f = decode_docs_freqs(sh.docs_enc[i], sh.freqs_enc[i])
+            docs_l.append(d)
+            freqs_l.append(f)
+            prx_parts.append((sh.prx_enc[i], sh.prx_lens_enc[i], d.size))
+        p = Postings(
+            np.concatenate(docs_l), np.concatenate(freqs_l), prx_parts
+        )
+        self._postings_cache[key] = p
+        if len(self._postings_cache) > self._cache_cap:
+            self._postings_cache.popitem(last=False)
+        return p
+
+    def positions_for(
+        self, p: Postings, select: np.ndarray
+    ) -> list[np.ndarray]:
+        """Decode position lists for posting indices ``select`` (sorted)."""
+        out: list[np.ndarray] = []
+        base = 0
+        si = 0
+        select = np.asarray(select)
+        for prx, prx_lens, n in p.prx_parts:
+            end = base + n
+            local = []
+            while si < select.size and select[si] < end:
+                local.append(select[si] - base)
+                si += 1
+            if local:
+                freqs = p.freqs[base:end]
+                out.extend(
+                    decode_positions(
+                        prx, prx_lens, freqs, np.asarray(local)
+                    )
+                )
+            base = end
+        return out
+
+    def terms_matching(self, field: str, pred) -> list[str]:
+        """Dictionary scan: all terms of ``field`` satisfying ``pred``
+        (prefix/wildcard/range/fuzzy rewrites)."""
+        fn = self.field_num(field)
+        if fn < 0:
+            return []
+        found: set[str] = set()
+        for ss in self._shard_salts:
+            sh = self._shard_for(ss)
+            for f, t in zip(sh.fields, sh.terms):
+                if f == fn and pred(t):
+                    found.add(t)
+        return sorted(found)
+
+    # ---- norms / doc store ---------------------------------------------
+
+    def _load_docs_column(self, col: str) -> np.ndarray | None:
+        docs_dir = os.path.join(self.index_dir, "docs")
+        parts = sorted(os.listdir(docs_dir))
+        arrs = []
+        for name in parts:
+            if not name.endswith(".parquet"):
+                continue
+            pf = pq.ParquetFile(os.path.join(docs_dir, name))
+            if col not in pf.schema_arrow.names:
+                return None
+            arrs.append(pf.read(columns=[col]).column(col).to_numpy())
+        if not arrs:
+            return None
+        return np.concatenate(arrs)
+
+    def norms(self, field: str) -> np.ndarray | None:
+        if field not in self._norms:
+            arr = self._load_docs_column(f"norm_{field}")
+            self._norms[field] = arr
+        return self._norms[field]
+
+    def doc_lens(self, field: str) -> np.ndarray | None:
+        if field not in self._doc_lens:
+            self._doc_lens[field] = self._load_docs_column(f"len_{field}")
+        return self._doc_lens[field]
+
+    def get_doc(self, doc_id: int) -> dict:
+        if self._docs_parts is None:
+            docs_dir = os.path.join(self.index_dir, "docs")
+            parts = []
+            for name in sorted(os.listdir(docs_dir)):
+                if name.endswith(".parquet"):
+                    path = os.path.join(docs_dir, name)
+                    first = pq.ParquetFile(path).read(
+                        columns=["doc_id"]
+                    ).column("doc_id")[0].as_py()
+                    parts.append((first, path))
+            self._docs_parts = parts
+        bases = [b for b, _ in self._docs_parts]
+        pi = bisect.bisect_right(bases, doc_id) - 1
+        _, path = self._docs_parts[pi]
+        t = pq.read_table(path)
+        ids = t.column("doc_id").to_numpy()
+        row = int(np.searchsorted(ids, doc_id))
+        return {c: t.column(c)[row].as_py() for c in t.column_names}

@@ -1,0 +1,586 @@
+"""Vectorized searcher: rank-identical re-implementation of Ferret scoring.
+
+Weight tree + normalization replicate q_weight (c/src/search.c:355-366):
+``sum = w.sum_of_squared_weights(); qnorm = 1/sqrt(sum); w.normalize(qnorm)``
+with every multiply/add done in float32 in the same association order as the
+C code.  Scorers are vectorized over whole posting lists (numpy) instead of
+doc-at-a-time enums — same scores, Ray-friendly batch math:
+
+  term     score = (sqrt(freq) * value) * byte2float(norm[doc])
+           (q_term.c:32-48, score-cache order tf*value then *norm)
+  boolean  score = sum(matching clause scores, clause order) *
+           coord[num_matches]; max_coord counts non-prohibited clauses with
+           a scorer (q_boolean.c:968-1006)
+  phrase   score = (sqrt(phrase_freq) * value) * norm; exact freq = aligned
+           position count (q_phrase.c:364-404), sloppy freq = window PQ with
+           1/(dist+1) contributions and repeat-term checking (:408-515)
+  multiterm score = [sum tf(freq)*term_boost] * value * norm; idf of the
+           SUMMED df (q_multi_term.c:480-498)
+
+Top-k tie-break: equal score -> lower doc id wins (hit_lt,
+c/src/search.c:91-99).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import numpy as np
+
+from ..codec.norms import NORM_TABLE
+from .query import (
+    MUST,
+    MUST_NOT,
+    BooleanQuery,
+    MatchAllQuery,
+    MultiTermQuery,
+    PhraseQuery,
+    PrefixQuery,
+    Query,
+    RangeQuery,
+    TermQuery,
+    WildcardQuery,
+    wildcard_match,
+)
+from .reader import IndexReader
+from .similarity import BM25Similarity, coord as sim_coord, idf as sim_idf, query_norm, sloppy_freq, tf as sim_tf
+
+F32 = np.float32
+
+
+class Hit(NamedTuple):
+    doc: int
+    score: float
+
+
+class TopDocs(NamedTuple):
+    total_hits: int
+    hits: list[Hit]
+    max_score: float
+
+
+class ScoredDocs(NamedTuple):
+    docs: np.ndarray    # int64 ascending
+    scores: np.ndarray  # float32
+
+
+# --------------------------------------------------------------------------
+# rewrite (c/src/q_prefix.c:36-60, q_wildcard.c:81-130, q_phrase.c rewrite)
+# --------------------------------------------------------------------------
+
+def rewrite(query: Query, reader: IndexReader) -> Query:
+    if isinstance(query, PrefixQuery):
+        mtq = MultiTermQuery(query.field, max_terms=query.max_terms)
+        mtq.boost = query.boost
+        p = query.prefix
+        for t in reader.terms_matching(query.field, lambda s: s.startswith(p)):
+            mtq.add_term(t)
+        return mtq
+    if isinstance(query, WildcardQuery):
+        pat = query.pattern
+        mtq = MultiTermQuery(query.field, max_terms=query.max_terms)
+        mtq.boost = query.boost
+        # prefix-optimized dictionary scan like the reference
+        for t in reader.terms_matching(
+            query.field, lambda s: wildcard_match(pat, s)
+        ):
+            mtq.add_term(t)
+        return mtq
+    if isinstance(query, PhraseQuery) and len(query.positions) == 1:
+        terms = query.positions[0].terms
+        if len(terms) == 1:
+            return TermQuery(query.field, terms[0], query.boost)
+        mtq = MultiTermQuery(query.field)
+        mtq.boost = query.boost
+        for t in terms:
+            mtq.add_term(t)
+        return mtq
+    if isinstance(query, BooleanQuery):
+        for c in query.clauses:
+            c.query = rewrite(c.query, reader)
+        return query
+    return query
+
+
+# --------------------------------------------------------------------------
+# weights
+# --------------------------------------------------------------------------
+
+class _Weight:
+    """Shared Weight behavior (w_sum_of_squared_weights / w_normalize,
+    c/src/search.c:238-249)."""
+
+    def __init__(self, query: Query, idf: np.float32):
+        self.query = query
+        self.idf = F32(idf)
+        self.qweight = F32(0)
+        self.value = F32(query.boost)
+
+    def sum_of_squared_weights(self) -> np.float32:
+        self.qweight = F32(self.idf * F32(self.query.boost))
+        return F32(self.qweight * self.qweight)
+
+    def normalize(self, factor: np.float32) -> None:
+        self.qweight = F32(self.qweight * factor)
+        self.value = F32(self.qweight * self.idf)
+
+
+class _TermWeight(_Weight):
+    pass
+
+
+class _PhraseWeight(_Weight):
+    pass
+
+
+class _MultiTermWeight(_Weight):
+    pass
+
+
+class _MatchAllWeight(_Weight):
+    def __init__(self, query: Query):
+        super().__init__(query, F32(1.0))
+
+
+class _ConstWeight(_Weight):
+    """RangeQuery -> ConstantScore (c/src/q_const_score.c)."""
+
+    def __init__(self, query: Query):
+        super().__init__(query, F32(1.0))
+
+
+class _BooleanWeight:
+    def __init__(self, query: BooleanQuery, children: list):
+        self.query = query
+        self.children = children  # parallel to query.clauses
+
+    def sum_of_squared_weights(self) -> np.float32:
+        total = F32(0.0)
+        for clause, w in zip(self.query.clauses, self.children):
+            if not clause.is_prohibited:
+                total = F32(total + w.sum_of_squared_weights())
+        boost = F32(self.query.boost)
+        return F32(total * boost * boost)
+
+    def normalize(self, factor: np.float32) -> None:
+        factor = F32(factor * F32(self.query.boost))
+        for clause, w in zip(self.query.clauses, self.children):
+            if not clause.is_prohibited:
+                w.normalize(factor)
+
+
+class Searcher:
+    def __init__(self, reader: IndexReader, similarity: str | None = None):
+        self.reader = reader
+        self.sim_name = similarity or reader.manifest["config"].get(
+            "similarity", "default"
+        )
+        self.bm25 = BM25Similarity() if self.sim_name == "bm25" else None
+
+    # ---- stats ----------------------------------------------------------
+
+    def max_doc(self) -> int:
+        return self.reader.max_doc()
+
+    def doc_freq(self, field: str, term: str) -> int:
+        return self.reader.doc_freq(field, term)
+
+    def _idf(self, field: str, term: str) -> np.float32:
+        df = self.doc_freq(field, term)
+        n = self.max_doc()
+        if self.bm25:
+            return self.bm25.idf(df, n)
+        return sim_idf(df, n)
+
+    # ---- weight construction -------------------------------------------
+
+    def _create_weight(self, query: Query):
+        if isinstance(query, TermQuery):
+            return _TermWeight(query, self._idf(query.field, query.term))
+        if isinstance(query, BooleanQuery):
+            return _BooleanWeight(
+                query, [self._create_weight(c.query) for c in query.clauses]
+            )
+        if isinstance(query, PhraseQuery):
+            # sim_idf_phrase: slots in add order, terms reversed within a
+            # slot (c/src/similarity.c:80-93 ary iteration)
+            total = F32(0.0)
+            for pp in query.positions:
+                for t in reversed(pp.terms):
+                    total = F32(total + self._idf(query.field, t))
+            return _PhraseWeight(query, total)
+        if isinstance(query, MultiTermQuery):
+            df_sum = sum(
+                self.doc_freq(query.field, t) for t, _ in query.terms
+            )
+            return _MultiTermWeight(
+                query, sim_idf(df_sum, self.max_doc())
+            )
+        if isinstance(query, MatchAllQuery):
+            return _MatchAllWeight(query)
+        if isinstance(query, RangeQuery):
+            return _ConstWeight(query)
+        raise TypeError(f"unsupported query type: {type(query).__name__}")
+
+    def weight(self, query: Query):
+        """q_weight: rewrite -> weights -> query_norm -> normalize
+        (c/src/search.c:355-366)."""
+        query = rewrite(query, self.reader)
+        w = self._create_weight(query)
+        s = w.sum_of_squared_weights()
+        norm = query_norm(float(s))
+        w.normalize(norm)
+        return w
+
+    # ---- scorers (vectorized) ------------------------------------------
+
+    def _norm_decode(self, field: str, docs: np.ndarray) -> np.ndarray:
+        norms = self.reader.norms(field)
+        if norms is None:
+            return np.zeros(docs.size, dtype=np.float32)
+        return NORM_TABLE[norms[docs]]
+
+    def _scorer(self, w) -> ScoredDocs | None:
+        q = w.query
+        if isinstance(q, TermQuery):
+            return self._term_scorer(w)
+        if isinstance(q, BooleanQuery):
+            return self._boolean_scorer(w)
+        if isinstance(q, PhraseQuery):
+            return self._phrase_scorer(w)
+        if isinstance(q, MultiTermQuery):
+            return self._multi_term_scorer(w)
+        if isinstance(q, MatchAllQuery):
+            n = self.max_doc()
+            docs = np.arange(n, dtype=np.int64)
+            return ScoredDocs(
+                docs, np.full(n, F32(w.value), dtype=np.float32)
+            )
+        if isinstance(q, RangeQuery):
+            return self._range_scorer(w)
+        raise TypeError(type(q).__name__)
+
+    def _term_scorer(self, w) -> ScoredDocs:
+        q: TermQuery = w.query
+        p = self.reader.postings(q.field, q.term)
+        if p is None:
+            return ScoredDocs(
+                np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+            )
+        if self.bm25:
+            dl = self.reader.doc_lens(q.field)[p.docs]
+            scores = self.bm25.doc_term_scores(
+                p.freqs, dl, self.reader.avg_doc_len(q.field),
+                float(w.value),
+            )
+            return ScoredDocs(p.docs, scores)
+        tf = np.sqrt(p.freqs.astype(np.float32), dtype=np.float32)
+        scores = (tf * w.value) * self._norm_decode(q.field, p.docs)
+        return ScoredDocs(p.docs, scores.astype(np.float32))
+
+    def _multi_term_scorer(self, w) -> ScoredDocs | None:
+        q: MultiTermQuery = w.query
+        if self.reader.field_num(q.field) < 0 or not q.terms:
+            return None
+        posts = []
+        for t, b in q.terms:
+            p = self.reader.postings(q.field, t)
+            if p is not None:
+                posts.append((p, F32(b)))
+        if not posts:
+            return None
+        all_docs = np.unique(np.concatenate([p.docs for p, _ in posts]))
+        acc = np.zeros(all_docs.size, dtype=np.float32)
+        for p, b in posts:
+            idx = np.searchsorted(all_docs, p.docs)
+            tf = np.sqrt(p.freqs.astype(np.float32), dtype=np.float32)
+            acc[idx] += tf * b
+        scores = (acc * w.value) * self._norm_decode(q.field, all_docs)
+        return ScoredDocs(all_docs, scores.astype(np.float32))
+
+    def _range_scorer(self, w) -> ScoredDocs | None:
+        q: RangeQuery = w.query
+        if self.reader.field_num(q.field) < 0:
+            return None
+        terms = self.reader.terms_matching(q.field, q.matches)
+        if not terms:
+            return None
+        doc_sets = []
+        for t in terms:
+            p = self.reader.postings(q.field, t)
+            if p is not None:
+                doc_sets.append(p.docs)
+        if not doc_sets:
+            return None
+        docs = np.unique(np.concatenate(doc_sets))
+        return ScoredDocs(
+            docs, np.full(docs.size, F32(w.value), dtype=np.float32)
+        )
+
+    def _boolean_scorer(self, w: _BooleanWeight) -> ScoredDocs | None:
+        q = w.query
+        subs: list[tuple[str, ScoredDocs]] = []
+        for clause, cw in zip(q.clauses, w.children):
+            s = self._scorer(cw)
+            if s is None:
+                if clause.is_required:
+                    return None  # bw_scorer: missing required -> no scorer
+                continue
+            subs.append((clause.occur, s))
+        max_coord = sum(1 for occ, _ in subs if occ != MUST_NOT)
+        required = [s for occ, s in subs if occ == MUST]
+        optional = [s for occ, s in subs if occ not in (MUST, MUST_NOT)]
+        prohibited = [s for occ, s in subs if occ == MUST_NOT]
+        if not required and not optional:
+            return ScoredDocs(
+                np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+            )
+        if required:
+            cand = required[0].docs
+            for r in required[1:]:
+                cand = np.intersect1d(cand, r.docs, assume_unique=True)
+        else:
+            cand = np.unique(np.concatenate([o.docs for o in optional]))
+        if prohibited and cand.size:
+            bad = np.unique(np.concatenate([p.docs for p in prohibited]))
+            cand = cand[~np.isin(cand, bad, assume_unique=False)]
+        acc = np.zeros(cand.size, dtype=np.float32)
+        nmatch = np.zeros(cand.size, dtype=np.int64)
+        for occ, s in subs:  # clause order = float32 summation order
+            if occ == MUST_NOT:
+                continue
+            if not s.docs.size or not cand.size:
+                continue
+            idx = np.searchsorted(s.docs, cand)
+            idx_c = np.minimum(idx, s.docs.size - 1)
+            hit = s.docs[idx_c] == cand
+            acc[hit] += s.scores[idx_c[hit]]
+            nmatch[hit] += 1
+        if q.coord_disabled or max_coord == 0:
+            scores = acc
+        else:
+            factors = np.array(
+                [sim_coord(i, max_coord) for i in range(max_coord + 1)],
+                dtype=np.float32,
+            )
+            scores = (acc * factors[nmatch]).astype(np.float32)
+        return ScoredDocs(cand, scores)
+
+    def _phrase_scorer(self, w) -> ScoredDocs | None:
+        q: PhraseQuery = w.query
+        if self.reader.field_num(q.field) < 0 or not q.positions:
+            return None
+        # per slot: (offset, docs, {doc -> sorted positions})
+        slots = []
+        for pp in q.positions:
+            parts = []
+            for t in pp.terms:
+                p = self.reader.postings(q.field, t)
+                if p is not None:
+                    parts.append(p)
+            if not parts:
+                # any slot with no matching term at all -> empty enum ->
+                # no hits (pp_first_position fails)
+                return ScoredDocs(
+                    np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.float32),
+                )
+            slots.append((pp.pos, parts))
+        cand = slots[0][1][0].docs
+        cand = np.unique(np.concatenate([p.docs for p in slots[0][1]]))
+        for _, parts in slots[1:]:
+            sdocs = np.unique(np.concatenate([p.docs for p in parts]))
+            cand = np.intersect1d(cand, sdocs, assume_unique=True)
+        if not cand.size:
+            return ScoredDocs(
+                np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+            )
+        # gather positions per slot per candidate doc
+        slot_positions: list[list[np.ndarray]] = []
+        for _, parts in slots:
+            per_doc: list[list[np.ndarray]] = [[] for _ in range(cand.size)]
+            for p in parts:
+                sel = np.searchsorted(p.docs, cand)
+                sel_c = np.minimum(sel, p.docs.size - 1)
+                hit = p.docs[sel_c] == cand
+                hit_idx = sel_c[hit]
+                pos_lists = self.reader.positions_for(p, hit_idx)
+                for ci, pl in zip(np.flatnonzero(hit), pos_lists):
+                    per_doc[ci].append(pl)
+            merged = [
+                np.sort(np.concatenate(pls)) if pls else
+                np.empty(0, dtype=np.int64)
+                for pls in per_doc
+            ]
+            slot_positions.append(merged)
+        offsets = [pp.pos for pp, _ in zip(q.positions, slots)]
+        freqs = np.zeros(cand.size, dtype=np.float32)
+        # repeated-term check needed? (terms shared between slots)
+        seen: set[str] = set()
+        check_repeats = False
+        for pp in q.positions:
+            for t in pp.terms:
+                if t in seen:
+                    check_repeats = True
+                seen.add(t)
+        for ci in range(cand.size):
+            plists = [sp[ci] for sp in slot_positions]
+            if any(pl.size == 0 for pl in plists):
+                continue
+            if q.slop == 0:
+                freqs[ci] = _exact_phrase_freq(plists, offsets)
+            else:
+                freqs[ci] = _sloppy_phrase_freq(
+                    plists, offsets, q.slop, check_repeats
+                )
+        hit = freqs > 0
+        docs = cand[hit]
+        tf = np.sqrt(freqs[hit], dtype=np.float32)
+        scores = (tf * w.value) * self._norm_decode(q.field, docs)
+        return ScoredDocs(docs, scores.astype(np.float32))
+
+    # ---- search ---------------------------------------------------------
+
+    def search(
+        self,
+        query: Query,
+        first_doc: int = 0,
+        num_docs: int = 10,
+        filter_docs: np.ndarray | None = None,
+        post_filter: Callable | None = None,
+    ) -> TopDocs:
+        w = self.weight(query)
+        s = self._scorer(w)
+        if s is None or s.docs.size == 0:
+            return TopDocs(0, [], 0.0)
+        docs, scores = s.docs, s.scores
+        if filter_docs is not None:
+            keep = np.isin(docs, filter_docs)
+            docs, scores = docs[keep], scores[keep]
+        if post_filter is not None:
+            factors = np.array(
+                [post_filter(int(d), float(sc)) for d, sc in
+                 zip(docs, scores)],
+                dtype=np.float32,
+            )
+            keep = factors > 0
+            docs, scores = docs[keep], (scores[keep] *
+                                        factors[keep]).astype(np.float32)
+        total = int(docs.size)
+        if total == 0:
+            return TopDocs(0, [], 0.0)
+        max_score = float(scores.max())
+        # rank: score desc, doc asc (hit_lt tie-break)
+        order = np.lexsort((docs, -scores))
+        sel = order[first_doc: first_doc + num_docs]
+        hits = [Hit(int(docs[i]), float(scores[i])) for i in sel]
+        return TopDocs(total, hits, max_score)
+
+    def search_unscored(
+        self, query: Query, start_doc: int = 0, limit: int | None = None
+    ) -> list[int]:
+        w = self.weight(query)
+        s = self._scorer(w)
+        if s is None:
+            return []
+        docs = s.docs[s.docs >= start_doc]
+        if limit is not None:
+            docs = docs[:limit]
+        return [int(d) for d in docs]
+
+
+# --------------------------------------------------------------------------
+# phrase frequency algorithms
+# --------------------------------------------------------------------------
+
+def _exact_phrase_freq(plists: list[np.ndarray], offsets: list[int]) -> float:
+    """|∩ (positions_i - offset_i)| — equivalent to ephsc_phrase_freq's
+    alignment count (c/src/q_phrase.c:374-404)."""
+    acc = plists[0] - offsets[0]
+    for pl, off in zip(plists[1:], offsets[1:]):
+        acc = np.intersect1d(acc, pl - off, assume_unique=True)
+        if not acc.size:
+            return 0.0
+    return float(acc.size)
+
+
+class _PhPos:
+    """PhPos over a decoded position list (c/src/q_phrase.c:42-100)."""
+
+    __slots__ = ("positions", "offset", "idx", "position")
+
+    def __init__(self, positions: np.ndarray, offset: int):
+        self.positions = positions
+        self.offset = offset
+        self.idx = -1
+        self.position = 0
+
+    def next_position(self) -> bool:
+        self.idx += 1
+        if self.idx < len(self.positions):
+            self.position = int(self.positions[self.idx]) - self.offset
+            return True
+        return False
+
+    def sort_key(self) -> tuple[int, int]:
+        return (self.position, self.offset)
+
+
+def _check_repeats(pp: _PhPos, pps: list[_PhPos], count: int) -> bool:
+    """sphsc_check_repeats (c/src/q_phrase.c:408-439)."""
+    j = 0
+    while j < count:
+        ppj = pps[j]
+        if ppj.offset != pp.offset and (
+            ppj.position + ppj.offset == pp.position + pp.offset
+        ):
+            if not pp.next_position():
+                return False
+            j = -1  # restart
+        j += 1
+    return True
+
+
+def _sloppy_phrase_freq(
+    plists: list[np.ndarray],
+    offsets: list[int],
+    slop: int,
+    check_repeats: bool,
+) -> float:
+    """sphsc_phrase_freq (c/src/q_phrase.c:441-517), float32 accumulation."""
+    import heapq
+
+    pps = [_PhPos(pl, off) for pl, off in zip(plists, offsets)]
+    last_pos = 0
+    heap: list[tuple[tuple[int, int], int]] = []
+    freq = F32(0.0)
+    for i, pp in enumerate(pps):
+        if not pp.next_position():
+            return 0.0
+        if check_repeats and i > 0:
+            if not _check_repeats(pp, pps, i - 1):
+                return float(freq)
+        if pp.position > last_pos:
+            last_pos = pp.position
+        heapq.heappush(heap, (pp.sort_key(), i))
+    done = False
+    while not done:
+        _, i = heapq.heappop(heap)
+        pp = pps[i]
+        pos = start = pp.position
+        next_pos = heap[0][0][0] if heap else pos
+        while pos <= next_pos:
+            start = pos
+            if not pp.next_position() or (
+                check_repeats and not _check_repeats(pp, pps, len(pps))
+            ):
+                done = True
+                break
+            pos = pp.position
+        match_length = last_pos - start
+        if match_length <= slop:
+            freq = F32(freq + sloppy_freq(match_length))
+        if pp.position > last_pos:
+            last_pos = pp.position
+        heapq.heappush(heap, (pp.sort_key(), i))
+    return float(freq)

@@ -1,0 +1,80 @@
+"""Deterministic fragment listing for Parquet inputs.
+
+The build assigns global docids as a pure function of (fragment, row):
+fragments are parquet row-groups enumerated in sorted (file, row_group)
+order, each with a cumulative ``doc_base``; docid = doc_base + row index.
+This makes retries, resumes, and different parallelism levels produce
+byte-identical indexes (the reference's ordering guarantee — doc ids are
+assignment-ordered, merges preserve (segment base, ordinal) order,
+c/src/index.c:5950 — without its single-writer mutex).
+
+Only footers are read here (cheap driver-side metadata pass); the row data
+is read inside the distributed invert tasks with column pruning.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Any
+
+import pyarrow.parquet as pq
+
+
+def list_fragments(
+    input_paths: str | list[str],
+) -> tuple[list[dict[str, Any]], str]:
+    """Return (fragments, input_fingerprint).
+
+    Each fragment: {frag_id, path, row_group, num_rows, doc_base}.
+    The fingerprint hashes the (path, row_group, num_rows) inventory —
+    identical inputs => identical fingerprint => resumable checkpoints.
+    """
+    if isinstance(input_paths, str):
+        input_paths = [input_paths]
+    files: list[str] = []
+    for p in input_paths:
+        if os.path.isdir(p):
+            for root, _, names in os.walk(p):
+                files.extend(
+                    os.path.join(root, n)
+                    for n in names
+                    if n.endswith(".parquet")
+                )
+        else:
+            files.append(p)
+    files.sort()
+    fragments: list[dict[str, Any]] = []
+    doc_base = 0
+    frag_id = 0
+    for path in files:
+        meta = pq.ParquetFile(path).metadata
+        for rg in range(meta.num_row_groups):
+            num_rows = meta.row_group(rg).num_rows
+            fragments.append(
+                {
+                    "frag_id": frag_id,
+                    "path": path,
+                    "row_group": rg,
+                    "num_rows": num_rows,
+                    "doc_base": doc_base,
+                }
+            )
+            doc_base += num_rows
+            frag_id += 1
+    h = hashlib.sha256(
+        json.dumps(
+            [
+                (os.path.basename(f["path"]), f["row_group"], f["num_rows"])
+                for f in fragments
+            ]
+        ).encode()
+    ).hexdigest()[:16]
+    return fragments, h
+
+
+def read_fragment(frag: dict[str, Any], columns: list[str] | None):
+    """Read one row-group with column pruning (runs inside a Ray task)."""
+    pf = pq.ParquetFile(frag["path"])
+    return pf.read_row_group(int(frag["row_group"]), columns=columns)
