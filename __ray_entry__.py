@@ -1,44 +1,505 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() + oracle_sql() correctness.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE import — nothing here calls
+ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Each ``queries()`` entry is an operator/pipeline from SURVEY.md §2 (or a
+training-data op from the brief) run through the real Ray Data engine:
+the inverted index is built once per sf_dir (cached under /tmp, resumable
+by manifest fingerprint) and the searches/aggregates run against it.
+Oracle SQL uses the alnum tokenizer parity:
+``regexp_extract_all(lower(text), '[a-z0-9]+')`` == our "alnum" analyzer.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+
+_TOKENS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+_CACHE: dict[str, Any] = {}
+
+
+def _index_for(sf_dir: str):
+    """Build (or reuse) the documents-table index for this sf_dir."""
+    key = os.path.abspath(sf_dir)
+    if key in _CACHE:
+        return _CACHE[key]
+    from ferret_ray.pipelines.build import build_index
+    from ferret_ray.schema import FieldConfig, IndexConfig
+    from ferret_ray.search.reader import IndexReader
+    from ferret_ray.search.searcher import Searcher
+
+    cfg = IndexConfig(
+        fields={
+            "text": FieldConfig(analyzer="alnum", stored=False),
+            "lang": FieldConfig(analyzer="keyword", positions=False),
+            "source": FieldConfig(analyzer="keyword", positions=False),
+        },
+        id_columns=("n_chars",),
+        num_shards=4,
+    )
+    index_dir = os.path.join(
+        "/tmp/ferret_ray_indexes",
+        key.strip("/").replace("/", "_") + "-documents",
+    )
+    build_index(
+        os.path.join(sf_dir, "documents.parquet"), index_dir, cfg
+    )
+    reader = IndexReader(index_dir)
+    searcher = Searcher(reader)
+    _CACHE[key] = (index_dir, reader, searcher)
+    return _CACHE[key]
+
+
+def _docs_ds(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb_ds(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# --------------------------------------------------------------------------
+# query implementations
+# --------------------------------------------------------------------------
+
+def _hits_df(searcher, query) -> pd.DataFrame:
+    docs = searcher.search_unscored(query)
+    return pd.DataFrame({"doc_id": pd.Series(docs, dtype="int64")})
+
+
+def q_term_search(sf_dir: str) -> pd.DataFrame:
+    from ferret_ray.search.query import TermQuery
+
+    _, reader, searcher = _index_for(sf_dir)
+    p = reader.postings("text", "spark")
+    if p is None:
+        return pd.DataFrame({"doc_id": [], "tf": []}).astype("int64")
+    return pd.DataFrame(
+        {"doc_id": p.docs.astype("int64"), "tf": p.freqs.astype("int64")}
+    )
+
+
+def q_boolean_and_not(sf_dir: str) -> pd.DataFrame:
+    from ferret_ray.search.query import (
+        MUST, MUST_NOT, BooleanQuery, TermQuery,
+    )
+
+    _, _, searcher = _index_for(sf_dir)
+    bq = BooleanQuery()
+    bq.add(TermQuery("text", "spark"), MUST)
+    bq.add(TermQuery("text", "table"), MUST)
+    bq.add(TermQuery("text", "window"), MUST_NOT)
+    return _hits_df(searcher, bq)
+
+
+def q_boolean_or(sf_dir: str) -> pd.DataFrame:
+    from ferret_ray.search.query import BooleanQuery, TermQuery
+
+    _, _, searcher = _index_for(sf_dir)
+    bq = BooleanQuery()
+    for t in ("spark", "dup", "merge"):
+        bq.add(TermQuery("text", t))
+    return _hits_df(searcher, bq)
+
+
+def q_fql_search(sf_dir: str) -> pd.DataFrame:
+    from ferret_ray.schema import analyzer_for
+    from ferret_ray.search.fql import FQLParser
+
+    _, _, searcher = _index_for(sf_dir)
+    p = FQLParser(analyzer=analyzer_for("alnum"))
+    p.add_field("text", default=True, tokenized=True)
+    p.add_field("lang", tokenized=False)
+    p.add_field("source", tokenized=False)
+    q = p.parse("+spark +table -window")
+    return _hits_df(searcher, q)
+
+
+def q_phrase_search(sf_dir: str) -> pd.DataFrame:
+    from ferret_ray.search.query import PhraseQuery
+
+    _, _, searcher = _index_for(sf_dir)
+    phq = PhraseQuery("text")
+    phq.add_term("table").add_term("hash")
+    return _hits_df(searcher, phq)
+
+
+def q_phrase_gap_search(sf_dir: str) -> pd.DataFrame:
+    """'merge <> group' — exactly one token between (PhraseQuery <> gap)."""
+    from ferret_ray.search.query import PhraseQuery
+
+    _, _, searcher = _index_for(sf_dir)
+    phq = PhraseQuery("text")
+    phq.add_term("merge").add_term("group", 2)
+    return _hits_df(searcher, phq)
+
+
+def q_prefix_search(sf_dir: str) -> pd.DataFrame:
+    from ferret_ray.search.query import PrefixQuery
+
+    _, _, searcher = _index_for(sf_dir)
+    return _hits_df(searcher, PrefixQuery("text", "sca"))
+
+
+def q_wildcard_search(sf_dir: str) -> pd.DataFrame:
+    from ferret_ray.search.query import WildcardQuery
+
+    _, _, searcher = _index_for(sf_dir)
+    return _hits_df(searcher, WildcardQuery("text", "s?an*"))
+
+
+def q_range_search(sf_dir: str) -> pd.DataFrame:
+    from ferret_ray.search.query import RangeQuery
+
+    _, _, searcher = _index_for(sf_dir)
+    return _hits_df(
+        searcher, RangeQuery("source", "src1", "src13", True, True)
+    )
+
+
+def q_term_df_top20(sf_dir: str) -> pd.DataFrame:
+    """Dictionary aggregate straight off the shard files (term enum +
+    doc_freq, SURVEY §2.5) — a Ray Data groupby over the index itself."""
+    import ray.data
+
+    index_dir, reader, _ = _index_for(sf_dir)
+    fn = reader.field_num("text")
+    ds = ray.data.read_parquet(
+        os.path.join(index_dir, "shards"),
+        columns=["field", "term", "df"],
+    )
+    df = (
+        ds.filter(lambda r: r["field"] == fn)
+        .groupby("term")
+        .sum("df")
+        .to_pandas()
+    )
+    df = df.rename(columns={"sum(df)": "df"})
+    df = df.sort_values(["df", "term"], ascending=[False, True]).head(20)
+    return df.reset_index(drop=True).astype({"df": "int64"})
+
+
+def q_token_stats(sf_dir: str) -> pd.DataFrame:
+    from ferret_ray.functions.textstats import token_stats
+
+    return (
+        _docs_ds(sf_dir)
+        .map_batches(token_stats)
+        .to_pandas()
+        .astype("int64")
+    )
+
+
+def q_sort_by_field(sf_dir: str) -> pd.DataFrame:
+    """Sort/SortField (c/src/sort.c): top 15 by integer field desc."""
+    _, reader, _ = _index_for(sf_dir)
+    n_chars = reader._load_docs_column("n_chars")
+    doc_ids = np.arange(n_chars.size, dtype=np.int64)
+    order = np.lexsort((doc_ids, -n_chars))[:15]
+    return pd.DataFrame(
+        {
+            "rank": np.arange(order.size, dtype="int64"),
+            "doc_id": doc_ids[order],
+            "n_chars": n_chars[order].astype("int64"),
+        }
+    )
+
+
+def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
+    from ferret_ray.functions.dedup import exact_dedup
+
+    df = exact_dedup(_docs_ds(sf_dir)).to_pandas()
+    return pd.DataFrame(
+        {"doc_id": sorted(int(x) for x in df["min(doc_id)"])}
+    ).astype("int64")
+
+
+def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
+    from ferret_ray.functions.dedup import minhash_lsh_dedup
+
+    _, keep = minhash_lsh_dedup(_docs_ds(sf_dir))
+    return pd.DataFrame({"doc_id": keep}).astype("int64")
+
+
+def q_simhash_pairs(sf_dir: str) -> pd.DataFrame:
+    from ferret_ray.functions.dedup import simhash_dedup
+
+    pairs = simhash_dedup(_docs_ds(sf_dir))
+    return pd.DataFrame(
+        pairs, columns=["a", "b", "hamming"]
+    ).astype("int64")
+
+
+def q_ann_top10(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    from ferret_ray.functions.ann import brute_force_topk
+
+    q = np.asarray(
+        pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        .column("embedding")[0]
+        .as_py(),
+        dtype=np.float64,
+    )
+    res = brute_force_topk(_emb_ds(sf_dir), q, k=10)[0]
+    return pd.DataFrame(
+        {
+            "rank": [r for r, _, _ in res],
+            "vec_id": [v for _, v, _ in res],
+        }
+    ).astype("int64")
+
+
+def q_ann_lsh_top10(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    from ferret_ray.functions.ann import lsh_topk
+
+    q = np.asarray(
+        pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        .column("embedding")[0]
+        .as_py(),
+        dtype=np.float64,
+    )
+    res = lsh_topk(_emb_ds(sf_dir), q, k=10)[0]
+    return pd.DataFrame(
+        {
+            "rank": [r for r, _, _ in res],
+            "vec_id": [v for _, v, _ in res],
+        }
+    ).astype("int64")
+
+
+def q_lang_id(sf_dir: str) -> pd.DataFrame:
+    from ferret_ray.functions.textstats import lang_id
+
+    return _docs_ds(sf_dir).map_batches(lang_id).to_pandas()
+
+
+def q_quality(sf_dir: str) -> pd.DataFrame:
+    from ferret_ray.functions.textstats import quality_score
+
+    return _docs_ds(sf_dir).map_batches(quality_score).to_pandas()
+
+
+def q_fingerprints(sf_dir: str) -> pd.DataFrame:
+    from ferret_ray.functions.textstats import fingerprints
+
+    df = _docs_ds(sf_dir).map_batches(fingerprints).to_pandas()
+    df["fingerprint"] = df["fingerprint"].astype("uint64")
+    return df
+
+
+def q_tfidf_top10(sf_dir: str) -> pd.DataFrame:
+    """Ferret-scored top-10 (rows-only check; float32 scoring)."""
+    from ferret_ray.search.query import BooleanQuery, TermQuery
+
+    _, _, searcher = _index_for(sf_dir)
+    bq = BooleanQuery()
+    for t in ("spark", "table", "hash"):
+        bq.add(TermQuery("text", t))
+    td = searcher.search(bq, 0, 10)
+    return pd.DataFrame(
+        {
+            "rank": np.arange(len(td.hits), dtype="int64"),
+            "doc_id": [h.doc for h in td.hits],
+            "score": [h.score for h in td.hits],
+        }
+    )
+
+
+def q_bm25_top10(sf_dir: str) -> pd.DataFrame:
+    from ferret_ray.search.query import BooleanQuery, TermQuery
+    from ferret_ray.search.searcher import Searcher
+
+    _, reader, _ = _index_for(sf_dir)
+    s = Searcher(reader, similarity="bm25")
+    bq = BooleanQuery(coord_disabled=True)
+    for t in ("spark", "table", "hash"):
+        bq.add(TermQuery("text", t))
+    td = s.search(bq, 0, 10)
+    return pd.DataFrame(
+        {
+            "rank": np.arange(len(td.hits), dtype="int64"),
+            "doc_id": [h.doc for h in td.hits],
+            "score": [h.score for h in td.hits],
+        }
+    )
+
+
+def q_batch_search(sf_dir: str) -> pd.DataFrame:
+    """Actor-pool batch query serving (rows-only)."""
+    from ferret_ray.pipelines.search_pipeline import search_batch
+
+    index_dir, _, _ = _index_for(sf_dir)
+    ds = search_batch(
+        index_dir,
+        ["spark", "+table +hash", '"table hash"', "sca*", "dup merge"],
+        k=5,
+        concurrency=2,
+        default_field="text",
+    )
+    return ds.to_pandas()
+
+
+def q_group_by_events(sf_dir: str) -> pd.DataFrame:
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value"],
+    )
+    df = ds.groupby("event_type").count().to_pandas()
+    df = df.rename(columns={"count()": "n"})
+    return df.astype({"n": "int64"})
+
+
+# --------------------------------------------------------------------------
+# driver contract
+# --------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: build index -> search -> results."""
+    sf_dir = "/root/testdata/sf0.001"
+    _index_for(sf_dir)
+    return q_batch_search(sf_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "term_search": q_term_search,
+        "boolean_and_not": q_boolean_and_not,
+        "boolean_or": q_boolean_or,
+        "fql_search": q_fql_search,
+        "phrase_search": q_phrase_search,
+        "phrase_gap_search": q_phrase_gap_search,
+        "prefix_search": q_prefix_search,
+        "wildcard_search": q_wildcard_search,
+        "range_search": q_range_search,
+        "term_df_top20": q_term_df_top20,
+        "token_stats": q_token_stats,
+        "sort_by_field": q_sort_by_field,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_top10": q_ann_top10,
+        "ann_lsh_top10": q_ann_lsh_top10,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "fingerprints": q_fingerprints,
+        "tfidf_top10": q_tfidf_top10,
+        "bm25_top10": q_bm25_top10,
+        "batch_search": q_batch_search,
+        "group_by_events": q_group_by_events,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tokens = _TOKENS
+    joined = f"' ' || array_to_string({tokens}, ' ') || ' '"
+    return {
+        "term_search": f"""
+            SELECT doc_id,
+                   len(list_filter({tokens}, x -> x = 'spark')) AS tf
+            FROM documents
+            WHERE list_contains({tokens}, 'spark')
+        """,
+        "boolean_and_not": f"""
+            SELECT doc_id FROM documents
+            WHERE list_contains({tokens}, 'spark')
+              AND list_contains({tokens}, 'table')
+              AND NOT list_contains({tokens}, 'window')
+        """,
+        "boolean_or": f"""
+            SELECT doc_id FROM documents
+            WHERE list_contains({tokens}, 'spark')
+               OR list_contains({tokens}, 'dup')
+               OR list_contains({tokens}, 'merge')
+        """,
+        "fql_search": f"""
+            SELECT doc_id FROM documents
+            WHERE list_contains({tokens}, 'spark')
+              AND list_contains({tokens}, 'table')
+              AND NOT list_contains({tokens}, 'window')
+        """,
+        "phrase_search": f"""
+            SELECT doc_id FROM documents
+            WHERE {joined} LIKE '% table hash %'
+        """,
+        "phrase_gap_search": f"""
+            SELECT doc_id FROM documents
+            WHERE regexp_matches({joined}, ' merge [a-z0-9]+ group ')
+        """,
+        "prefix_search": f"""
+            SELECT doc_id FROM documents
+            WHERE len(list_filter({tokens}, x -> x LIKE 'sca%')) > 0
+        """,
+        "wildcard_search": f"""
+            SELECT doc_id FROM documents
+            WHERE len(list_filter(
+                {tokens}, x -> regexp_matches(x, '^s.an.*$'))) > 0
+        """,
+        "range_search": """
+            SELECT doc_id FROM documents
+            WHERE source >= 'src1' AND source <= 'src13'
+        """,
+        "term_df_top20": f"""
+            SELECT term, count(*) AS df FROM (
+                SELECT DISTINCT doc_id, unnest({tokens}) AS term
+                FROM documents
+            ) GROUP BY term
+            ORDER BY df DESC, term ASC
+            LIMIT 20
+        """,
+        "token_stats": f"""
+            SELECT doc_id,
+                   len({tokens}) AS n_tokens,
+                   len(list_distinct({tokens})) AS n_unique,
+                   length(text) AS n_chars
+            FROM documents
+        """,
+        "sort_by_field": """
+            SELECT (row_number() OVER (ORDER BY n_chars DESC, doc_id ASC)
+                    - 1) AS rank,
+                   doc_id, n_chars
+            FROM documents
+            ORDER BY n_chars DESC, doc_id ASC
+            LIMIT 15
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "ann_top10": """
+            WITH q AS (
+                SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+            )
+            SELECT (row_number() OVER (
+                        ORDER BY list_cosine_similarity(
+                            embedding, (SELECT qe FROM q)) DESC,
+                                 vec_id ASC) - 1) AS rank,
+                   vec_id
+            FROM embeddings
+            ORDER BY list_cosine_similarity(
+                embedding, (SELECT qe FROM q)) DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "group_by_events": """
+            SELECT event_type, count(*) AS n FROM events
+            GROUP BY event_type
+        """,
+        # dedup_minhash / simhash_pairs / ann_lsh_top10 / lang_id /
+        # quality / fingerprints / tfidf_top10 / bm25_top10 /
+        # batch_search: non-SQL-expressible (heuristic or float32-scored)
+        # -> rows-only checks.
+    }

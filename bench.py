@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""Headline benchmark: index-build throughput + query latency (+ scaling).
+
+Pipelines:
+  1. build the inverted index over the deterministic synthetic source-code
+     corpus (BASELINE.json input shape, sized by sf) — docs/sec, tokens/sec;
+  2. build the documents-table index from $GRAFT_SF_DIR and serve a mixed
+     query set (term / boolean / phrase / prefix) through the scorer actor
+     pool — per-query p50/p95 latency and batch throughput.
+
+Prints ONE JSON line. ``--scaling`` reruns the build in fresh processes at
+num_cpus=N and 4N (default 8 vs 32) on identical input and reports the
+throughput scaling efficiency (the sandbox stand-in for the N vs 4N
+cluster-size criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=num_cpus, include_dashboard=False
+        )
+    import numpy as np
+
+    from ferret_ray.pipelines.build import build_index
+    from ferret_ray.pipelines.search_pipeline import SearcherActor, search_batch
+    from ferret_ray.schema import source_code_config
+    from ferret_ray.sources.corpus import ensure_corpus
+
+    sf = _sf_from_dir(sf_dir)
+    timings: dict[str, float] = {}
+
+    # ---- 1. code-corpus index build ------------------------------------
+    n_docs = max(2000, int(500_000 * sf))
+    t0 = time.time()
+    corpus = ensure_corpus(n_docs)
+    timings["corpus_gen"] = round(time.time() - t0, 3)
+
+    index_dir = f"/tmp/ferret_ray_bench/code-{n_docs}-cpus{num_cpus}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    t0 = time.time()
+    manifest = build_index(corpus, index_dir, source_code_config())
+    build_sec = time.time() - t0
+    timings["index_build"] = round(build_sec, 3)
+    docs_per_sec = n_docs / build_sec
+    tokens = manifest["metrics"]["tokens"]
+
+    # ---- 2. query serving over the code index --------------------------
+    hot = ["the", "int", "return", "class,def", "tok1", "tok77", "tok2000"]
+    queries = []
+    for t in ["int", "return", "tok3", "tok55", "tok999", "tok12345",
+              "fn_12", "the"]:
+        queries.append(t)
+    queries += [
+        "+int +return", "+tok3 -the", "tok5 tok17 tok99",
+        '"int the"', "tok1*", "+class +def -tok9",
+    ]
+    queries = queries * 8  # 112 queries
+
+    t0 = time.time()
+    actor = SearcherActor(index_dir, default_field="content", k=10)
+    timings["searcher_open"] = round(time.time() - t0, 3)
+    lat = []
+    for q in queries:
+        t0 = time.time()
+        actor({"query": np.array([q])})
+        lat.append(time.time() - t0)
+    lat.sort()
+    p50 = lat[len(lat) // 2]
+    p95 = lat[int(len(lat) * 0.95)]
+
+    t0 = time.time()
+    n_res = search_batch(
+        index_dir, queries, k=10,
+        concurrency=max(2, num_cpus // 4),
+    ).count()
+    batch_sec = time.time() - t0
+    timings["batch_search"] = round(batch_sec, 3)
+
+    # ---- 3. documents-table index (the sf tables) ----------------------
+    t0 = time.time()
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    entrymod._index_for(sf_dir)
+    timings["docs_table_index"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    entrymod.q_term_df_top20(sf_dir)
+    timings["term_df_top20"] = round(time.time() - t0, 3)
+
+    return {
+        "metric": "index_build_docs_per_sec",
+        "value": round(docs_per_sec, 1),
+        "unit": "docs/sec",
+        "queries": {
+            **timings,
+            "query_p50_ms": round(p50 * 1000, 2),
+            "query_p95_ms": round(p95 * 1000, 2),
+            "batch_qps": round(len(queries) / batch_sec, 1),
+        },
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "num_docs": n_docs,
+        "tokens": int(tokens),
+        "results_rows": int(n_res),
+    }
+
+
+def run_scaling(sf_dir: str, lo: int, hi: int) -> dict:
+    """Same job, fresh ray sessions at two parallelism levels."""
+    here = os.path.abspath(__file__)
+    out = {}
+    for n in (lo, hi):
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(n)
+        env.pop("RAY_ADDRESS", None)
+        # distinct index dir per cpu count is handled inside run_bench
+        res = subprocess.run(
+            [sys.executable, here, "--json-only"],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        line = [
+            ln for ln in res.stdout.strip().splitlines()
+            if ln.startswith("{")
+        ][-1]
+        out[n] = json.loads(line)
+    thr_lo = out[lo]["value"]
+    thr_hi = out[hi]["value"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {
+            f"docs_per_sec_cpus{lo}": thr_lo,
+            f"docs_per_sec_cpus{hi}": thr_hi,
+        },
+        "sf": out[lo]["sf"],
+        "num_cpus": hi,
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        result = run_scaling(sf_dir, max(2, num_cpus // 4), num_cpus)
+    else:
+        result = run_bench(sf_dir, num_cpus)
+    print(json.dumps(result))
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -206,6 +206,17 @@ class LetterTokenizer:
             yield Token(m.group()[:MAX_WORD_LEN], m.start(), m.end())
 
 
+class AlnumTokenizer:
+    """Maximal [A-Za-z0-9] runs — SQL-parity tokenizer: with lowercase it
+    equals DuckDB's regexp_extract_all(lower(text), '[a-z0-9]+')."""
+
+    _re = re.compile(r"[A-Za-z0-9]+")
+
+    def __call__(self, text: str) -> Iterator[Token]:
+        for m in self._re.finditer(text):
+            yield Token(m.group()[:MAX_WORD_LEN], m.start(), m.end())
+
+
 class StandardTokenizer:
     """Callable wrapper around :func:`tokenize`."""
 

@@ -1,0 +1,132 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Ray-Data-first: the query matrix is broadcast once (ray.put / constructor
+arg, not re-shipped per batch), each ``map_batches`` task computes a local
+top-k with one numpy matmul over the zero-copy Arrow batch, and the
+global top-k is a tiny driver-side merge of per-batch candidates —
+identical structure to the scorer-actor top-k merge of the search path.
+
+* brute_force_topk  — exact cosine top-k (the baseline oracle).
+* lsh_topk          — random-hyperplane LSH bucketing: probe only buckets
+  matching the query signature (scale path; recall<1 by design).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=-1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class _BatchTopK:
+    """map_batches UDF: local top-k cosine scores per batch."""
+
+    def __init__(self, query: np.ndarray, k: int,
+                 vec_col: str, id_col: str):
+        self.q = _normalize(np.atleast_2d(np.asarray(query, np.float32)))
+        self.k = k
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch) -> dict:
+        vecs = np.stack(
+            [np.asarray(v, dtype=np.float32) for v in batch[self.vec_col]]
+        )
+        ids = np.asarray(batch[self.id_col], dtype=np.int64)
+        sims = _normalize(vecs) @ self.q.T  # (n, nq)
+        out = {"query_idx": [], "vec_id": [], "score": []}
+        for qi in range(self.q.shape[0]):
+            col = sims[:, qi]
+            k = min(self.k, col.size)
+            idx = np.argpartition(-col, k - 1)[:k]
+            for i in idx:
+                out["query_idx"].append(qi)
+                out["vec_id"].append(int(ids[i]))
+                out["score"].append(float(col[i]))
+        return out
+
+
+def brute_force_topk(
+    ds,
+    query: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    concurrency: int | None = None,
+):
+    """Exact cosine top-k; returns list of (rank, vec_id, score) per query."""
+    parts = ds.map_batches(
+        _BatchTopK,
+        fn_constructor_kwargs={
+            "query": query, "k": k, "vec_col": vec_col, "id_col": id_col,
+        },
+        batch_size=4096,
+        concurrency=(1, concurrency or 4),
+    ).to_pandas()
+    results = []
+    nq = np.atleast_2d(np.asarray(query)).shape[0]
+    for qi in range(nq):
+        sub = parts[parts["query_idx"] == qi]
+        # deterministic order: score desc, id asc
+        sub = sub.sort_values(
+            ["score", "vec_id"], ascending=[False, True]
+        ).head(k)
+        results.append(
+            [
+                (rank, int(r.vec_id), float(r.score))
+                for rank, r in enumerate(sub.itertuples())
+            ]
+        )
+    return results
+
+
+class RandomHyperplaneLSH:
+    def __init__(self, dim: int, num_bits: int = 16, seed: int = 11):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((num_bits, dim)).astype(np.float32)
+
+    def signature(self, vecs: np.ndarray) -> np.ndarray:
+        bits = (vecs @ self.planes.T) > 0
+        weights = (1 << np.arange(bits.shape[-1], dtype=np.int64))
+        return (bits.astype(np.int64) * weights).sum(axis=-1)
+
+
+def lsh_topk(
+    ds,
+    query: np.ndarray,
+    k: int = 10,
+    dim: int | None = None,
+    num_bits: int = 12,
+    probe_hamming: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """LSH-bucketed ANN: score only vectors whose bucket signature is
+    within ``probe_hamming`` bits of the query's."""
+    query = np.asarray(query, dtype=np.float32)
+    if dim is None:
+        dim = int(query.shape[-1])
+    lsh = RandomHyperplaneLSH(dim, num_bits)
+    qsig = int(lsh.signature(_normalize(np.atleast_2d(query)))[0])
+    ok = {qsig}
+    if probe_hamming >= 1:
+        for b in range(num_bits):
+            ok.add(qsig ^ (1 << b))
+
+    def bucket_filter(batch):
+        vecs = np.stack(
+            [np.asarray(v, dtype=np.float32) for v in batch[vec_col]]
+        )
+        sigs = lsh.signature(_normalize(vecs))
+        keep = np.isin(sigs, list(ok))
+        return {
+            id_col: np.asarray(batch[id_col])[keep],
+            vec_col: [batch[vec_col][i] for i in np.flatnonzero(keep)],
+        }
+
+    filtered = ds.map_batches(bucket_filter)
+    return brute_force_topk(filtered, query, k, vec_col, id_col)

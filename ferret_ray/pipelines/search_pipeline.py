@@ -1,0 +1,89 @@
+"""Batch query serving: Ray Data + a stateful searcher actor pool.
+
+The distributed read path (SURVEY.md §3.2, MultiSearcher semantics
+c/src/search.c:1290-1750): a Dataset of query strings is evaluated by
+``map_batches(SearcherActor, concurrency=N)`` — each actor opens the index
+ONCE in ``__init__`` (manifest + lazily mmap-style shard dictionaries,
+"model load" pattern) and scores whole batches of queries vectorized.
+
+Global stats (N, df) come from the manifest + term-sharded dictionary, so
+scores are shard-count-invariant by construction, like the reference's
+CachedDFSearcher (c/src/search.c:1290-1440).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+
+class SearcherActor:
+    """map_batches UDF class: one IndexReader per actor process."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        default_field: str = "content",
+        k: int = 10,
+        similarity: str | None = None,
+    ):
+        from ..analysis import standard_analyzer
+        from ..search.fql import FQLParser
+        from ..search.reader import IndexReader
+        from ..search.searcher import Searcher
+
+        self.reader = IndexReader(index_dir)
+        self.searcher = Searcher(self.reader, similarity=similarity)
+        self.k = k
+        self.parser = FQLParser(analyzer=standard_analyzer())
+        for f in self.reader.field_names:
+            if self.reader.is_indexed(f):
+                self.parser.add_field(
+                    f, default=(f == default_field), tokenized=True
+                )
+
+    def __call__(self, batch: dict[str, np.ndarray]) -> dict[str, list]:
+        out: dict[str, list] = {
+            "query": [], "rank": [], "doc_id": [], "score": [],
+            "total_hits": [],
+        }
+        for qstr in batch["query"]:
+            q = self.parser.parse(str(qstr))
+            if q is None:
+                continue
+            td = self.searcher.search(q, 0, self.k)
+            for rank, hit in enumerate(td.hits):
+                out["query"].append(str(qstr))
+                out["rank"].append(rank)
+                out["doc_id"].append(hit.doc)
+                out["score"].append(hit.score)
+                out["total_hits"].append(td.total_hits)
+        return out
+
+
+def search_batch(
+    index_dir: str,
+    queries: list[str],
+    k: int = 10,
+    concurrency: int = 4,
+    batch_size: int = 64,
+    default_field: str = "content",
+    similarity: str | None = None,
+):
+    """Evaluate many queries against an index; returns a Ray Dataset of
+    (query, rank, doc_id, score, total_hits)."""
+    import ray.data
+
+    ds = ray.data.from_items([{"query": q} for q in queries])
+    return ds.map_batches(
+        SearcherActor,
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "default_field": default_field,
+            "k": k,
+            "similarity": similarity,
+        },
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+    )

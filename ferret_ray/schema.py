@@ -108,6 +108,12 @@ def analyzer_for(spec: str | Analyzer) -> Analyzer:
         return _A(_DoubleTok(), lowercase=False, stop_words=None, hyphen=False)
     if spec == "letter":
         return letter_analyzer()
+    if spec == "alnum":
+        from .analysis.analyzer import Analyzer as _A
+        from .analysis.tokenizer import AlnumTokenizer
+
+        return _A(AlnumTokenizer(), lowercase=True, stop_words=None,
+                  hyphen=False)
     if spec == "keyword":
         return keyword_analyzer()
     raise ValueError(f"unknown analyzer spec: {spec!r}")
