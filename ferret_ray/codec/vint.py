@@ -20,35 +20,27 @@ _SEVEN = np.uint64(7)
 _MASK7 = np.uint64(0x7F)
 
 
+# byte-count thresholds: value < 2^(7k) needs k bytes
+_THRESH = np.array([1 << (7 * k) for k in range(1, 10)], dtype=np.uint64)
+
+
 def vint_encode(values: np.ndarray) -> bytes:
     """Encode a non-negative int array to a Ferret VInt byte stream."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    # bytes needed = ceil(bit_length / 7), min 1
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    while True:
-        nz = tmp != 0
-        if not nz.any():
-            break
-        nbits[nz] += 1
-        tmp >>= _SEVEN
-    np.maximum(nbits, 1, out=nbits)  # value 0 -> 1 byte
-    nbytes = nbits
-    total = int(nbytes.sum())
-    out = np.empty(total, dtype=np.uint8)
+    nbytes = np.digitize(v, _THRESH) + 1
+    maxb = int(nbytes.max())
+    if maxb == 1:  # fast path: everything fits one byte
+        return v.astype(np.uint8).tobytes()
     ends = np.cumsum(nbytes)
     starts = ends - nbytes
-    # position of each output byte within its value group
-    idx = np.arange(total, dtype=np.int64)
-    group = np.repeat(np.arange(v.size, dtype=np.int64), nbytes)
-    pos_in_group = idx - starts[group]
-    shifted = v[group] >> (pos_in_group.astype(np.uint64) * _SEVEN)
-    b = (shifted & _MASK7).astype(np.uint8)
-    is_last = idx == (ends[group] - 1)
-    b[~is_last] |= 0x80
-    out[:] = b
+    out = np.empty(int(ends[-1]), dtype=np.uint8)
+    for p in range(maxb):
+        mask = nbytes > p
+        b = ((v[mask] >> np.uint64(7 * p)) & _MASK7).astype(np.uint8)
+        b[(nbytes[mask] - 1) > p] |= 0x80
+        out[starts[mask] + p] = b
     return out.tobytes()
 
 
@@ -73,13 +65,4 @@ def vint_decode(buf: bytes | memoryview | np.ndarray) -> np.ndarray:
 def vint_byte_len(values: np.ndarray) -> np.ndarray:
     """Per-value encoded byte length (vectorized)."""
     v = np.asarray(values, dtype=np.uint64)
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    while True:
-        nz = tmp != 0
-        if not nz.any():
-            break
-        nbits[nz] += 1
-        tmp >>= _SEVEN
-    np.maximum(nbits, 1, out=nbits)
-    return nbits
+    return np.digitize(v, _THRESH) + 1

@@ -37,8 +37,21 @@ class Postings(NamedTuple):
     prx_parts: list[tuple[bytes, bytes, int]]  # (prx, prx_lens, n_docs)
 
 
+class _LazyBlobs:
+    """Per-row bytes access over an Arrow binary column without
+    materializing every blob up front."""
+
+    __slots__ = ("col",)
+
+    def __init__(self, col):
+        self.col = col.combine_chunks()
+
+    def __getitem__(self, i: int) -> bytes:
+        return self.col[i].as_py()
+
+
 class _Shard:
-    """One shard file: lazy-loaded columns + term -> row index."""
+    """One shard file: dictionary in memory, posting blobs decoded lazily."""
 
     def __init__(self, path: str):
         t = pq.read_table(path)
@@ -46,10 +59,10 @@ class _Shard:
         self.terms = t.column("term").to_pylist()
         self.df = t.column("df").to_numpy()
         self.tf_sum = t.column("tf_sum").to_numpy()
-        self.docs_enc = t.column("docs_enc").to_pylist()
-        self.freqs_enc = t.column("freqs_enc").to_pylist()
-        self.prx_enc = t.column("prx_enc").to_pylist()
-        self.prx_lens_enc = t.column("prx_lens_enc").to_pylist()
+        self.docs_enc = _LazyBlobs(t.column("docs_enc"))
+        self.freqs_enc = _LazyBlobs(t.column("freqs_enc"))
+        self.prx_enc = _LazyBlobs(t.column("prx_enc"))
+        self.prx_lens_enc = _LazyBlobs(t.column("prx_lens_enc"))
         self.index: dict[tuple[int, str], int] = {
             (int(f), s): i
             for i, (f, s) in enumerate(zip(self.fields, self.terms))
@@ -180,17 +193,86 @@ class IndexReader:
             base = end
         return out
 
-    def terms_matching(self, field: str, pred) -> list[str]:
-        """Dictionary scan: all terms of ``field`` satisfying ``pred``
-        (prefix/wildcard/range/fuzzy rewrites)."""
+    def _field_term_slice(
+        self, sh: "_Shard", fn: int, lo: str, hi: str
+    ) -> range:
+        """Row range of terms in [lo, hi) for field fn (dict is sorted by
+        (field, term) — the sampled-index seek of the reference's .tix,
+        c/src/index.c:2820-2830, as a bisect)."""
+        a = np.searchsorted(sh.fields, fn, side="left")
+        b = np.searchsorted(sh.fields, fn, side="right")
+        terms = sh.terms
+        import bisect
+
+        i = bisect.bisect_left(terms, lo, a, b)
+        j = bisect.bisect_left(terms, hi, a, b) if hi else b
+        return range(i, j)
+
+    def terms_with_prefix(self, field: str, prefix: str) -> list[str]:
+        fn = self.field_num(field)
+        if fn < 0:
+            return []
+        found: set[str] = set()
+        hi = prefix + "\U0010FFFF" if prefix else ""
+        for ss in self._shard_salts:
+            sh = self._shard_for(ss)
+            for i in self._field_term_slice(sh, fn, prefix, hi):
+                found.add(sh.terms[i])
+        return sorted(found)
+
+    def terms_in_range(
+        self,
+        field: str,
+        lower: str | None,
+        upper: str | None,
+        include_lower: bool,
+        include_upper: bool,
+    ) -> list[str]:
         fn = self.field_num(field)
         if fn < 0:
             return []
         found: set[str] = set()
         for ss in self._shard_salts:
             sh = self._shard_for(ss)
-            for f, t in zip(sh.fields, sh.terms):
-                if f == fn and pred(t):
+            a = np.searchsorted(sh.fields, fn, side="left")
+            b = np.searchsorted(sh.fields, fn, side="right")
+            import bisect
+
+            terms = sh.terms
+            i = a if lower is None else (
+                bisect.bisect_left(terms, lower, a, b)
+                if include_lower
+                else bisect.bisect_right(terms, lower, a, b)
+            )
+            j = b if upper is None else (
+                bisect.bisect_right(terms, upper, a, b)
+                if include_upper
+                else bisect.bisect_left(terms, upper, a, b)
+            )
+            for idx in range(i, j):
+                found.add(terms[idx])
+        return sorted(found)
+
+    def terms_matching(self, field: str, pred,
+                       prefix: str = "") -> list[str]:
+        """Dictionary scan: all terms of ``field`` satisfying ``pred``;
+        ``prefix`` restricts the scan range (wildcard/fuzzy rewrites)."""
+        fn = self.field_num(field)
+        if fn < 0:
+            return []
+        found: set[str] = set()
+        hi = prefix + "\U0010FFFF" if prefix else ""
+        for ss in self._shard_salts:
+            sh = self._shard_for(ss)
+            if prefix:
+                rows = self._field_term_slice(sh, fn, prefix, hi)
+            else:
+                a = np.searchsorted(sh.fields, fn, side="left")
+                b = np.searchsorted(sh.fields, fn, side="right")
+                rows = range(a, b)
+            for i in rows:
+                t = sh.terms[i]
+                if pred(t):
                     found.add(t)
         return sorted(found)
 

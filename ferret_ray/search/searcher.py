@@ -72,8 +72,7 @@ def rewrite(query: Query, reader: IndexReader) -> Query:
     if isinstance(query, PrefixQuery):
         mtq = MultiTermQuery(query.field, max_terms=query.max_terms)
         mtq.boost = query.boost
-        p = query.prefix
-        for t in reader.terms_matching(query.field, lambda s: s.startswith(p)):
+        for t in reader.terms_with_prefix(query.field, query.prefix):
             mtq.add_term(t)
         return mtq
     if isinstance(query, WildcardQuery):
@@ -81,8 +80,10 @@ def rewrite(query: Query, reader: IndexReader) -> Query:
         mtq = MultiTermQuery(query.field, max_terms=query.max_terms)
         mtq.boost = query.boost
         # prefix-optimized dictionary scan like the reference
+        # (q_wildcard.c:81-130): literal prefix bounds the bisect range
+        lit = pat.split("*", 1)[0].split("?", 1)[0]
         for t in reader.terms_matching(
-            query.field, lambda s: wildcard_match(pat, s)
+            query.field, lambda s: wildcard_match(pat, s), prefix=lit
         ):
             mtq.add_term(t)
         return mtq
@@ -302,7 +303,9 @@ class Searcher:
         q: RangeQuery = w.query
         if self.reader.field_num(q.field) < 0:
             return None
-        terms = self.reader.terms_matching(q.field, q.matches)
+        terms = self.reader.terms_in_range(
+            q.field, q.lower, q.upper, q.include_lower, q.include_upper
+        )
         if not terms:
             return None
         doc_sets = []

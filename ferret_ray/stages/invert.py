@@ -113,57 +113,112 @@ def _encode_field_postings(
     with_positions: bool,
     out: dict[str, list],
 ) -> None:
-    """Sort token stream by term (stable) and emit one fragment row/term."""
+    """Invert the token stream to fragment rows, fully vectorized.
+
+    All VInt encoding happens in ONE call over the whole field's token
+    stream; per-term blobs are byte slices of the global buffers (no
+    per-term numpy ops — the per-term loop only appends slices).
+    """
     if tids.size == 0:
         return
+    n = tids.size
     order = np.argsort(tids, kind="stable")
     s_tid = tids[order]
     s_doc = docs[order]
     s_pos = poss[order]
-    # term group boundaries
-    tb = np.flatnonzero(np.diff(s_tid)) + 1
-    t_starts = np.concatenate(([0], tb))
-    t_ends = np.concatenate((tb, [s_tid.size]))
+
+    # posting boundaries (term or doc changes), token level
+    pb = np.empty(n, dtype=bool)
+    pb[0] = True
+    np.logical_or(
+        s_tid[1:] != s_tid[:-1], s_doc[1:] != s_doc[:-1], out=pb[1:]
+    )
+    d_starts_tok = np.flatnonzero(pb)                      # M postings
+    u_tid = s_tid[d_starts_tok]
+    u_doc = s_doc[d_starts_tok]
+    freqs = np.diff(np.concatenate((d_starts_tok, [n])))
+    m = u_tid.size
+
+    # term boundaries, posting level
+    tb = np.empty(m, dtype=bool)
+    tb[0] = True
+    np.not_equal(u_tid[1:], u_tid[:-1], out=tb[1:])
+    t_starts = np.flatnonzero(tb)
+    t_ends = np.concatenate((t_starts[1:], [m]))
+
+    # doc deltas (restart at each term's first posting)
+    abs_docs = u_doc + doc_base
+    deltas = np.empty(m, dtype=np.int64)
+    deltas[0] = abs_docs[0]
+    np.subtract(abs_docs[1:], abs_docs[:-1], out=deltas[1:])
+    deltas[t_starts] = abs_docs[t_starts]
+    docs_buf = vint_encode(deltas)
+    docs_lens = vint_byte_len(deltas)
+    docs_off = np.concatenate(([0], np.cumsum(docs_lens)))
+
+    freqs_buf = vint_encode(freqs)
+    freqs_off = np.concatenate(([0], np.cumsum(vint_byte_len(freqs))))
+
+    if with_positions:
+        pdeltas = np.empty(n, dtype=np.int64)
+        pdeltas[0] = s_pos[0]
+        np.subtract(s_pos[1:], s_pos[:-1], out=pdeltas[1:])
+        pdeltas[d_starts_tok] = s_pos[d_starts_tok]  # restart per doc
+        prx_buf = vint_encode(pdeltas)
+        pos_lens = vint_byte_len(pdeltas)
+        tok_off = np.concatenate(([0], np.cumsum(pos_lens)))
+        plens = np.add.reduceat(pos_lens, d_starts_tok)
+        plens_buf = vint_encode(plens)
+        plens_off = np.concatenate(([0], np.cumsum(vint_byte_len(plens))))
+        term_tok_starts = d_starts_tok[t_starts]
+        term_tok_ends = np.concatenate(
+            (d_starts_tok[t_starts[1:]], [n])
+        )
+        prx_a = tok_off[term_tok_starts]
+        prx_b = tok_off[term_tok_ends]
+
+    tf_sums = np.add.reduceat(freqs, t_starts)
     id2term = sorted(term_ids, key=term_ids.get)
     num_shards = cfg.num_shards
-    range_id = doc_base // cfg.salt_doc_range
-    salt_base = range_id * num_shards
+    salt_base = (doc_base // cfg.salt_doc_range) * num_shards
 
-    for ts, te in zip(t_starts.tolist(), t_ends.tolist()):
-        term = id2term[s_tid[ts]]
-        g_doc = s_doc[ts:te]
-        # run-length encode docs (already doc-ordered within the term)
-        db = np.flatnonzero(np.diff(g_doc)) + 1
-        d_starts = np.concatenate(([0], db))
-        u_docs = g_doc[d_starts] + doc_base
-        freqs = np.diff(np.concatenate((d_starts, [g_doc.size])))
-        deltas = np.empty(u_docs.size, dtype=np.int64)
-        deltas[0] = u_docs[0]
-        np.subtract(u_docs[1:], u_docs[:-1], out=deltas[1:])
-        if with_positions:
-            g_pos = s_pos[ts:te]
-            pdeltas = np.empty(g_pos.size, dtype=np.int64)
-            pdeltas[0] = g_pos[0]
-            np.subtract(g_pos[1:], g_pos[:-1], out=pdeltas[1:])
-            pdeltas[d_starts] = g_pos[d_starts]  # restart per doc
-            prx = vint_encode(pdeltas)
-            plens = np.add.reduceat(vint_byte_len(pdeltas), d_starts)
-            prx_lens = vint_encode(plens)
-        else:
-            prx = b""
-            prx_lens = b""
-        out["field"].append(field_num)
-        out["term"].append(term)
-        out["shard_salt"].append(
-            salt_base + term_shard(field_num, term, num_shards)
+    first_tids = u_tid[t_starts].tolist()
+    da, db_ = docs_off[t_starts].tolist(), docs_off[t_ends].tolist()
+    fa, fb = freqs_off[t_starts].tolist(), freqs_off[t_ends].tolist()
+    tf_sums = tf_sums.tolist()
+    if with_positions:
+        prx_a = prx_a.tolist()
+        prx_b = prx_b.tolist()
+        plens_off = plens_off.tolist()
+    o_field, o_term = out["field"], out["term"]
+    o_shard, o_base = out["shard_salt"], out["doc_base"]
+    o_df, o_tf = out["df"], out["tf_sum"]
+    o_docs, o_freqs = out["docs_enc"], out["freqs_enc"]
+    o_prx, o_plens = out["prx_enc"], out["prx_lens_enc"]
+    t_starts_l = t_starts.tolist()
+    t_ends_l = t_ends.tolist()
+    crc = zlib.crc32
+    for k in range(t_starts.size):
+        term = id2term[first_tids[k]]
+        o_field.append(field_num)
+        o_term.append(term)
+        o_shard.append(
+            salt_base
+            + crc(term.encode("utf-8", "surrogatepass"), field_num)
+            % num_shards
         )
-        out["doc_base"].append(doc_base)
-        out["df"].append(int(u_docs.size))
-        out["tf_sum"].append(int(g_doc.size))
-        out["docs_enc"].append(vint_encode(deltas))
-        out["freqs_enc"].append(vint_encode(freqs))
-        out["prx_enc"].append(prx)
-        out["prx_lens_enc"].append(prx_lens)
+        o_base.append(doc_base)
+        o_df.append(t_ends_l[k] - t_starts_l[k])
+        o_tf.append(tf_sums[k])
+        o_docs.append(docs_buf[da[k]: db_[k]])
+        o_freqs.append(freqs_buf[fa[k]: fb[k]])
+        if with_positions:
+            o_prx.append(prx_buf[prx_a[k]: prx_b[k]])
+            o_plens.append(plens_buf[plens_off[t_starts_l[k]]:
+                                     plens_off[t_ends_l[k]]])
+        else:
+            o_prx.append(b"")
+            o_plens.append(b"")
 
 
 class InvertFragment:
