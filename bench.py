@@ -60,6 +60,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     manifest = build_index(corpus, index_dir, source_code_config())
     build_sec = time.time() - t0
     timings["index_build"] = round(build_sec, 3)
+    timings["invert_phase"] = round(manifest["metrics"]["invert_sec"], 3)
+    timings["merge_phase"] = round(manifest["metrics"]["merge_sec"], 3)
     docs_per_sec = n_docs / build_sec
     tokens = manifest["metrics"]["tokens"]
 

@@ -149,6 +149,25 @@ def decode_docs_freqs(
     return docs, freqs
 
 
+def decode_positions_all(
+    prx_enc: bytes, freqs: np.ndarray
+) -> np.ndarray:
+    """Decode ALL positions of a posting list in one vectorized pass.
+
+    Returns the flat absolute positions (doc-major); slice doc ``i`` with
+    ``off = concatenate(([0], cumsum(freqs)))``.
+    """
+    deltas = vint_decode(prx_enc)
+    if deltas.size == 0:
+        return deltas
+    freqs = np.asarray(freqs, dtype=np.int64)
+    nz = freqs > 0
+    starts = np.concatenate(([0], np.cumsum(freqs)))[:-1][nz]
+    c = np.cumsum(deltas)
+    corr = c[starts] - deltas[starts]
+    return c - np.repeat(corr, freqs[nz])
+
+
 def decode_positions(
     prx_enc: bytes,
     prx_lens_enc: bytes,

@@ -53,7 +53,10 @@ def build_index(
     os.makedirs(index_dir, exist_ok=True)
 
     # ---- phase 1: tokenize + invert, one task per fragment --------------
-    frag_ds = ray.data.from_items(fragments)
+    # one block per fragment => full task parallelism across the cluster
+    frag_ds = ray.data.from_items(
+        fragments, override_num_blocks=len(fragments)
+    )
     invert_metrics = frag_ds.map_batches(
         InvertFragment(cfg, index_dir, build_fp),
         batch_size=1,

@@ -119,7 +119,7 @@ def analyzer_for(spec: str | Analyzer) -> Analyzer:
     raise ValueError(f"unknown analyzer spec: {spec!r}")
 
 
-def source_code_config(num_shards: int = 16) -> IndexConfig:
+def source_code_config(num_shards: int = 256) -> IndexConfig:
     """Config for the BASELINE.json corpus (repo,path,commit,lang,content)."""
     return IndexConfig(
         fields={

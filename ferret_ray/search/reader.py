@@ -25,16 +25,47 @@ from typing import NamedTuple
 import numpy as np
 import pyarrow.parquet as pq
 
-from ..codec.postings import decode_docs_freqs, decode_positions
+from ..codec.postings import (
+    decode_docs_freqs,
+    decode_positions,
+    decode_positions_all,
+)
 from ..stages.invert import term_shard
 from ..state.manifest import read_manifest
 
 
-class Postings(NamedTuple):
-    docs: np.ndarray           # int64, ascending
-    freqs: np.ndarray          # int64
-    # per-range raw blobs for lazy position decode:
-    prx_parts: list[tuple[bytes, bytes, int]]  # (prx, prx_lens, n_docs)
+class Postings:
+    """Decoded posting list; positions decode lazily (one vectorized pass
+    over the whole prx stream, cached)."""
+
+    __slots__ = ("docs", "freqs", "prx_parts", "_pos_flat", "_pos_off")
+
+    def __init__(self, docs, freqs, prx_parts):
+        self.docs = docs           # int64, ascending
+        self.freqs = freqs         # int64
+        # per-range raw blobs: (prx, prx_lens, n_docs)
+        self.prx_parts = prx_parts
+        self._pos_flat = None
+        self._pos_off = None
+
+    def positions_flat(self) -> tuple[np.ndarray, np.ndarray]:
+        """(flat absolute positions, per-doc offsets of len n_docs+1)."""
+        if self._pos_flat is None:
+            parts = []
+            base = 0
+            for prx, _lens, n in self.prx_parts:
+                parts.append(
+                    decode_positions_all(prx, self.freqs[base: base + n])
+                )
+                base += n
+            self._pos_flat = (
+                np.concatenate(parts) if parts
+                else np.empty(0, dtype=np.int64)
+            )
+            self._pos_off = np.concatenate(
+                ([0], np.cumsum(self.freqs))
+            )
+        return self._pos_flat, self._pos_off
 
 
 class _LazyBlobs:

@@ -369,12 +369,14 @@ class Searcher:
             scores = (acc * factors[nmatch]).astype(np.float32)
         return ScoredDocs(cand, scores)
 
+    _PH_SHIFT = np.int64(21)
+    _PH_BIAS = np.int64(1 << 19)
+
     def _phrase_scorer(self, w) -> ScoredDocs | None:
         q: PhraseQuery = w.query
         if self.reader.field_num(q.field) < 0 or not q.positions:
             return None
-        # per slot: (offset, docs, {doc -> sorted positions})
-        slots = []
+        slots: list[tuple[int, list]] = []
         for pp in q.positions:
             parts = []
             for t in pp.terms:
@@ -382,43 +384,88 @@ class Searcher:
                 if p is not None:
                     parts.append(p)
             if not parts:
-                # any slot with no matching term at all -> empty enum ->
-                # no hits (pp_first_position fails)
+                # slot with no matching term -> empty enum -> no hits
                 return ScoredDocs(
                     np.empty(0, dtype=np.int64),
                     np.empty(0, dtype=np.float32),
                 )
             slots.append((pp.pos, parts))
-        cand = slots[0][1][0].docs
+
+        if q.slop == 0:
+            docs, freqs = self._exact_phrase_freqs(slots)
+        else:
+            docs, freqs = self._sloppy_phrase_freqs(q, slots)
+        if not docs.size:
+            return ScoredDocs(docs, np.empty(0, dtype=np.float32))
+        tf = np.sqrt(freqs.astype(np.float32), dtype=np.float32)
+        scores = (tf * w.value) * self._norm_decode(q.field, docs)
+        return ScoredDocs(docs, scores.astype(np.float32))
+
+    def _slot_keys(self, offset: int, parts: list) -> np.ndarray:
+        """(doc << 21) | (pos - offset + bias), unique-sorted per slot."""
+        keys = []
+        for p in parts:
+            pos_flat, _ = p.positions_flat()
+            docs_rep = np.repeat(p.docs, p.freqs)
+            keys.append(
+                (docs_rep << self._PH_SHIFT)
+                + (pos_flat - offset + self._PH_BIAS)
+            )
+        return np.unique(np.concatenate(keys))
+
+    def _exact_phrase_freqs(
+        self, slots: list
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized exact phrase_freq: |∩ slot (doc, pos-offset) sets|
+        per doc — equivalent to ephsc_phrase_freq's alignment count
+        (c/src/q_phrase.c:374-404)."""
+        inter = self._slot_keys(*slots[0])
+        for off, parts in slots[1:]:
+            if not inter.size:
+                break
+            inter = np.intersect1d(
+                inter, self._slot_keys(off, parts), assume_unique=True
+            )
+        if not inter.size:
+            return (np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.int64))
+        docs, freqs = np.unique(inter >> self._PH_SHIFT,
+                                return_counts=True)
+        return docs, freqs
+
+    def _sloppy_phrase_freqs(
+        self, q: PhraseQuery, slots: list
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Window-PQ sloppy matching (c/src/q_phrase.c:441-517) per
+        candidate doc; candidate positions come from one vectorized
+        decode + numpy slicing."""
         cand = np.unique(np.concatenate([p.docs for p in slots[0][1]]))
         for _, parts in slots[1:]:
             sdocs = np.unique(np.concatenate([p.docs for p in parts]))
             cand = np.intersect1d(cand, sdocs, assume_unique=True)
         if not cand.size:
-            return ScoredDocs(
-                np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
-            )
-        # gather positions per slot per candidate doc
+            return (np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.float32))
         slot_positions: list[list[np.ndarray]] = []
         for _, parts in slots:
             per_doc: list[list[np.ndarray]] = [[] for _ in range(cand.size)]
             for p in parts:
+                pos_flat, pos_off = p.positions_flat()
                 sel = np.searchsorted(p.docs, cand)
                 sel_c = np.minimum(sel, p.docs.size - 1)
                 hit = p.docs[sel_c] == cand
-                hit_idx = sel_c[hit]
-                pos_lists = self.reader.positions_for(p, hit_idx)
-                for ci, pl in zip(np.flatnonzero(hit), pos_lists):
-                    per_doc[ci].append(pl)
-            merged = [
-                np.sort(np.concatenate(pls)) if pls else
-                np.empty(0, dtype=np.int64)
-                for pls in per_doc
-            ]
-            slot_positions.append(merged)
-        offsets = [pp.pos for pp, _ in zip(q.positions, slots)]
-        freqs = np.zeros(cand.size, dtype=np.float32)
-        # repeated-term check needed? (terms shared between slots)
+                for ci, pi in zip(np.flatnonzero(hit), sel_c[hit]):
+                    per_doc[ci].append(
+                        pos_flat[pos_off[pi]: pos_off[pi + 1]]
+                    )
+            slot_positions.append(
+                [
+                    (np.sort(np.concatenate(pls)) if len(pls) > 1
+                     else pls[0]) if pls else np.empty(0, dtype=np.int64)
+                    for pls in per_doc
+                ]
+            )
+        offsets = [off for off, _ in slots]
         seen: set[str] = set()
         check_repeats = False
         for pp in q.positions:
@@ -426,21 +473,16 @@ class Searcher:
                 if t in seen:
                     check_repeats = True
                 seen.add(t)
+        freqs = np.zeros(cand.size, dtype=np.float32)
         for ci in range(cand.size):
             plists = [sp[ci] for sp in slot_positions]
             if any(pl.size == 0 for pl in plists):
                 continue
-            if q.slop == 0:
-                freqs[ci] = _exact_phrase_freq(plists, offsets)
-            else:
-                freqs[ci] = _sloppy_phrase_freq(
-                    plists, offsets, q.slop, check_repeats
-                )
+            freqs[ci] = _sloppy_phrase_freq(
+                plists, offsets, q.slop, check_repeats
+            )
         hit = freqs > 0
-        docs = cand[hit]
-        tf = np.sqrt(freqs[hit], dtype=np.float32)
-        scores = (tf * w.value) * self._norm_decode(q.field, docs)
-        return ScoredDocs(docs, scores.astype(np.float32))
+        return cand[hit], freqs[hit]
 
     # ---- search ---------------------------------------------------------
 
@@ -495,17 +537,6 @@ class Searcher:
 # --------------------------------------------------------------------------
 # phrase frequency algorithms
 # --------------------------------------------------------------------------
-
-def _exact_phrase_freq(plists: list[np.ndarray], offsets: list[int]) -> float:
-    """|∩ (positions_i - offset_i)| — equivalent to ephsc_phrase_freq's
-    alignment count (c/src/q_phrase.c:374-404)."""
-    acc = plists[0] - offsets[0]
-    for pl, off in zip(plists[1:], offsets[1:]):
-        acc = np.intersect1d(acc, pl - off, assume_unique=True)
-        if not acc.size:
-            return 0.0
-    return float(acc.size)
-
 
 class _PhPos:
     """PhPos over a decoded position list (c/src/q_phrase.c:42-100)."""

@@ -331,10 +331,12 @@ class InvertFragment:
              for k, v in seg_out.items()},
             schema=SEGMENT_SCHEMA,
         )
+        # segments are shuffle intermediates (read exactly once by the
+        # merge) — favor speed over ratio
         pq.write_table(
             seg_table,
             os.path.join(self.index_dir, seg_rel),
-            compression="zstd",
+            compression="lz4",
         )
         pq.write_table(
             pa.table(docs_cols),
