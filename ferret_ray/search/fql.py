@@ -642,7 +642,7 @@ def to_s(q: Query, default_field: str | None = None) -> str:
     if isinstance(q, MultiTermQuery):
         pre = "" if q.field == default_field else f"{q.field}:"
         parts = []
-        for b, t in q.boosted_terms:  # ascending (boost, term) = pop order
+        for b, t in sorted(q.boosted_terms):  # (boost, term) = pop order
             parts.append(t if b == 1.0 else f"{t}^{_boost_str(b)}")
         return _maybe_boost(pre + '"' + "|".join(parts) + '"', q)
     if isinstance(q, PhraseQuery):

@@ -97,18 +97,21 @@ class MultiTermQuery(Query):
     def add_term(self, term: str, term_boost: float = 1.0) -> "MultiTermQuery":
         # pq of (boost, term), lowest evicted when over max_terms
         # (c/src/q_multi_term.c:658-672)
+        import heapq
+
         if term and term_boost > self.min_boost:
-            self.boosted_terms.append((term_boost, term))
-            self.boosted_terms.sort()
-            if len(self.boosted_terms) > self.max_terms:
-                self.boosted_terms.pop(0)
-            if len(self.boosted_terms) == self.max_terms:
-                self.min_boost = self.boosted_terms[0][0]
+            bt = self.boosted_terms
+            if len(bt) < self.max_terms:
+                heapq.heappush(bt, (term_boost, term))
+            else:
+                heapq.heappushpop(bt, (term_boost, term))
+            if len(bt) == self.max_terms:
+                self.min_boost = bt[0][0]
         return self
 
     @property
     def terms(self) -> list[tuple[str, float]]:
-        return [(t, b) for b, t in self.boosted_terms]
+        return [(t, b) for b, t in sorted(self.boosted_terms)]
 
 
 @dataclass
