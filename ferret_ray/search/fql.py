@@ -34,6 +34,7 @@ from .query import (
     SHOULD,
     BooleanClause,
     BooleanQuery,
+    FuzzyQuery,
     MatchAllQuery,
     MultiTermQuery,
     PhrasePosition,
@@ -44,16 +45,6 @@ from .query import (
     TermQuery,
     WildcardQuery,
 )
-from dataclasses import dataclass
-
-
-@dataclass
-class FuzzyQuery(Query):
-    field: str
-    term: str
-    min_sim: float = 0.5
-    pre_len: int = 0
-    boost: float = 1.0
 
 
 _SPECIAL = set('&:()[]{}!"~^|<>=*?+-')
@@ -413,7 +404,10 @@ class FQLParser:
                 min_sim = float(np.float32(float(slop)))
             except ValueError:
                 pass
-        return FuzzyQuery(field, toks[0].text, min_sim=min_sim)
+        return FuzzyQuery(
+            field, toks[0].text, min_sim=min_sim,
+            max_terms=self.max_clauses,
+        )
 
     def _get_wild_q(self, field: str, pattern: str) -> Query:
         # get_wild_q: lower, simplify to MatchAll / Prefix

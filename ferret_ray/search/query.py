@@ -120,6 +120,48 @@ class MatchAllQuery(Query):
 
 
 @dataclass
+class FuzzyQuery(Query):
+    """Levenshtein-similarity term expansion (c/src/q_fuzzy.c).
+
+    Zero values map to the reference defaults (fuzq_new_conf,
+    c/src/q_fuzzy.c:255-265: min_sim 0.5, pre_len 0, max_terms 256)."""
+
+    field: str
+    term: str
+    min_sim: float = 0.5
+    pre_len: int = 0
+    boost: float = 1.0
+    max_terms: int = 256
+
+    def __post_init__(self):
+        if not self.min_sim:
+            self.min_sim = 0.5
+        if not self.max_terms:
+            self.max_terms = 256
+
+
+def fuzzy_score(query_suffix: str, target_suffix: str, pre_len: int) -> float:
+    """fuzq_score (c/src/q_fuzzy.c:60-141):
+    1 - edit_distance / (pre_len + min(n, m)); may go negative."""
+    n, m = len(query_suffix), len(target_suffix)
+    if n == 0 or m == 0:
+        if pre_len == 0:
+            return 0.0
+        return 1.0 - float(m + n) / pre_len
+    prev = list(range(m + 1))
+    for i in range(1, n + 1):
+        curr = [i] + [0] * m
+        ci = query_suffix[i - 1]
+        for j in range(1, m + 1):
+            if ci == target_suffix[j - 1]:
+                curr[j] = min(prev[j] + 1, curr[j - 1] + 1, prev[j - 1])
+            else:
+                curr[j] = min(prev[j], curr[j - 1], prev[j - 1]) + 1
+        prev = curr
+    return 1.0 - float(prev[m]) / (pre_len + min(n, m))
+
+
+@dataclass
 class PrefixQuery(Query):
     field: str
     prefix: str

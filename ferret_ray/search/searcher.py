@@ -32,6 +32,7 @@ from .query import (
     MUST,
     MUST_NOT,
     BooleanQuery,
+    FuzzyQuery,
     MatchAllQuery,
     MultiTermQuery,
     PhraseQuery,
@@ -40,6 +41,7 @@ from .query import (
     RangeQuery,
     TermQuery,
     WildcardQuery,
+    fuzzy_score,
     wildcard_match,
 )
 from .reader import IndexReader
@@ -86,6 +88,28 @@ def rewrite(query: Query, reader: IndexReader) -> Query:
             query.field, lambda s: wildcard_match(pat, s), prefix=lit
         ):
             mtq.add_term(t)
+        return mtq
+    if isinstance(query, FuzzyQuery):
+        # fuzq_rewrite (c/src/q_fuzzy.c:180-228)
+        if reader.field_num(query.field) < 0:
+            return BooleanQuery(coord_disabled=True)
+        term = query.term
+        pre_len = query.pre_len
+        if pre_len >= len(term):
+            return TermQuery(query.field, term, query.boost)
+        mtq = MultiTermQuery(
+            query.field, max_terms=query.max_terms,
+            min_boost=query.min_sim,
+        )
+        mtq.boost = query.boost
+        prefix = term[:pre_len]
+        suffix = term[pre_len:]
+        if pre_len > 0:
+            cands = reader.terms_with_prefix(query.field, prefix)
+        else:
+            cands = reader.terms_with_prefix(query.field, "")
+        for t in cands:
+            mtq.add_term(t, fuzzy_score(suffix, t[pre_len:], pre_len))
         return mtq
     if isinstance(query, PhraseQuery) and len(query.positions) == 1:
         terms = query.positions[0].terms
