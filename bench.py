@@ -49,7 +49,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timings: dict[str, float] = {}
 
     # ---- 1. code-corpus index build ------------------------------------
-    n_docs = max(2000, int(500_000 * sf))
+    n_docs = max(2000, int(2_000_000 * sf))
     t0 = time.time()
     corpus = ensure_corpus(n_docs)
     timings["corpus_gen"] = round(time.time() - t0, 3)

@@ -65,7 +65,16 @@ def build_index(
     t_invert = time.time()
 
     # ---- phase 2: salted term-hash shuffle + per-shard merge ------------
+    from ..stages.merge import combine_fragment_rows
+
     seg_ds = ray.data.read_parquet(os.path.join(index_dir, "segments"))
+    # pre-shuffle combiner: partial merge of same-term rows per batch
+    # drastically shrinks the all-to-all exchange (semantically a no-op)
+    seg_ds = seg_ds.map_batches(
+        combine_fragment_rows,
+        batch_format="pyarrow",
+        batch_size=512 * 1024,
+    )
     writer = ShardWriter(index_dir, build_fp)
 
     def merge_shard(group):

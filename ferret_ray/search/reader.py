@@ -309,6 +309,16 @@ class IndexReader:
 
     # ---- norms / doc store ---------------------------------------------
 
+    def docs_column(self, col: str) -> np.ndarray | None:
+        """Stored-field column as one array indexed by docid (cached) —
+        the analogue of the reference's sort field cache
+        (c/src/field_index.c:34-90)."""
+        if not hasattr(self, "_col_cache"):
+            self._col_cache = {}
+        if col not in self._col_cache:
+            self._col_cache[col] = self._load_docs_column(col)
+        return self._col_cache[col]
+
     def _load_docs_column(self, col: str) -> np.ndarray | None:
         docs_dir = os.path.join(self.index_dir, "docs")
         parts = sorted(os.listdir(docs_dir))

@@ -66,6 +66,41 @@ class ScoredDocs(NamedTuple):
     scores: np.ndarray  # float32
 
 
+class SortField:
+    """Typed sort field (c/include/search.h:665-674, c/src/sort.c).
+
+    type: "score" | "doc" | "integer" | "float" | "string" | "auto".
+    reverse flips the FIELD ordering only; ties always break by doc id
+    ascending (the fshq heap semantics, c/src/sort.c goldens).
+    Missing/empty values sort greatest ascending (reference string-index
+    behavior, test_sort.c:268-274).
+    """
+
+    def __init__(self, field: str | None, type: str = "auto",
+                 reverse: bool = False):
+        self.field = field
+        self.type = type
+        self.reverse = reverse
+
+    SCORE: "SortField"
+    DOC: "SortField"
+
+    def __repr__(self):
+        if self.type == "score":
+            return "<SCORE>" + ("!" if self.reverse else "")
+        if self.type == "doc":
+            return "<DOC>" + ("!" if self.reverse else "")
+        return f"{self.field}:<{self.type}>" + ("!" if self.reverse else "")
+
+
+SortField.SCORE = SortField(None, "score")
+SortField.DOC = SortField(None, "doc")
+
+
+_INT_RE = __import__("re").compile(r"[-+]?\d+$")
+_FLT_RE = __import__("re").compile(r"[-+]?\d*\.?\d+([eE][-+]?\d+)?$")
+
+
 # --------------------------------------------------------------------------
 # rewrite (c/src/q_prefix.c:36-60, q_wildcard.c:81-130, q_phrase.c rewrite)
 # --------------------------------------------------------------------------

@@ -49,7 +49,7 @@ def generate_corpus(
     out_path: str,
     num_docs: int,
     seed: int = 42,
-    rows_per_fragment: int = 2000,
+    rows_per_fragment: int = 500,
     min_tokens: int = 50,
     max_tokens: int = 800,
 ) -> str:
@@ -108,14 +108,21 @@ def generate_corpus(
     return out_path
 
 
-def corpus_cache_path(num_docs: int, seed: int = 42) -> str:
-    return f"/tmp/ferret_ray_corpus/code-{num_docs}-{seed}.parquet"
+def corpus_cache_path(
+    num_docs: int, seed: int = 42, rows_per_fragment: int = 500
+) -> str:
+    return (
+        f"/tmp/ferret_ray_corpus/code-{num_docs}-{seed}"
+        f"-r{rows_per_fragment}.parquet"
+    )
 
 
-def ensure_corpus(num_docs: int, seed: int = 42) -> str:
-    path = corpus_cache_path(num_docs, seed)
+def ensure_corpus(
+    num_docs: int, seed: int = 42, rows_per_fragment: int = 500
+) -> str:
+    path = corpus_cache_path(num_docs, seed, rows_per_fragment)
     if not os.path.exists(path):
         tmp = path + ".tmp"
-        generate_corpus(tmp, num_docs, seed)
+        generate_corpus(tmp, num_docs, seed, rows_per_fragment)
         os.replace(tmp, path)
     return path

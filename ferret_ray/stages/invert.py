@@ -48,8 +48,11 @@ SEGMENT_SCHEMA = pa.schema(
         ("term", pa.string()),
         ("shard_salt", pa.int64()),
         ("doc_base", pa.int64()),
+        ("doc_first", pa.int64()),
+        ("doc_last", pa.int64()),
         ("df", pa.int64()),
         ("tf_sum", pa.int64()),
+        ("max_tf", pa.int64()),
         ("docs_enc", pa.large_binary()),
         ("freqs_enc", pa.large_binary()),
         ("prx_enc", pa.large_binary()),
@@ -178,6 +181,9 @@ def _encode_field_postings(
         prx_b = tok_off[term_tok_ends]
 
     tf_sums = np.add.reduceat(freqs, t_starts)
+    max_tfs = np.maximum.reduceat(freqs, t_starts).tolist()
+    doc_firsts = abs_docs[t_starts].tolist()
+    doc_lasts = abs_docs[t_ends - 1].tolist()
     id2term = sorted(term_ids, key=term_ids.get)
     num_shards = cfg.num_shards
     salt_base = (doc_base // cfg.salt_doc_range) * num_shards
@@ -195,6 +201,8 @@ def _encode_field_postings(
     o_df, o_tf = out["df"], out["tf_sum"]
     o_docs, o_freqs = out["docs_enc"], out["freqs_enc"]
     o_prx, o_plens = out["prx_enc"], out["prx_lens_enc"]
+    o_dfirst, o_dlast = out["doc_first"], out["doc_last"]
+    o_maxtf = out["max_tf"]
     t_starts_l = t_starts.tolist()
     t_ends_l = t_ends.tolist()
     crc = zlib.crc32
@@ -208,6 +216,9 @@ def _encode_field_postings(
             % num_shards
         )
         o_base.append(doc_base)
+        o_dfirst.append(doc_firsts[k])
+        o_dlast.append(doc_lasts[k])
+        o_maxtf.append(max_tfs[k])
         o_df.append(t_ends_l[k] - t_starts_l[k])
         o_tf.append(tf_sums[k])
         o_docs.append(docs_buf[da[k]: db_[k]])

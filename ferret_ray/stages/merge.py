@@ -1,20 +1,22 @@
-"""Shard merge: the term-hash shuffle's per-group writer.
+"""Shard merge: the term-hash shuffle's combiner + per-group writer.
 
 The Ray analogue of SegmentMerger (c/src/index.c:5816-6159): where the
 reference k-way-merges per-segment TermEnums under one mutex, we let Ray
 Data shuffle posting fragments by ``shard_salt`` (salted term hash — see
 stages/invert.py) and merge each group independently:
 
-  segments ds -> groupby("shard_salt") -> map_groups(ShardWriter)
+  segments ds -> map_batches(combine_fragment_rows)   # pre-shuffle combiner
+              -> groupby("shard_salt") -> map_groups(ShardWriter)
 
-Within a group, fragments of the same (field, term) are concatenated in
+Fragments of the same (shard_salt, field, term) concatenate in
 ``doc_base`` order (postings are doc-ordered and the salting guarantees
 non-overlapping doc ranges per group, so concatenation IS the exact
-merge).  The merge is fully vectorized: one global VInt decode of all doc
-deltas, one global re-delta + encode (fragment-boundary deltas rewritten),
-and pure byte concatenation for freqs / positions — only terms long enough
-to need skip entries (df > 16) take a per-term path, mirroring how the
-reference only writes skip data every SKIP_INTERVAL docs.
+merge).  Both stages run the same fully-vectorized core: binary posting
+blobs never become Python objects — rows are permuted and group-merged by
+numpy gathers over the raw Arrow offset/data buffers, doc deltas are
+re-encoded in one global VInt pass, and only terms long enough to need
+skip entries (df > 16) take a per-term path, mirroring how the reference
+only writes skip data every SKIP_INTERVAL docs.
 
 Rows are sorted by (field, term): the shard parquet IS the term dictionary
 (its dictionary/zstd encoding plays the role of the front-coded .tis
@@ -80,6 +82,244 @@ def _metrics(shard_salt, num_terms, num_postings, nbytes, skipped):
     )
 
 
+# --------------------------------------------------------------------------
+# zero-object binary column machinery
+# --------------------------------------------------------------------------
+
+def _bin_bufs(col: pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets int64[n+1], data uint8[]) of a large_binary column."""
+    arr = col.combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):  # zero-chunk edge
+        arr = pa.concat_arrays(arr.chunks or [pa.array([], arr.type)])
+    off_buf, data_buf = arr.buffers()[1], arr.buffers()[2]
+    off = np.frombuffer(off_buf, dtype=np.int64,
+                        count=len(arr) + 1, offset=arr.offset * 8)
+    base = off[0]
+    data = np.frombuffer(data_buf, dtype=np.uint8) if data_buf else (
+        np.empty(0, dtype=np.uint8)
+    )
+    return off - base if base else off, data
+
+
+def _gather_rows(
+    off: np.ndarray, data: np.ndarray, order: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Permute binary rows by ``order`` with ONE fancy-index gather.
+
+    Returns (new row offsets int64[n+1], new data uint8[])."""
+    lens = off[1:] - off[:-1]
+    sel_len = lens[order]
+    out_off = np.empty(order.size + 1, dtype=np.int64)
+    out_off[0] = 0
+    np.cumsum(sel_len, out=out_off[1:])
+    total = int(out_off[-1])
+    if total == 0:
+        return out_off, np.empty(0, dtype=np.uint8)
+    idx = (
+        np.repeat(off[:-1][order] - out_off[:-1], sel_len)
+        + np.arange(total, dtype=np.int64)
+    )
+    return out_off, data[idx]
+
+
+def _bin_from_group_offsets(
+    byte_off: np.ndarray, data: np.ndarray, starts: np.ndarray,
+    ends: np.ndarray,
+) -> pa.LargeBinaryArray:
+    """Build a large_binary array whose row i spans data[byte_off[starts
+    [i]]:byte_off[ends[i]]] — group merge by offset arithmetic only.
+
+    Requires the grouped rows to be contiguous (they are, post-sort)."""
+    n = starts.size
+    a = byte_off[starts]
+    b = byte_off[ends]
+    lens = b - a
+    out_off = np.empty(n + 1, dtype=np.int64)
+    out_off[0] = 0
+    np.cumsum(lens, out=out_off[1:])
+    total = int(out_off[-1])
+    if total == int(byte_off[-1]) and (a[0] == 0):
+        # groups cover the whole buffer contiguously -> reuse data as-is
+        gathered = data[: total]
+    else:
+        idx = (
+            np.repeat(a - out_off[:-1], lens)
+            + np.arange(total, dtype=np.int64)
+        )
+        gathered = data[idx]
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), n,
+        [None, pa.py_buffer(out_off.tobytes()),
+         pa.py_buffer(gathered.tobytes())],
+    )
+
+
+class _MergedGroups:
+    """Vectorized merge of fragment rows sharing (shard_salt, field, term).
+
+    Sorts rows by (salt, field, term, doc_base) and merges each run
+    WITHOUT decoding postings: freqs/prx/prx_lens are byte-concatenated,
+    and for doc deltas only the FIRST VInt of each non-leading row is
+    rewritten (its value is the row's absolute first doc, carried in the
+    ``doc_first`` column) to the delta from the previous row's
+    ``doc_last`` — a pure byte splice, one gather pass."""
+
+    def __init__(self, batch: pa.Table):
+        n_rows = batch.num_rows
+        salts = batch.column("shard_salt").to_numpy()
+        fields = batch.column("field").to_numpy()
+        doc_bases = batch.column("doc_base").to_numpy()
+        dfs = batch.column("df").to_numpy()
+        tf_sums = batch.column("tf_sum").to_numpy()
+        maxtfs = batch.column("max_tf").to_numpy()
+        firsts = batch.column("doc_first").to_numpy()
+        lasts = batch.column("doc_last").to_numpy()
+        darr = pc.dictionary_encode(batch.column("term")).combine_chunks()
+        codes = darr.indices.to_numpy().astype(np.int64)
+        # dictionary codes are first-appearance order; remap to
+        # lexicographic ranks so the shard dictionary sorts by term
+        dict_order = pc.sort_indices(darr.dictionary).to_numpy()
+        rank = np.empty(dict_order.size, dtype=np.int64)
+        rank[dict_order] = np.arange(dict_order.size)
+        term_codes = rank[codes]
+        order = np.lexsort((doc_bases, term_codes, fields, salts))
+        s_salt = salts[order]
+        s_field = fields[order]
+        s_code = term_codes[order]
+        s_df = dfs[order]
+        s_first = firsts[order]
+        s_last = lasts[order]
+
+        row_new = np.empty(n_rows, dtype=bool)
+        row_new[0] = True
+        row_new[1:] = (
+            (s_salt[1:] != s_salt[:-1])
+            | (s_field[1:] != s_field[:-1])
+            | (s_code[1:] != s_code[:-1])
+        )
+        t_starts = np.flatnonzero(row_new)
+        t_ends = np.concatenate((t_starts[1:], [n_rows]))
+
+        # fixed columns per merged run
+        self.num_runs = t_starts.size
+        self.salt = s_salt[t_starts]
+        self.field = s_field[t_starts]
+        self.doc_base = doc_bases[order][t_starts]
+        self.df = np.add.reduceat(s_df, t_starts)
+        self.tf_sum = np.add.reduceat(tf_sums[order], t_starts)
+        self.max_tf = np.maximum.reduceat(maxtfs[order], t_starts)
+        self.doc_first = s_first[t_starts]
+        self.doc_last = s_last[t_ends - 1]
+        self.terms = pc.take(
+            batch.column("term"), pa.array(order[t_starts])
+        ).combine_chunks()
+        self._t_starts = t_starts
+        self._t_ends = t_ends
+
+        # --- docs: splice first VInt of each non-leading row -------------
+        # stored first delta == absolute first doc (invariant from the
+        # invert stage, preserved by this merge)
+        first_delta = s_first.copy()
+        nonstart = ~row_new
+        first_delta[nonstart] = (
+            s_first[nonstart] - np.roll(s_last, 1)[nonstart]
+        )
+        new_first_buf = np.frombuffer(
+            vint_encode(first_delta), dtype=np.uint8
+        )
+        lenA = vint_byte_len(first_delta)
+        new_first_off = np.empty(n_rows + 1, dtype=np.int64)
+        new_first_off[0] = 0
+        np.cumsum(lenA, out=new_first_off[1:])
+        old_first_len = vint_byte_len(s_first)
+
+        d_off, d_data = _bin_bufs(batch.column("docs_enc"))
+        row_lens = (d_off[1:] - d_off[:-1])[order]
+        lenB = row_lens - old_first_len
+        # interleaved 2n-segment gather over concat(new_first, old data)
+        src = np.concatenate((new_first_buf, d_data))
+        starts2 = np.empty(2 * n_rows, dtype=np.int64)
+        lens2 = np.empty(2 * n_rows, dtype=np.int64)
+        starts2[0::2] = new_first_off[:-1]
+        starts2[1::2] = (
+            d_off[:-1][order] + old_first_len + new_first_buf.size
+        )
+        lens2[0::2] = lenA
+        lens2[1::2] = lenB
+        out_off2 = np.empty(2 * n_rows + 1, dtype=np.int64)
+        out_off2[0] = 0
+        np.cumsum(lens2, out=out_off2[1:])
+        total = int(out_off2[-1])
+        idx = (
+            np.repeat(starts2 - out_off2[:-1], lens2)
+            + np.arange(total, dtype=np.int64)
+        )
+        spliced = src[idx]
+        row_byte_off = out_off2[0::2]  # every row's start (2k-th segment)
+        self._docs_row_off = row_byte_off
+        self._docs_data = spliced
+        self.docs_enc = _bin_from_group_offsets(
+            row_byte_off, spliced, t_starts, t_ends
+        )
+
+        # --- freqs / prx / prx_lens: pure byte concatenation -------------
+        merged = {}
+        self._gathered = {}
+        for name in ("freqs_enc", "prx_enc", "prx_lens_enc"):
+            o, d = _bin_bufs(batch.column(name))
+            go, gd = _gather_rows(o, d, order)
+            merged[name] = _bin_from_group_offsets(go, gd, t_starts, t_ends)
+            self._gathered[name] = (go, gd)
+        self.freqs_enc = merged["freqs_enc"]
+        self.prx_enc = merged["prx_enc"]
+        self.prx_lens_enc = merged["prx_lens_enc"]
+
+    def run_docs_bytes(self, k: int) -> bytes:
+        a = self._docs_row_off[self._t_starts[k]]
+        b = self._docs_row_off[self._t_ends[k]]
+        return self._docs_data[a:b].tobytes()
+
+    def run_bytes(self, name: str, k: int) -> bytes:
+        go, gd = self._gathered[name]
+        a = go[self._t_starts[k]]
+        b = go[self._t_ends[k]]
+        return gd[a:b].tobytes()
+
+    def fragment_table(self, schema: pa.Schema) -> pa.Table:
+        return pa.table(
+            {
+                "field": pa.array(self.field.astype(np.int32),
+                                  type=pa.int32()),
+                "term": self.terms,
+                "shard_salt": pa.array(self.salt, type=pa.int64()),
+                "doc_base": pa.array(self.doc_base, type=pa.int64()),
+                "doc_first": pa.array(self.doc_first, type=pa.int64()),
+                "doc_last": pa.array(self.doc_last, type=pa.int64()),
+                "df": pa.array(self.df, type=pa.int64()),
+                "tf_sum": pa.array(self.tf_sum, type=pa.int64()),
+                "max_tf": pa.array(self.max_tf, type=pa.int64()),
+                "docs_enc": self.docs_enc,
+                "freqs_enc": self.freqs_enc,
+                "prx_enc": self.prx_enc,
+                "prx_lens_enc": self.prx_lens_enc,
+            },
+            schema=schema,
+        )
+
+
+def combine_fragment_rows(batch: pa.Table) -> pa.Table:
+    """Pre-shuffle combiner: partial merge within one batch (semantically
+    a no-op — the ShardWriter performs the same merge across batches)."""
+    from ..stages.invert import SEGMENT_SCHEMA
+
+    if batch.num_rows == 0:
+        return batch
+    mg = _MergedGroups(batch)
+    if mg.num_runs == batch.num_rows:
+        return batch
+    return mg.fragment_table(SEGMENT_SCHEMA)
+
+
 class ShardWriter:
     """map_groups UDF: one shard_salt group -> one shard parquet file."""
 
@@ -94,118 +334,59 @@ class ShardWriter:
         if checkpoint_done(self.index_dir, "shard", key, self.input_fp):
             return _metrics(shard_salt, 0, 0, 0, True)
 
-        group = group.sort_by(
-            [("field", "ascending"), ("term", "ascending"),
-             ("doc_base", "ascending")]
-        )
-        n_rows = group.num_rows
-        fields = group.column("field").to_numpy()
-        dfs = group.column("df").to_numpy()
-        tf_sums = group.column("tf_sum").to_numpy()
-        docs_enc = group.column("docs_enc").to_pylist()
-        freqs_enc = group.column("freqs_enc").to_pylist()
-        prx_enc = group.column("prx_enc").to_pylist()
-        prx_lens_enc = group.column("prx_lens_enc").to_pylist()
+        mg = _MergedGroups(group)
+        n = mg.num_runs
+        doc_min = mg.doc_first
+        doc_max = mg.doc_last
+        max_tf = mg.max_tf
 
-        # term-run boundaries over rows (vectorized via dictionary codes)
-        term_codes = pc.dictionary_encode(
-            group.column("term")
-        ).combine_chunks().indices.to_numpy()
-        row_new = np.empty(n_rows, dtype=bool)
-        row_new[0] = True
-        np.logical_or(
-            fields[1:] != fields[:-1],
-            term_codes[1:] != term_codes[:-1],
-            out=row_new[1:],
-        )
-        term_row_starts = np.flatnonzero(row_new)          # T terms
-        term_row_ends = np.concatenate((term_row_starts[1:], [n_rows]))
-
-        # ---- global doc-delta decode -> absolute -> re-delta -> encode --
-        deltas = vint_decode(b"".join(docs_enc))
-        m = deltas.size                                     # total postings
-        row_off = np.concatenate(([0], np.cumsum(dfs)))     # posting offs
-        c = np.cumsum(deltas)
-        row_first = row_off[:-1]
-        base_corr = c[row_first] - deltas[row_first]
-        docs_all = c - np.repeat(base_corr, dfs)            # absolute ids
-        # postings per term
-        term_post_starts = row_off[term_row_starts]
-        term_post_ends = row_off[term_row_ends]
-        new_deltas = np.empty(m, dtype=np.int64)
-        new_deltas[0] = docs_all[0]
-        np.subtract(docs_all[1:], docs_all[:-1], out=new_deltas[1:])
-        new_deltas[term_post_starts] = docs_all[term_post_starts]
-        docs_buf = vint_encode(new_deltas)
-        doc_blens = vint_byte_len(new_deltas)
-        docs_off = np.concatenate(([0], np.cumsum(doc_blens)))
-
-        freqs_all = vint_decode(b"".join(freqs_enc))
-        term_df = (term_post_ends - term_post_starts).astype(np.int64)
-        term_tf = np.add.reduceat(tf_sums, term_row_starts)
-        term_max_tf = np.maximum.reduceat(freqs_all, term_post_starts)
-        doc_mins = docs_all[term_post_starts]
-        doc_maxs = docs_all[term_post_ends - 1]
-
-        # ---- assemble rows (bytes concat for freqs/prx/prx_lens) --------
-        out: dict[str, list] = {f.name: [] for f in SHARD_SCHEMA}
-        da = docs_off[term_post_starts].tolist()
-        db = docs_off[term_post_ends].tolist()
-        trs = term_row_starts.tolist()
-        tre = term_row_ends.tolist()
-        need_skip = term_df > SKIP_INTERVAL
-        total_postings = int(m)
-        terms_list = group.column("term").to_pylist()
-        for k in range(len(trs)):
-            rs, re_ = trs[k], tre[k]
-            out["field"].append(int(fields[rs]))
-            out["term"].append(terms_list[rs])
-            out["df"].append(int(term_df[k]))
-            out["tf_sum"].append(int(term_tf[k]))
-            out["doc_min"].append(int(doc_mins[k]))
-            out["doc_max"].append(int(doc_maxs[k]))
-            out["max_tf"].append(int(term_max_tf[k]))
-            out["docs_enc"].append(docs_buf[da[k]: db[k]])
-            out["freqs_enc"].append(
-                freqs_enc[rs] if re_ == rs + 1
-                else b"".join(freqs_enc[rs:re_])
+        # skip + block-max only where postings are long enough: decode just
+        # those runs (the reference likewise only writes skip data every
+        # SKIP_INTERVAL docs)
+        skip_col: list[bytes] = [b""] * n
+        bmax_col: list[bytes] = [b""] * n
+        for k in np.flatnonzero(mg.df > SKIP_INTERVAL):
+            k = int(k)
+            deltas_k = vint_decode(mg.run_docs_bytes(k))
+            docs_k = np.cumsum(deltas_k)
+            freqs_k = vint_decode(mg.run_bytes("freqs_enc", k))
+            blens_k = vint_byte_len(deltas_k)
+            skip_col[k], bmax_col[k] = _skip_blockmax(
+                docs_k, freqs_k, blens_k,
+                mg.run_bytes("prx_lens_enc", k),
             )
-            out["prx_enc"].append(
-                prx_enc[rs] if re_ == rs + 1 else b"".join(prx_enc[rs:re_])
-            )
-            out["prx_lens_enc"].append(
-                prx_lens_enc[rs] if re_ == rs + 1
-                else b"".join(prx_lens_enc[rs:re_])
-            )
-            if need_skip[k]:
-                skip, bmax = _skip_blockmax(
-                    docs_all[term_post_starts[k]: term_post_ends[k]],
-                    freqs_all[term_post_starts[k]: term_post_ends[k]],
-                    doc_blens[term_post_starts[k]: term_post_ends[k]],
-                    out["prx_lens_enc"][-1],
-                )
-                out["skip_enc"].append(skip)
-                out["block_max_tf"].append(bmax)
-            else:
-                out["skip_enc"].append(b"")
-                out["block_max_tf"].append(b"")
 
         table = pa.table(
-            {kk: pa.array(v, type=SHARD_SCHEMA.field(kk).type)
-             for kk, v in out.items()},
+            {
+                "field": pa.array(mg.field.astype(np.int32),
+                                  type=pa.int32()),
+                "term": mg.terms,
+                "df": pa.array(mg.df, type=pa.int64()),
+                "tf_sum": pa.array(mg.tf_sum, type=pa.int64()),
+                "doc_min": pa.array(doc_min, type=pa.int64()),
+                "doc_max": pa.array(doc_max, type=pa.int64()),
+                "max_tf": pa.array(max_tf.astype(np.int32),
+                                   type=pa.int32()),
+                "docs_enc": mg.docs_enc,
+                "freqs_enc": mg.freqs_enc,
+                "prx_enc": mg.prx_enc,
+                "prx_lens_enc": mg.prx_lens_enc,
+                "skip_enc": pa.array(skip_col, type=pa.large_binary()),
+                "block_max_tf": pa.array(bmax_col,
+                                         type=pa.large_binary()),
+            },
             schema=SHARD_SCHEMA,
         )
         os.makedirs(os.path.join(self.index_dir, "shards"), exist_ok=True)
         path = os.path.join(self.index_dir, rel)
         pq.write_table(table, path, compression="zstd")
         size = os.path.getsize(path)
+        total_postings = int(mg.df.sum())
         write_checkpoint(
             self.index_dir, "shard", key, self.input_fp, [rel],
-            {"num_terms": table.num_rows, "num_postings": total_postings},
+            {"num_terms": n, "num_postings": total_postings},
         )
-        return _metrics(
-            shard_salt, table.num_rows, total_postings, size, False
-        )
+        return _metrics(shard_salt, n, total_postings, size, False)
 
 
 def _skip_blockmax(
