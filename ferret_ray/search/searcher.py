@@ -101,6 +101,22 @@ _INT_RE = __import__("re").compile(r"[-+]?\d+$")
 _FLT_RE = __import__("re").compile(r"[-+]?\d*\.?\d+([eE][-+]?\d+)?$")
 
 
+def _sniff_sort_type(vals) -> str:
+    """sort_field_auto type sniffing (c/src/sort.c:367-421): inspect the
+    first present value — int-looking -> integer, float-looking -> float,
+    else string."""
+    for v in vals:
+        if v is None or v == "":
+            continue
+        s = str(v)
+        if _INT_RE.match(s):
+            return "integer"
+        if _FLT_RE.match(s):
+            return "float"
+        return "string"
+    return "string"
+
+
 # --------------------------------------------------------------------------
 # rewrite (c/src/q_prefix.c:36-60, q_wildcard.c:81-130, q_phrase.c rewrite)
 # --------------------------------------------------------------------------
@@ -552,6 +568,7 @@ class Searcher:
         num_docs: int = 10,
         filter_docs: np.ndarray | None = None,
         post_filter: Callable | None = None,
+        sort: list[SortField] | None = None,
     ) -> TopDocs:
         w = self.weight(query)
         s = self._scorer(w)
@@ -574,11 +591,61 @@ class Searcher:
         if total == 0:
             return TopDocs(0, [], 0.0)
         max_score = float(scores.max())
-        # rank: score desc, doc asc (hit_lt tie-break)
-        order = np.lexsort((docs, -scores))
+        if sort:
+            order = self._sort_order(sort, docs, scores)
+        else:
+            # rank: score desc, doc asc (hit_lt tie-break)
+            order = np.lexsort((docs, -scores))
         sel = order[first_doc: first_doc + num_docs]
         hits = [Hit(int(docs[i]), float(scores[i])) for i in sel]
         return TopDocs(total, hits, max_score)
+
+    def _sort_order(
+        self, sort: list[SortField], docs: np.ndarray, scores: np.ndarray
+    ) -> np.ndarray:
+        """Sort/SortField ordering (c/src/sort.c); final tie-break is
+        always doc id ascending."""
+        keys: list[np.ndarray] = [docs]  # lexsort: last = primary
+        for sf in reversed(sort):
+            keys.append(self._sort_key(sf, docs, scores))
+        return np.lexsort(keys)
+
+    def _sort_key(
+        self, sf: SortField, docs: np.ndarray, scores: np.ndarray
+    ) -> np.ndarray:
+        t = sf.type
+        if t == "score":
+            # natural order is score DESC; reverse flips
+            return scores if sf.reverse else -scores
+        if t == "doc":
+            return -docs if sf.reverse else docs
+        vals = self.reader.docs_column(sf.field)
+        if vals is None:
+            return np.zeros(docs.size, dtype=np.int64)
+        vals = vals[docs]
+        if t == "auto":
+            t = _sniff_sort_type(vals)
+        if t in ("integer", "float", "byte"):
+            out = np.full(vals.size, np.inf)
+            for i, v in enumerate(vals):
+                if v is None:
+                    continue
+                try:
+                    out[i] = float(v)
+                except (TypeError, ValueError):
+                    pass
+            return -out if sf.reverse else out
+        # string: rank by term order; missing/empty sorts greatest
+        # ascending (reference string-index behavior)
+        sv = np.array(
+            [v if v else None for v in vals], dtype=object
+        )
+        uniq = sorted({v for v in sv if v is not None})
+        rank_map = {v: i for i, v in enumerate(uniq)}
+        ranks = np.array(
+            [rank_map.get(v, len(uniq)) for v in sv], dtype=np.int64
+        )
+        return -ranks if sf.reverse else ranks
 
     def search_unscored(
         self, query: Query, start_doc: int = 0, limit: int | None = None
