@@ -120,6 +120,24 @@ class MatchAllQuery(Query):
 
 
 @dataclass
+class ConstantScoreQuery(Query):
+    """score = weight value for every doc of the filter
+    (c/src/q_const_score.c)."""
+
+    filter: object  # a filters.Filter
+    boost: float = 1.0
+
+
+@dataclass
+class FilteredQuery(Query):
+    """query ∧ filter, scored by the query (c/src/q_filtered_query.c)."""
+
+    query: "Query"
+    filter: object
+    boost: float = 1.0
+
+
+@dataclass
 class FuzzyQuery(Query):
     """Levenshtein-similarity term expansion (c/src/q_fuzzy.c).
 

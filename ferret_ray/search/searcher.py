@@ -32,6 +32,8 @@ from .query import (
     MUST,
     MUST_NOT,
     BooleanQuery,
+    ConstantScoreQuery,
+    FilteredQuery,
     FuzzyQuery,
     MatchAllQuery,
     MultiTermQuery,
@@ -225,6 +227,21 @@ class _ConstWeight(_Weight):
         super().__init__(query, F32(1.0))
 
 
+class _FilteredWeight:
+    """FilteredQuery: weight of the sub-query; the filter restricts the
+    scorer (c/src/q_filtered_query.c)."""
+
+    def __init__(self, query: FilteredQuery, inner):
+        self.query = query
+        self.inner = inner
+
+    def sum_of_squared_weights(self) -> np.float32:
+        return self.inner.sum_of_squared_weights()
+
+    def normalize(self, factor: np.float32) -> None:
+        self.inner.normalize(F32(factor * F32(self.query.boost)))
+
+
 class _BooleanWeight:
     def __init__(self, query: BooleanQuery, children: list):
         self.query = query
@@ -294,8 +311,10 @@ class Searcher:
             )
         if isinstance(query, MatchAllQuery):
             return _MatchAllWeight(query)
-        if isinstance(query, RangeQuery):
+        if isinstance(query, (RangeQuery, ConstantScoreQuery)):
             return _ConstWeight(query)
+        if isinstance(query, FilteredQuery):
+            return _FilteredWeight(query, self._create_weight(query.query))
         raise TypeError(f"unsupported query type: {type(query).__name__}")
 
     def weight(self, query: Query):
@@ -334,6 +353,18 @@ class Searcher:
             )
         if isinstance(q, RangeQuery):
             return self._range_scorer(w)
+        if isinstance(q, ConstantScoreQuery):
+            docs = self._filter_docs(q.filter)
+            return ScoredDocs(
+                docs, np.full(docs.size, F32(w.value), dtype=np.float32)
+            )
+        if isinstance(q, FilteredQuery):
+            s = self._scorer(w.inner)
+            if s is None:
+                return None
+            fd = self._filter_docs(q.filter)
+            keep = np.isin(s.docs, fd)
+            return ScoredDocs(s.docs[keep], s.scores[keep])
         raise TypeError(type(q).__name__)
 
     def _term_scorer(self, w) -> ScoredDocs:
@@ -569,12 +600,15 @@ class Searcher:
         filter_docs: np.ndarray | None = None,
         post_filter: Callable | None = None,
         sort: list[SortField] | None = None,
+        filter=None,
     ) -> TopDocs:
         w = self.weight(query)
         s = self._scorer(w)
         if s is None or s.docs.size == 0:
             return TopDocs(0, [], 0.0)
         docs, scores = s.docs, s.scores
+        if filter is not None:
+            filter_docs = self._filter_docs(filter)
         if filter_docs is not None:
             keep = np.isin(docs, filter_docs)
             docs, scores = docs[keep], scores[keep]
@@ -599,6 +633,16 @@ class Searcher:
         sel = order[first_doc: first_doc + num_docs]
         hits = [Hit(int(docs[i]), float(scores[i])) for i in sel]
         return TopDocs(total, hits, max_score)
+
+    def _filter_docs(self, filt) -> np.ndarray:
+        """Per-searcher filter cache keyed by canonical string
+        (c/src/filter.c:24-57)."""
+        if not hasattr(self, "_filter_cache"):
+            self._filter_cache = {}
+        key = filt.to_s()
+        if key not in self._filter_cache:
+            self._filter_cache[key] = filt.get_docs(self)
+        return self._filter_cache[key]
 
     def _sort_order(
         self, sort: list[SortField], docs: np.ndarray, scores: np.ndarray
