@@ -68,6 +68,39 @@ class ScoredDocs(NamedTuple):
     scores: np.ndarray  # float32
 
 
+class Explanation:
+    """Score decomposition node (c/src/search.c expl_*; format of
+    expl_to_s, c/test/test_search.c:35-57)."""
+
+    def __init__(self, value: float, description: str,
+                 details: list["Explanation"] | None = None):
+        self.value = value
+        self.description = description
+        self.details = details or []
+
+    def to_s(self, depth: int = 0) -> str:
+        s = "  " * depth + f"{self.value:g} = {self.description}\n"
+        for d in self.details:
+            s += d.to_s(depth + 1)
+        return s
+
+    def __repr__(self):
+        return self.to_s()
+
+
+def to_s_safe(query) -> str:
+    import copy
+
+    try:
+        from .fql import to_s
+
+        # deep copy: phq_to_s sorts positions in place (bug-compatible
+        # with the reference) — explain must not mutate the query
+        return to_s(copy.deepcopy(query))
+    except Exception:
+        return type(query).__name__
+
+
 class SortField:
     """Typed sort field (c/include/search.h:665-674, c/src/sort.c).
 
@@ -690,6 +723,47 @@ class Searcher:
             [rank_map.get(v, len(uniq)) for v in sv], dtype=np.int64
         )
         return -ranks if sf.reverse else ranks
+
+    def explain(self, query: Query, doc: int) -> "Explanation":
+        """Score decomposition for one doc (searcher_explain,
+        c/src/search.c:13-79): explain().value always equals the search
+        score for that doc (asserted by the conformance suite)."""
+        w = self.weight(query)
+        s = self._scorer(w)
+        score = 0.0
+        if s is not None and s.docs.size:
+            i = int(np.searchsorted(s.docs, doc))
+            if i < s.docs.size and s.docs[i] == doc:
+                score = float(s.scores[i])
+        detail = self._explain_detail(w, doc)
+        return Explanation(score, f"score({to_s_safe(query)} in {doc})",
+                           detail)
+
+    def _explain_detail(self, w, doc: int) -> list["Explanation"]:
+        q = w.query
+        out: list[Explanation] = []
+        if isinstance(q, TermQuery):
+            p = self.reader.postings(q.field, q.term)
+            tf_val = 0.0
+            if p is not None:
+                i = int(np.searchsorted(p.docs, doc))
+                if i < p.docs.size and p.docs[i] == doc:
+                    tf_val = float(sim_tf(float(p.freqs[i])))
+            norms = self.reader.norms(q.field)
+            norm = float(NORM_TABLE[norms[doc]]) if norms is not None else 0.0
+            out.append(Explanation(tf_val, f"tf(term_freq({q.field}:{q.term}))"))
+            out.append(Explanation(float(w.idf), f"idf(doc_freq={self.doc_freq(q.field, q.term)})"))
+            out.append(Explanation(float(getattr(w, 'qweight', 0.0)), "query_weight"))
+            out.append(Explanation(norm, f"field_norm(field={q.field}, doc={doc})"))
+        elif isinstance(q, BooleanQuery):
+            for clause, cw in zip(q.clauses, w.children):
+                sub = self.explain(clause.query, doc)
+                sub.description = f"{clause.occur}: {sub.description}"
+                out.append(sub)
+        elif isinstance(q, PhraseQuery):
+            out.append(Explanation(float(w.idf), "idf_phrase(sum of term idfs)"))
+            out.append(Explanation(float(getattr(w, 'qweight', 0.0)), "query_weight"))
+        return out
 
     def search_unscored(
         self, query: Query, start_doc: int = 0, limit: int | None = None

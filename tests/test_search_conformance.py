@@ -37,6 +37,8 @@ def check_hits(searcher, query, expected, top=None):
     for h in td.hits:
         ns = h.score / td.max_score
         assert 0.0 < ns <= 1.0
+        # score == explain.value (test_search.c:309-316)
+        assert searcher.explain(query, h.doc).value == h.score
     # search_unscored returns doc-ordered ids (test_search.c:330-337)
     unscored = searcher.search_unscored(query)
     assert unscored == expected
