@@ -52,11 +52,13 @@ def build_index(
 
     os.makedirs(index_dir, exist_ok=True)
 
-    # ---- phase 1: tokenize + invert, one task per fragment --------------
-    # one block per fragment => full task parallelism across the cluster
-    frag_ds = ray.data.from_items(
-        fragments, override_num_blocks=len(fragments)
+    # ---- phase 1: tokenize + invert, one task per fragment GROUP --------
+    # deterministic grouping (split at salt-range boundaries) => resumable
+    # checkpoints + byte-identical outputs at any parallelism
+    groups = _group_fragments(
+        fragments, cfg.fragments_per_task, cfg.salt_doc_range
     )
+    frag_ds = ray.data.from_items(groups, override_num_blocks=len(groups))
     invert_metrics = frag_ds.map_batches(
         InvertFragment(cfg, index_dir, build_fp),
         batch_size=1,
@@ -133,6 +135,27 @@ def build_index(
     }
     write_manifest(index_dir, manifest)
     return manifest
+
+
+def _group_fragments(
+    fragments: list[dict], per_task: int, salt_doc_range: int
+) -> list[dict]:
+    """Chunk consecutive fragments into invert-task groups, never crossing
+    a salt-doc-range boundary (preserves the disjoint-range invariant of
+    the salted shuffle)."""
+    groups: list[dict] = []
+    cur: list[dict] = []
+    cur_range = None
+    for f in fragments:
+        r = f["doc_base"] // salt_doc_range
+        if cur and (len(cur) >= per_task or r != cur_range):
+            groups.append({"group_id": len(groups), "frags": cur})
+            cur = []
+        cur_range = r
+        cur.append(f)
+    if cur:
+        groups.append({"group_id": len(groups), "frags": cur})
+    return groups
 
 
 def _config_fingerprint(cfg: IndexConfig) -> str:

@@ -37,6 +37,9 @@ class IndexConfig:
     # columns copied to the docs table but not indexed
     id_columns: tuple[str, ...] = ()
     num_shards: int = 16
+    # fragments (row-groups) per invert task: tokenized one-by-one (small
+    # working set) but written as ONE segment — per-group vocab dedup
+    fragments_per_task: int = 8
     # skew handling: a term whose df within one input fragment exceeds
     # hot_df_per_fragment gets salted sub-groups of salt_doc_range docs
     hot_df_per_fragment: int = 4096
@@ -62,6 +65,7 @@ class IndexConfig:
             "boost_column": self.boost_column,
             "id_columns": list(self.id_columns),
             "num_shards": self.num_shards,
+            "fragments_per_task": self.fragments_per_task,
             "hot_df_per_fragment": self.hot_df_per_fragment,
             "salt_doc_range": self.salt_doc_range,
             "similarity": self.similarity,

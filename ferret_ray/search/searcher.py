@@ -342,6 +342,14 @@ class Searcher:
             return _MultiTermWeight(
                 query, sim_idf(df_sum, self.max_doc())
             )
+        from .spans import SpanQuery, span_terms
+
+        if isinstance(query, SpanQuery):
+            # spanw_new (c/src/q_span.c): idf = sum of term idfs
+            total = F32(0.0)
+            for t in span_terms(query, self.reader):
+                total = F32(total + self._idf(query.field, t))
+            return _Weight(query, total)
         if isinstance(query, MatchAllQuery):
             return _MatchAllWeight(query)
         if isinstance(query, (RangeQuery, ConstantScoreQuery)):
@@ -384,6 +392,10 @@ class Searcher:
             return ScoredDocs(
                 docs, np.full(n, F32(w.value), dtype=np.float32)
             )
+        from .spans import SpanQuery
+
+        if isinstance(q, SpanQuery):
+            return self._span_scorer(w)
         if isinstance(q, RangeQuery):
             return self._range_scorer(w)
         if isinstance(q, ConstantScoreQuery):
@@ -437,6 +449,32 @@ class Searcher:
             acc[idx] += tf * b
         scores = (acc * w.value) * self._norm_decode(q.field, all_docs)
         return ScoredDocs(all_docs, scores.astype(np.float32))
+
+    def _span_scorer(self, w) -> ScoredDocs | None:
+        """SpanScorer (c/src/q_span.c:205-240): per doc,
+        freq = Σ sloppy_freq(end - start) over matching spans."""
+        from .spans import spans_of
+
+        q = w.query
+        if q.field is None or self.reader.field_num(q.field) < 0:
+            return ScoredDocs(
+                np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+            )
+        docs_rep, starts, ends = spans_of(q, self.reader)
+        if not docs_rep.size:
+            return ScoredDocs(
+                np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+            )
+        # freq per doc: sum of 1/(len+1) over matching spans
+        contrib = 1.0 / (ends - starts + 1).astype(np.float64)
+        bounds = np.concatenate(
+            ([0], np.flatnonzero(np.diff(docs_rep)) + 1)
+        )
+        docs = docs_rep[bounds]
+        freqs = np.add.reduceat(contrib, bounds).astype(np.float32)
+        tf = np.sqrt(freqs, dtype=np.float32)
+        scores = (tf * w.value) * self._norm_decode(q.field, docs)
+        return ScoredDocs(docs, scores.astype(np.float32))
 
     def _range_scorer(self, w) -> ScoredDocs | None:
         q: RangeQuery = w.query

@@ -61,6 +61,13 @@ SEGMENT_SCHEMA = pa.schema(
 )
 
 
+def pa_compute_sum(col) -> int:
+    import pyarrow.compute as _pc
+
+    v = _pc.sum(col).as_py()
+    return int(v) if v is not None else 0
+
+
 def term_shard(field_num: int, term: str, num_shards: int) -> int:
     return zlib.crc32(term.encode("utf-8", "surrogatepass"), field_num) % (
         num_shards
@@ -72,12 +79,14 @@ def _invert_texts(
     texts: list[str | None],
     max_field_length: int,
     with_positions: bool,
-) -> tuple[dict[str, int], np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Invert a column of texts -> (term->tid, tid[], doc[], pos[], lens[]).
+    term_ids: dict[str, int],
+    doc_offset: int = 0,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Invert a column of texts -> (tid[], doc[], pos[], lens[]).
 
-    Token-order arrays; ``lens`` is per-doc token count (for norms).
-    """
-    term_ids: dict[str, int] = {}
+    Token-order arrays with ABSOLUTE doc ids (``doc_offset`` + row);
+    ``term_ids`` is the caller's accumulating term dictionary; ``lens``
+    is per-doc token count (for norms)."""
     tids: list[int] = []
     docs: list[int] = []
     poss: list[int] = []
@@ -88,16 +97,16 @@ def _invert_texts(
             continue
         terms, positions = analyzer.terms_positions(text, max_field_length)
         lens[di] = len(terms)
+        d = doc_offset + di
         for t, p in zip(terms, positions):
             tid = get(t)
             if tid is None:
                 tid = len(term_ids)
                 term_ids[t] = tid
             tids.append(tid)
-            docs.append(di)
+            docs.append(d)
             poss.append(p)
     return (
-        term_ids,
         np.asarray(tids, dtype=np.int64),
         np.asarray(docs, dtype=np.int64),
         np.asarray(poss, dtype=np.int64),
@@ -149,8 +158,9 @@ def _encode_field_postings(
     t_starts = np.flatnonzero(tb)
     t_ends = np.concatenate((t_starts[1:], [m]))
 
-    # doc deltas (restart at each term's first posting)
-    abs_docs = u_doc + doc_base
+    # doc deltas (restart at each term's first posting); doc ids are
+    # already absolute
+    abs_docs = u_doc
     deltas = np.empty(m, dtype=np.int64)
     deltas[0] = abs_docs[0]
     np.subtract(abs_docs[1:], abs_docs[:-1], out=deltas[1:])
@@ -233,7 +243,14 @@ def _encode_field_postings(
 
 
 class InvertFragment:
-    """map_batches UDF over fragment-descriptor rows (batch_size=1)."""
+    """map_batches UDF over fragment-GROUP rows (batch_size=1).
+
+    Each input row carries a deterministic list of consecutive fragments
+    (grouped by the driver, split at salt-range boundaries): the task
+    tokenizes fragment-by-fragment (small working sets) but accumulates
+    one shared term dictionary and writes ONE segment + docs partition per
+    group — per-group vocabulary dedup that shrinks the shuffle input by
+    ~the group size."""
 
     def __init__(self, cfg: IndexConfig, index_dir: str, input_fp: str):
         self.cfg = cfg
@@ -251,22 +268,22 @@ class InvertFragment:
         return self._analyzers
 
     def __call__(self, batch: dict[str, np.ndarray]) -> dict[str, list]:
-        keys = ["frag_id", "num_docs", "num_postings", "num_tokens",
+        keys = ["group_id", "num_docs", "num_postings", "num_tokens",
                 "skipped"] + [f"len_sum_{f}" for f in self.cfg.indexed_fields]
         metrics_rows: dict[str, list] = {k: [] for k in keys}
-        for i in range(len(batch["frag_id"])):
-            frag = {k: batch[k][i] for k in batch}
-            m = self._process(frag)
+        for i in range(len(batch["group_id"])):
+            m = self._process(int(batch["group_id"][i]),
+                              list(batch["frags"][i]))
             for k in keys:
                 metrics_rows[k].append(m.get(k, 0))
         return metrics_rows
 
-    def _process(self, frag: dict[str, Any]) -> dict[str, Any]:
+    def _process(self, group_id: int, frags: list[dict]) -> dict[str, Any]:
         cfg = self.cfg
-        frag_id = int(frag["frag_id"])
-        doc_base = int(frag["doc_base"])
-        key = f"{frag_id:06d}"
-        fp = f"{self.input_fp}:{frag['num_rows']}:{doc_base}"
+        doc_base = int(frags[0]["doc_base"])
+        n_rows_total = int(sum(f["num_rows"] for f in frags))
+        key = f"{group_id:06d}"
+        fp = f"{self.input_fp}:{n_rows_total}:{doc_base}:{len(frags)}"
         seg_rel = f"segments/seg-{key}.parquet"
         docs_rel = f"docs/part-{key}.parquet"
         if checkpoint_done(self.index_dir, "frag", key, fp):
@@ -274,73 +291,95 @@ class InvertFragment:
 
             rec = read_json(checkpoint_path(self.index_dir, "frag", key))
             m = dict(rec.get("metrics", {}))
-            m.update({"frag_id": frag_id, "skipped": True})
-            m.setdefault("num_docs", int(frag["num_rows"]))
+            m.update({"group_id": group_id, "skipped": True})
+            m.setdefault("num_docs", n_rows_total)
             return m
 
         needed = set(cfg.indexed_fields) | set(cfg.id_columns)
         needed |= {n for n, fc in cfg.fields.items() if fc.stored}
         if cfg.boost_column:
             needed.add(cfg.boost_column)
-        table = read_fragment(frag, columns=sorted(needed))
-        n_rows = table.num_rows
-        doc_ids = np.arange(doc_base, doc_base + n_rows, dtype=np.int64)
-
-        seg_out: dict[str, list] = {f.name: [] for f in SEGMENT_SCHEMA}
-        docs_cols: dict[str, Any] = {"doc_id": doc_ids}
-        if cfg.boost_column and cfg.boost_column in table.column_names:
-            doc_boosts = (
-                table.column(cfg.boost_column).to_numpy().astype(np.float32)
-            )
-        else:
-            doc_boosts = np.ones(n_rows, dtype=np.float32)
-
         analyzers = self._get_analyzers()
-        total_tokens = 0
         field_names = list(cfg.fields)
-        for fname, fc in cfg.fields.items():
-            if fc.stored and fname in table.column_names:
-                docs_cols[fname] = table.column(fname)
-            if not fc.indexed or fname not in table.column_names:
-                continue
-            field_num = field_names.index(fname)
-            texts = table.column(fname).to_pylist()
-            term_ids, tids, docs, poss, lens = _invert_texts(
-                analyzers[fname], texts, fc.max_field_length, fc.positions
-            )
-            total_tokens += int(tids.size)
-            _encode_field_postings(
-                field_num, term_ids, tids, docs, poss, doc_base,
-                cfg, fc.positions, seg_out,
-            )
-            docs_cols[f"len_{fname}"] = lens
-            if fc.norms:
-                # boost chain in float32, C association order:
-                # fi.boost * doc_boost * df_boost(1) * length_norm
-                # (c/src/index.c:5676-5681)
-                ln = np.zeros(n_rows, dtype=np.float32)
-                nz = lens > 0
-                ln[nz] = (1.0 / np.sqrt(lens[nz].astype(np.float64))).astype(
-                    np.float32
-                )
-                boost = (F32(fc.boost) * doc_boosts) * ln
-                docs_cols[f"norm_{fname}"] = encode_norms(boost)
 
-        if "content" in table.column_names:
-            docs_cols["content_sha256"] = [
-                hashlib.sha256((t or "").encode()).hexdigest()
-                for t in table.column("content").to_pylist()
-            ]
-        for c in cfg.id_columns:
-            if c in table.column_names and c not in docs_cols:
-                docs_cols[c] = table.column(c)
+        # invert fragment-by-fragment (small working set, bounded Python
+        # object count), then merge the per-fragment segment tables with
+        # the vectorized combiner — per-group vocab dedup at numpy speed
+        seg_tables: list[pa.Table] = []
+        docs_tables: list[pa.Table] = []
+        total_tokens = 0
+
+        for frag in frags:
+            table = read_fragment(frag, columns=sorted(needed))
+            n_rows = table.num_rows
+            fb = int(frag["doc_base"])
+            doc_ids = np.arange(fb, fb + n_rows, dtype=np.int64)
+            docs_cols: dict[str, Any] = {"doc_id": doc_ids}
+            if cfg.boost_column and cfg.boost_column in table.column_names:
+                doc_boosts = table.column(
+                    cfg.boost_column
+                ).to_numpy().astype(np.float32)
+            else:
+                doc_boosts = np.ones(n_rows, dtype=np.float32)
+
+            seg_out: dict[str, list] = {
+                f.name: [] for f in SEGMENT_SCHEMA
+            }
+            for fname, fc in cfg.fields.items():
+                if fc.stored and fname in table.column_names:
+                    docs_cols[fname] = table.column(fname)
+                if not fc.indexed or fname not in table.column_names:
+                    continue
+                term_ids: dict[str, int] = {}
+                texts = table.column(fname).to_pylist()
+                tids, docs, poss, lens = _invert_texts(
+                    analyzers[fname], texts, fc.max_field_length,
+                    fc.positions, term_ids, doc_offset=fb,
+                )
+                total_tokens += int(tids.size)
+                _encode_field_postings(
+                    field_names.index(fname), term_ids, tids, docs, poss,
+                    doc_base, cfg, fc.positions, seg_out,
+                )
+                docs_cols[f"len_{fname}"] = lens
+                if fc.norms:
+                    # boost chain in float32, C association order:
+                    # fi.boost * doc_boost * df_boost(1) * length_norm
+                    # (c/src/index.c:5676-5681)
+                    ln = np.zeros(n_rows, dtype=np.float32)
+                    nz = lens > 0
+                    ln[nz] = (
+                        1.0 / np.sqrt(lens[nz].astype(np.float64))
+                    ).astype(np.float32)
+                    boost = (F32(fc.boost) * doc_boosts) * ln
+                    docs_cols[f"norm_{fname}"] = encode_norms(boost)
+
+            seg_tables.append(
+                pa.table(
+                    {k: pa.array(v, type=SEGMENT_SCHEMA.field(k).type)
+                     for k, v in seg_out.items()},
+                    schema=SEGMENT_SCHEMA,
+                )
+            )
+            if "content" in table.column_names:
+                docs_cols["content_sha256"] = [
+                    hashlib.sha256((t or "").encode()).hexdigest()
+                    for t in table.column("content").to_pylist()
+                ]
+            for c in cfg.id_columns:
+                if c in table.column_names and c not in docs_cols:
+                    docs_cols[c] = table.column(c)
+            docs_tables.append(pa.table(docs_cols))
 
         os.makedirs(os.path.join(self.index_dir, "segments"), exist_ok=True)
         os.makedirs(os.path.join(self.index_dir, "docs"), exist_ok=True)
-        seg_table = pa.table(
-            {k: pa.array(v, type=SEGMENT_SCHEMA.field(k).type)
-             for k, v in seg_out.items()},
-            schema=SEGMENT_SCHEMA,
+        from .merge import combine_fragment_rows
+
+        seg_table = (
+            combine_fragment_rows(
+                pa.concat_tables(seg_tables, promote_options="default")
+            )
+            if len(seg_tables) > 1 else seg_tables[0]
         )
         # segments are shuffle intermediates (read exactly once by the
         # merge) — favor speed over ratio
@@ -349,22 +388,29 @@ class InvertFragment:
             os.path.join(self.index_dir, seg_rel),
             compression="lz4",
         )
+        docs_table = (
+            pa.concat_tables(docs_tables, promote_options="default")
+            if len(docs_tables) > 1 else docs_tables[0]
+        )
         pq.write_table(
-            pa.table(docs_cols),
+            docs_table,
             os.path.join(self.index_dir, docs_rel),
             compression="zstd",
         )
         metrics = {
-            "num_docs": n_rows,
+            "num_docs": n_rows_total,
             "num_postings": seg_table.num_rows,
             "num_tokens": total_tokens,
         }
         for fname in cfg.indexed_fields:
             col = f"len_{fname}"
-            metrics[f"len_sum_{fname}"] = (
-                int(docs_cols[col].sum()) if col in docs_cols else 0
-            )
+            if col in docs_table.column_names:
+                metrics[f"len_sum_{fname}"] = int(
+                    pa_compute_sum(docs_table.column(col))
+                )
+            else:
+                metrics[f"len_sum_{fname}"] = 0
         write_checkpoint(
             self.index_dir, "frag", key, fp, [seg_rel, docs_rel], metrics
         )
-        return {**metrics, "frag_id": frag_id, "skipped": False}
+        return {**metrics, "group_id": group_id, "skipped": False}
