@@ -59,9 +59,15 @@ def build_index(
         fragments, cfg.fragments_per_task, cfg.salt_doc_range
     )
     frag_ds = ray.data.from_items(groups, override_num_blocks=len(groups))
+    # num_cpus=2: tokenize+invert is memory-bandwidth-heavy; running one
+    # task per logical core oversaturates a node's memory bus (measured:
+    # 16-way beats 32-way on one 32-core host). Reserving 2 CPUs/task caps
+    # per-node concurrency at cores/2 — the standard Ray pattern for
+    # bandwidth-bound stages — while cluster-level scaling stays linear.
     invert_metrics = frag_ds.map_batches(
         InvertFragment(cfg, index_dir, build_fp),
         batch_size=1,
+        num_cpus=2,
         concurrency=concurrency,
     ).take_all()
     t_invert = time.time()
