@@ -58,6 +58,38 @@ def stop_filter(
             yield tk
 
 
+class MappingFilter:
+    """Multi-pattern char-sequence rewriting inside token text
+    (c/src/analysis.c:1199-1257 + multimapper.c): leftmost match wins,
+    longest pattern wins at the same position.  Golden:
+    c/test/test_analysis.c:967-1011."""
+
+    def __init__(self, mappings: dict[str, str] | None = None):
+        import re as _re
+
+        self.mappings = dict(mappings or {})
+        self._re = None
+        if self.mappings:
+            pats = sorted(self.mappings, key=len, reverse=True)
+            self._re = _re.compile(
+                "|".join(_re.escape(p) for p in pats)
+            )
+
+    def add(self, pattern: str, replacement: str) -> "MappingFilter":
+        self.mappings[pattern] = replacement
+        self.__init__(self.mappings)
+        return self
+
+    def map(self, text: str) -> str:
+        if self._re is None:
+            return text
+        return self._re.sub(lambda m: self.mappings[m.group()], text)
+
+    def __call__(self, stream: TokenStream) -> Iterator[Token]:
+        for tk in stream:
+            yield tk._replace(text=self.map(tk.text)[:254])
+
+
 def _is_splittable(text: str) -> bool:
     # c/src/analysis.c:1297-1310: scan from the SECOND char; need >=1 hyphen
     # and nothing but alpha/hyphen after the first char.

@@ -234,6 +234,60 @@ class RangeQuery(Query):
         return True
 
 
+def _parse_num(s: str | None) -> float | None:
+    """sscanf("%lg") full-consume semantics (c/src/q_range.c:334-360)."""
+    if s is None:
+        return None
+    try:
+        return float(s)
+    except ValueError:
+        return None
+
+
+@dataclass
+class TypedRangeQuery(RangeQuery):
+    """Numeric-coerced range when both bounds parse as numbers, else a
+    plain lexicographic RangeQuery (c/src/q_range.c:300-430)."""
+
+    def __post_init__(self):
+        lo, hi = _parse_num(self.lower), _parse_num(self.upper)
+        if (
+            self.lower is not None and self.upper is not None
+            and lo is not None and hi is not None
+        ):
+            if lo > hi:
+                raise ValueError("lower > upper")
+            if self.lower is None and self.include_lower:
+                raise ValueError("include_lower requires a lower bound")
+            return
+        super().__post_init__()
+
+    def numeric_bounds(self) -> tuple[float | None, float | None] | None:
+        lo = _parse_num(self.lower)
+        hi = _parse_num(self.upper)
+        if (self.lower is None or lo is not None) and (
+            self.upper is None or hi is not None
+        ):
+            return lo, hi
+        return None
+
+    def matches_typed(self, term: str) -> bool:
+        nb = self.numeric_bounds()
+        if nb is None:
+            return self.matches(term)
+        if not term or term[0] > "9":
+            return False
+        v = _parse_num(term)
+        if v is None:
+            return False
+        lo, hi = nb
+        if lo is not None and (v < lo or (v == lo and not self.include_lower)):
+            return False
+        if hi is not None and (v > hi or (v == hi and not self.include_upper)):
+            return False
+        return True
+
+
 def wildcard_match(pattern: str, term: str) -> bool:
     """frt_wc_match semantics (c/src/q_wildcard.c:20-80)."""
     import re as _re

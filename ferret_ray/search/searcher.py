@@ -477,12 +477,18 @@ class Searcher:
         return ScoredDocs(docs, scores.astype(np.float32))
 
     def _range_scorer(self, w) -> ScoredDocs | None:
+        from .query import TypedRangeQuery
+
         q: RangeQuery = w.query
         if self.reader.field_num(q.field) < 0:
             return None
-        terms = self.reader.terms_in_range(
-            q.field, q.lower, q.upper, q.include_lower, q.include_upper
-        )
+        if isinstance(q, TypedRangeQuery) and q.numeric_bounds() is not None:
+            # numeric coercion: scan number-ish dictionary terms
+            terms = self.reader.terms_matching(q.field, q.matches_typed)
+        else:
+            terms = self.reader.terms_in_range(
+                q.field, q.lower, q.upper, q.include_lower, q.include_upper
+            )
         if not terms:
             return None
         doc_sets = []

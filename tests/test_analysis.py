@@ -129,3 +129,29 @@ def test_max_field_length():
     # reference post-increment check keeps max_field_length+1 tokens
     # (c/src/index.c:5601-5603)
     assert len(terms) == 11
+
+
+def test_mapping_filter():
+    # c/test/test_analysis.c:967-1011
+    from ferret_ray.analysis.analyzer import MappingFilter
+    from ferret_ray.analysis.tokenizer import LetterTokenizer
+
+    text = "one, two, three, four, five, six, seven, eight, nine, ten."
+    long_word = "x" * 200
+    mf = MappingFilter({"ne": "hello", "four": long_word})
+    got = [t.text for t in mf(LetterTokenizer()(text))]
+    assert got == [
+        "ohello", "two", "three", long_word, "five", "six", "seven",
+        "eight", "nihello", "ten",
+    ]
+    mf.add("thr", "start")
+    mf.add("en", "goodbye")
+    got = [t.text for t in mf(LetterTokenizer()(text))]
+    assert got == [
+        "ohello", "two", "startee", long_word, "five", "six",
+        "sevgoodbye", "eight", "nihello", "tgoodbye",
+    ]
+    # offsets keep the original token extents
+    toks = list(mf(LetterTokenizer()(text)))
+    assert (toks[0].start, toks[0].end) == (0, 3)
+    assert (toks[2].start, toks[2].end) == (10, 15)

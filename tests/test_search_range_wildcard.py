@@ -122,3 +122,41 @@ def test_fql_end_to_end(conformance_searcher):
     check_hits(s, p.parse("cat:cat1*"), [0, 1, 2, 3, 4, 13, 14, 15, 16, 17])
     check_hits(s, p.parse("date:[20051006 20051010]"), [6, 7, 8, 9, 10])
     check_hits(s, p.parse("date:{20051006 20051010}"), [7, 8, 9])
+
+
+def test_typed_range_query(conformance_searcher):
+    # test_search.c:1272-1422
+    from ferret_ray.search.query import TypedRangeQuery
+
+    s = conformance_searcher
+    trq = lambda *a: TypedRangeQuery("number", *a)  # noqa: E731
+    check_hits(s, trq("-1.0", "1.0", True, True), [0, 1, 4, 10, 15, 17])
+    check_hits(s, trq("-1.0", "1.0", False, False), [0, 1, 4, 15])
+    check_hits(s, trq("-1.0", "1.0", False, True), [0, 1, 4, 10, 15])
+    check_hits(s, trq("-1.0", "1.0", True, False), [0, 1, 4, 15, 17])
+    # field with no numbers
+    check_hits(
+        s, TypedRangeQuery("field", "-1.0", "1.0", False, True), []
+    )
+    check_hits(s, trq("1.0", "10", False, True), [6, 7, 9, 12])
+    check_hits(s, trq(None, "0", False, True), [1, 5, 11, 15, 16, 17])
+    check_hits(s, trq(None, "0", False, False), [5, 11, 15, 16, 17])
+    check_hits(
+        s, trq("0", None, True, False),
+        [0, 1, 2, 3, 4, 6, 7, 8, 9, 10, 12, 13, 14],
+    )
+    check_hits(
+        s, trq("0", None, False, False),
+        [0, 2, 3, 4, 6, 7, 8, 9, 10, 12, 13, 14],
+    )
+    check_hits(s, trq("10051006", "10051010", False, False), [])
+    check_hits(s, trq("-12518421", "-12518420", True, True), [])
+    # string bounds -> plain range query
+    check_hits(
+        s, TypedRangeQuery("cat", "cat2", None, True, False),
+        [5, 6, 7, 8, 9, 10, 11, 12],
+    )
+    check_hits(
+        s, TypedRangeQuery("field", "word1", "word3", True, True),
+        list(range(18)),
+    )
