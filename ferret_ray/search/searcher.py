@@ -809,6 +809,102 @@ class Searcher:
             out.append(Explanation(float(getattr(w, 'qweight', 0.0)), "query_weight"))
         return out
 
+    def get_match_vector(
+        self, query: Query, doc: int, field: str
+    ) -> list[tuple[int, int]]:
+        """Match position ranges of ``query`` in (doc, field) — the
+        MatchVector of searcher_get_match_vector (c/src/search.c:510+,
+        goldens in test_search.c check_match_vector)."""
+        query = rewrite(query, self.reader)
+        out = sorted(set(self._matchv(query, doc, field)))
+        return out
+
+    def _term_positions(self, field, term, doc) -> list[int]:
+        p = self.reader.postings(field, term)
+        if p is None:
+            return []
+        i = int(np.searchsorted(p.docs, doc))
+        if i >= p.docs.size or p.docs[i] != doc:
+            return []
+        pos, off = p.positions_flat()
+        return pos[off[i]: off[i + 1]].tolist()
+
+    def _matchv(self, q, doc, field) -> list[tuple[int, int]]:
+        from .spans import SpanQuery, spans_of
+        from .query import TypedRangeQuery
+
+        if isinstance(q, TermQuery):
+            if q.field != field:
+                return []
+            return [(p, p) for p in self._term_positions(field, q.term, doc)]
+        if isinstance(q, MultiTermQuery):
+            if q.field != field:
+                return []
+            out = []
+            for t, _ in q.terms:
+                out += [
+                    (p, p) for p in self._term_positions(field, t, doc)
+                ]
+            return out
+        if isinstance(q, RangeQuery):
+            if q.field != field:
+                return []
+            if isinstance(q, TypedRangeQuery) and (
+                q.numeric_bounds() is not None
+            ):
+                terms = self.reader.terms_matching(field, q.matches_typed)
+            else:
+                terms = self.reader.terms_in_range(
+                    field, q.lower, q.upper, q.include_lower,
+                    q.include_upper,
+                )
+            out = []
+            for t in terms:
+                out += [
+                    (p, p) for p in self._term_positions(field, t, doc)
+                ]
+            return out
+        if isinstance(q, BooleanQuery):
+            out = []
+            for c in q.clauses:
+                if not c.is_prohibited:
+                    out += self._matchv(c.query, doc, field)
+            return out
+        if isinstance(q, PhraseQuery):
+            if q.field != field:
+                return []
+            return self._phrase_matches(q, doc)
+        if isinstance(q, FilteredQuery):
+            return self._matchv(q.query, doc, field)
+        if isinstance(q, SpanQuery):
+            if q.field != field:
+                return []
+            docs_rep, starts, ends = spans_of(q, self.reader)
+            sel = docs_rep == doc
+            return list(zip(starts[sel].tolist(),
+                            (ends[sel] - 1).tolist()))
+        return []
+
+    def _phrase_matches(self, q: PhraseQuery, doc: int):
+        """(start_pos, end_pos) per phrase match in one doc."""
+        slot_lists = []
+        for pp in q.positions:
+            merged: list[int] = []
+            for t in pp.terms:
+                merged += self._term_positions(q.field, t, doc)
+            if not merged:
+                return []
+            slot_lists.append(np.unique(np.asarray(merged, np.int64)))
+        offsets = [pp.pos for pp in q.positions]
+        lo, hi = min(offsets), max(offsets)
+        if q.slop == 0:
+            acc = slot_lists[0] - offsets[0]
+            for pl, off in zip(slot_lists[1:], offsets[1:]):
+                acc = np.intersect1d(acc, pl - off, assume_unique=True)
+            return [(int(a) + lo, int(a) + hi) for a in acc]
+        # sloppy: window matches -> (min, max) actual positions
+        return _sloppy_phrase_matches(slot_lists, offsets, q.slop)
+
     def search_unscored(
         self, query: Query, start_doc: int = 0, limit: int | None = None
     ) -> list[int]:
@@ -861,6 +957,47 @@ def _check_repeats(pp: _PhPos, pps: list[_PhPos], count: int) -> bool:
             j = -1  # restart
         j += 1
     return True
+
+
+def _sloppy_phrase_matches(
+    plists: list[np.ndarray], offsets: list[int], slop: int
+) -> list[tuple[int, int]]:
+    """Window matches as (min, max) actual token positions — the sloppy
+    branch of phq_get_matchv_i."""
+    import heapq
+
+    pps = [_PhPos(pl, off) for pl, off in zip(plists, offsets)]
+    heap: list[tuple[tuple[int, int], int]] = []
+    last_pos = 0
+    for i, pp in enumerate(pps):
+        if not pp.next_position():
+            return []
+        if pp.position > last_pos:
+            last_pos = pp.position
+        heapq.heappush(heap, (pp.sort_key(), i))
+    out = []
+    done = False
+    while not done:
+        _, i = heapq.heappop(heap)
+        pp = pps[i]
+        pos = start = pp.position
+        next_pos = heap[0][0][0] if heap else pos
+        actuals = [p.position + p.offset for p in pps]
+        # capture window BEFORE advancing pp past it
+        while pos <= next_pos:
+            start = pos
+            actuals = [p.position + p.offset for p in pps]
+            if not pp.next_position():
+                done = True
+                break
+            pos = pp.position
+        match_length = last_pos - start
+        if match_length <= slop:
+            out.append((min(actuals), max(actuals)))
+        if pp.position > last_pos:
+            last_pos = pp.position
+        heapq.heappush(heap, (pp.sort_key(), i))
+    return sorted(set(out))
 
 
 def _sloppy_phrase_freq(

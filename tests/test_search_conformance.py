@@ -281,3 +281,44 @@ def test_score_sanity(conformance_searcher):
     assert [h.score for h in td1.hits] == [h.score for h in td2.hits]
     assert all(h.score > 0 for h in td1.hits)
     assert td1.hits[0].score == td1.max_score
+
+
+def test_match_vectors(conformance_searcher):
+    """check_match_vector goldens (test_search.c:414, 688-699, 824-833,
+    1174-1189)."""
+    s = conformance_searcher
+    mv = s.get_match_vector
+
+    assert mv(TermQuery("field", "quick"), 1, "field") == [(3, 3), (7, 7)]
+
+    phq = PhraseQuery("field")
+    phq.add_term("quick", 0).add_term("brown", 1)
+    assert mv(phq, 1, "field") == [(3, 4), (7, 8)]
+
+    phq.slop = 4
+    assert mv(phq, 16, "field") == [(2, 5)]
+
+    phq.add_term("chicken", 1)
+    assert mv(phq, 16, "field") == []
+
+    # multi-phrase (test_search.c:824-833)
+    phq = PhraseQuery("field")
+    phq.add_term("quick", 0).add_term("brown", 1)
+    phq.append_multi_term("dirty")
+    phq.append_multi_term("red")
+    assert mv(phq, 1, "field") == [(3, 4), (7, 8)]
+    phq.slop = 1
+    assert mv(phq, 17, "field") == [(5, 7)]
+
+    # range query (test_search.c:1174-1189)
+    from ferret_ray.search.query import RangeQuery
+
+    rq = RangeQuery("field", "word1", "word3", True, True)
+    assert mv(rq, 2, "not a field") == []
+    assert mv(rq, 2, "field") == [(0, 0), (1, 1)]
+    assert mv(RangeQuery("field", "word1", "word3", False, True), 2,
+              "field") == [(1, 1)]
+    assert mv(RangeQuery("field", "word1", "word3", True, False), 2,
+              "field") == [(0, 0)]
+    assert mv(RangeQuery("field", "word1", "word3", False, False), 2,
+              "field") == []
