@@ -65,7 +65,69 @@ def build_queries():
     mtq.add_term("fox", 0.6)
     mtq.add_term("fast", 50.0)
 
+    from ferret_ray.search.query import TypedRangeQuery, WildcardQuery
+    from ferret_ray.search.spans import (
+        SpanFirstQuery,
+        SpanNearQuery,
+        SpanNotQuery,
+        SpanOrQuery,
+        SpanTermQuery,
+    )
+
+    nested = BooleanQuery()
+    inner = BooleanQuery()
+    inner.add(TermQuery("field", "quick"), SHOULD)
+    inner.add(TermQuery("field", "fast"), SHOULD)
+    nested.add(TermQuery("field", "word1"), MUST)
+    nested.add(inner, MUST)
+
+    nocoord = BooleanQuery(coord_disabled=True)
+    nocoord.add(TermQuery("field", "word3"), SHOULD)
+    nocoord.add(TermQuery("field", "word2"), SHOULD)
+
+    mphq = PhraseQuery("field")
+    mphq.add_term("quick", 1)
+    mphq.append_multi_term("fast")
+    mphq.add_term("brown", 1)
+    mphq.append_multi_term("red")
+    mphq.append_multi_term("hairy")
+    mphq.add_term("fox", 1)
+
+    boosted = BooleanQuery(boost=2.0)
+    boosted.add(TermQuery("field", "word3", boost=5.5), SHOULD)
+    boosted.add(TermQuery("field", "quick"), SHOULD)
+
+    near = SpanNearQuery(slop=1, in_order=True)
+    near.add(SpanTermQuery("field", "quick"))
+    near.add(SpanTermQuery("field", "fox"))
+
+    sor = SpanOrQuery()
+    sor.add(SpanTermQuery("field", "red"))
+    sor.add(SpanTermQuery("field", "hairy"))
+
     return {
+        "wildcard:cat1*": WildcardQuery("cat", "cat1*", max_terms=512),
+        "wildcard:cat1/sub?": WildcardQuery("cat", "cat1/sub?/su??ub2"),
+        "bool:+word1 +(quick fast)": nested,
+        "bool_nocoord:word3 word2": nocoord,
+        "multiphrase:quick|fast brown|red|hairy fox": mphq,
+        "phrase:quick brown~4": _phq(
+            [("quick", 1), ("brown", 1)], slop=4
+        ),
+        "bool:word3^5.5 quick (^2)": boosted,
+        "span_term:quick": SpanTermQuery("field", "quick"),
+        "span_first:word3,4": SpanFirstQuery(
+            SpanTermQuery("field", "word3"), 4
+        ),
+        "span_near:quick fox~1": near,
+        "span_or:red hairy": sor,
+        "span_not:word1-word2": SpanNotQuery(
+            SpanTermQuery("field", "word1"),
+            SpanTermQuery("field", "word2"),
+        ),
+        "typed_range:[-1.0 1.0]": TypedRangeQuery(
+            "number", "-1.0", "1.0", True, True
+        ),
         "term:word1": TermQuery("field", "word1"),
         "term:word2": TermQuery("field", "word2"),
         "term:word3": TermQuery("field", "word3"),
