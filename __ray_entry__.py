@@ -353,6 +353,76 @@ def q_batch_search(sf_dir: str) -> pd.DataFrame:
     return ds.to_pandas()
 
 
+def q_fuzzy_search(sf_dir: str) -> pd.DataFrame:
+    """FuzzyQuery expansion: docs containing a term within edit distance
+    of 'spark' at similarity > 0.5 (reference defaults)."""
+    from ferret_ray.search.query import FuzzyQuery
+
+    _, _, searcher = _index_for(sf_dir)
+    return _hits_df(
+        searcher, FuzzyQuery("text", "spark", min_sim=0.5, pre_len=0)
+    )
+
+
+def q_span_near_search(sf_dir: str) -> pd.DataFrame:
+    """SpanNearQuery: 'table' within 3 positions before 'hash'."""
+    from ferret_ray.search.spans import SpanNearQuery, SpanTermQuery
+
+    _, _, searcher = _index_for(sf_dir)
+    q = SpanNearQuery(slop=3, in_order=True)
+    q.add(SpanTermQuery("text", "table"))
+    q.add(SpanTermQuery("text", "hash"))
+    return _hits_df(searcher, q)
+
+
+def q_wand_topk(sf_dir: str) -> pd.DataFrame:
+    """Block-max WAND top-10 == exhaustive top-10 (asserted here too)."""
+    from ferret_ray.search.query import SHOULD, BooleanQuery, TermQuery
+    from ferret_ray.search.wand import wand_topk
+
+    _, _, searcher = _index_for(sf_dir)
+    terms = ["spark", "table", "hash", "dup"]
+    res = wand_topk(searcher, "text", terms, k=10)
+    bq = BooleanQuery(coord_disabled=True)
+    for t in terms:
+        bq.add(TermQuery("text", t), SHOULD)
+    td = searcher.search(bq, 0, 10)
+    assert [d for d, _ in res.hits] == [h.doc for h in td.hits]
+    return pd.DataFrame(
+        {
+            "rank": np.arange(len(res.hits), dtype="int64"),
+            "doc_id": [d for d, _ in res.hits],
+            "score": [s for _, s in res.hits],
+        }
+    )
+
+
+def q_highlight(sf_dir: str) -> pd.DataFrame:
+    """Highlighter excerpts for the top term-query hits (rows-only)."""
+    from ferret_ray.schema import analyzer_for
+    from ferret_ray.search.highlight import highlight
+    from ferret_ray.search.query import TermQuery
+
+    import pyarrow.parquet as pq
+
+    _, _, searcher = _index_for(sf_dir)
+    q = TermQuery("text", "spark")
+    td = searcher.search(q, 0, 5)
+    texts = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    ).column("text")
+    out = {"doc_id": [], "excerpt": []}
+    for h in td.hits:
+        ex = highlight(
+            searcher, q, h.doc, "text", analyzer_for("alnum"),
+            excerpt_length=60, num_excerpts=1,
+            text=texts[h.doc].as_py(),
+        )
+        out["doc_id"].append(h.doc)
+        out["excerpt"].append(ex[0] if ex else "")
+    return pd.DataFrame(out)
+
+
 def q_group_by_events(sf_dir: str) -> pd.DataFrame:
     import ray.data
 
@@ -402,6 +472,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_top10": q_bm25_top10,
         "batch_search": q_batch_search,
         "group_by_events": q_group_by_events,
+        "fuzzy_search": q_fuzzy_search,
+        "span_near_search": q_span_near_search,
+        "wand_topk": q_wand_topk,
+        "highlight": q_highlight,
     }
 
 
@@ -497,6 +571,39 @@ def oracle_sql() -> dict[str, str]:
         "group_by_events": """
             SELECT event_type, count(*) AS n FROM events
             GROUP BY event_type
+        """,
+        # fuzzy: score = 1 - lev/min(len) must EXCEED min_sim 0.5
+        # (fuzq_score, c/src/q_fuzzy.c:116-141)
+        "fuzzy_search": f"""
+            SELECT doc_id FROM documents
+            WHERE len(list_filter(
+                {tokens},
+                x -> 1.0 - CAST(levenshtein(x, 'spark') AS DOUBLE)
+                         / least(length(x), length('spark')) > 0.5
+            )) > 0
+        """,
+        # span_near in_order slop 3: 'table' then 'hash' within <=3
+        # intervening... span match: (hash_pos - table_pos - 1) <= 3 with
+        # order preserved — expressible over token position lists
+        "span_near_search": f"""
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       list_filter(
+                           range(1, len({tokens}) + 1),
+                           i -> {tokens}[i] = 'table'
+                       ) AS tpos,
+                       list_filter(
+                           range(1, len({tokens}) + 1),
+                           i -> {tokens}[i] = 'hash'
+                       ) AS hpos
+                FROM documents
+            )
+            WHERE len(tpos) > 0 AND len(hpos) > 0
+              AND len(list_filter(
+                    tpos,
+                    t -> len(list_filter(
+                        hpos, h -> h > t AND h - t - 1 <= 3)) > 0
+                  )) > 0
         """,
         # dedup_minhash / simhash_pairs / ann_lsh_top10 / lang_id /
         # quality / fingerprints / tfidf_top10 / bm25_top10 /

@@ -23,11 +23,14 @@ def highlight(
     pre_tag: str = "<b>",
     post_tag: str = "</b>",
     ellipsis: str = "...",
+    text: str | None = None,
 ) -> list[str] | None:
     """Best excerpts of (doc, field) with query matches tagged; None when
-    the field is missing or the query cannot match it."""
-    stored = searcher.reader.get_doc(doc)
-    text = stored.get(field)
+    the field is missing or the query cannot match it.  ``text`` overrides
+    the stored field (for indexes built with stored=False)."""
+    if text is None:
+        stored = searcher.reader.get_doc(doc)
+        text = stored.get(field)
     if text is None:
         return None
     mv = searcher.get_match_vector(query, doc, field)
