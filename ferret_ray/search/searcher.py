@@ -302,6 +302,25 @@ class Searcher:
             "similarity", "default"
         )
         self.bm25 = BM25Similarity() if self.sim_name == "bm25" else None
+        from ..pipelines.deletes import load_deleted
+
+        deleted = load_deleted(reader.index_dir)
+        self._deleted = (
+            np.array(sorted(deleted), dtype=np.int64) if deleted else None
+        )
+
+    def num_docs(self) -> int:
+        n = self.reader.max_doc()
+        return n - (self._deleted.size if self._deleted is not None else 0)
+
+    def _mask_deleted(self, s: "ScoredDocs | None") -> "ScoredDocs | None":
+        """Apply the tombstone set (reference .del bitvector semantics:
+        deleted docs are invisible to every enum; df/max_doc unchanged
+        until compaction, c/src/index.c:6366-6437)."""
+        if s is None or self._deleted is None or not s.docs.size:
+            return s
+        keep = ~np.isin(s.docs, self._deleted, assume_unique=False)
+        return ScoredDocs(s.docs[keep], s.scores[keep])
 
     # ---- stats ----------------------------------------------------------
 
@@ -680,7 +699,7 @@ class Searcher:
         filter=None,
     ) -> TopDocs:
         w = self.weight(query)
-        s = self._scorer(w)
+        s = self._mask_deleted(self._scorer(w))
         if s is None or s.docs.size == 0:
             return TopDocs(0, [], 0.0)
         docs, scores = s.docs, s.scores
@@ -909,7 +928,7 @@ class Searcher:
         self, query: Query, start_doc: int = 0, limit: int | None = None
     ) -> list[int]:
         w = self.weight(query)
-        s = self._scorer(w)
+        s = self._mask_deleted(self._scorer(w))
         if s is None:
             return []
         docs = s.docs[s.docs >= start_doc]

@@ -84,6 +84,7 @@ def wand_topk(searcher, field: str, terms: list[str], k: int = 10):
     cursors: list[_TermCursor] = []
     scored_blocks = 0
     total_blocks = 0
+    deleted = getattr(searcher, "_deleted", None)
     for t, idf_v in zip(terms, idfs):
         p = reader.postings(field, t)
         if p is None or norm_dec is None:
@@ -91,6 +92,11 @@ def wand_topk(searcher, field: str, terms: list[str], k: int = 10):
         value = F32(F32(idf_v * qnorm) * idf_v)
         tf = np.sqrt(p.freqs.astype(np.float32), dtype=np.float32)
         scores = ((tf * value) * norm_dec[p.docs]).astype(np.float32)
+        p_docs = p.docs
+        if deleted is not None:
+            keep = ~np.isin(p_docs, deleted)
+            p_docs, scores = p_docs[keep], scores[keep]
+        p = type(p)(p_docs, p.freqs, p.prx_parts)  # doc/score views only
         nb = (p.docs.size + SKIP_INTERVAL - 1) // SKIP_INTERVAL
         pad = nb * SKIP_INTERVAL - p.docs.size
         spad = np.concatenate([scores, np.zeros(pad, np.float32)])
