@@ -90,6 +90,15 @@ class MappingFilter:
             yield tk._replace(text=self.map(tk.text)[:254])
 
 
+def stem_filter(stream: TokenStream) -> Iterator[Token]:
+    """Snowball English stemming (StemFilter, c/src/analysis.c:1397-1470)
+    via the pure-Python Porter2 in ``stemmer.py`` (libstemmer-exact)."""
+    from .stemmer import stem
+
+    for tk in stream:
+        yield tk._replace(text=stem(tk.text))
+
+
 def _is_splittable(text: str) -> bool:
     # c/src/analysis.c:1297-1310: scan from the SECOND char; need >=1 hyphen
     # and nothing but alpha/hyphen after the first char.
@@ -129,11 +138,13 @@ class Analyzer:
         lowercase: bool = True,
         stop_words: frozenset[str] | None = FULL_ENGLISH_STOP_WORDS,
         hyphen: bool = True,
+        stem: bool = False,
     ) -> None:
         self.tokenizer = tokenizer or StandardTokenizer()
         self.lowercase = lowercase
         self.stop_words = stop_words
         self.hyphen = hyphen
+        self.stem = stem
 
     def token_stream(self, text: str) -> Iterator[Token]:
         stream: Iterable[Token] = self.tokenizer(text)
@@ -143,6 +154,8 @@ class Analyzer:
             stream = stop_filter(stream, self.stop_words)
         if self.hyphen:
             stream = hyphen_filter(stream)
+        if self.stem:
+            stream = stem_filter(stream)
         return iter(stream)
 
     def terms_positions(
@@ -164,6 +177,10 @@ class Analyzer:
         lowercase = self.lowercase
         stop = self.stop_words
         hyphen = self.hyphen
+        if self.stem:
+            from .stemmer import stem as _stem
+        else:
+            _stem = None
         terms: list[str] = []
         positions: list[int] = []
         append_t = terms.append
@@ -182,7 +199,8 @@ class Analyzer:
             if pos < 0:
                 pos = 0
             if hyphen and "-" in t and _is_splittable(t):
-                append_t(t.replace("-", ""))
+                concat = t.replace("-", "")
+                append_t(_stem(concat) if _stem else concat)
                 append_p(pos)
                 n += 1
                 if n > max_field_length:
@@ -193,7 +211,7 @@ class Analyzer:
                     if not first:
                         pos += 1
                     first = False
-                    append_t(part)
+                    append_t(_stem(part) if _stem else part)
                     append_p(pos)
                     n += 1
                     if n > max_field_length:
@@ -202,7 +220,7 @@ class Analyzer:
                 if stop_all:
                     break
             else:
-                append_t(t)
+                append_t(_stem(t) if _stem else t)
                 append_p(pos)
                 n += 1
                 if n > max_field_length:

@@ -89,6 +89,10 @@ def analyzer_for(spec: str | Analyzer) -> Analyzer:
         return standard_analyzer()
     if spec == "standard_nostop":
         return standard_analyzer(stop_words=None)
+    if spec == "stem":
+        a = standard_analyzer()
+        a.stem = True
+        return a
     if spec == "whitespace":
         return whitespace_analyzer()
     if spec == "whitespace_double":

@@ -155,3 +155,27 @@ def test_mapping_filter():
     toks = list(mf(LetterTokenizer()(text)))
     assert (toks[0].start, toks[0].end) == (0, 3)
     assert (toks[2].start, toks[2].end) == (10, 15)
+
+
+def test_stemmer_goldens():
+    """250-word golden set stemmed by the compiled libstemmer (english),
+    must match exactly."""
+    import os
+
+    from ferret_ray.analysis.stemmer import stem
+
+    path = os.path.join(os.path.dirname(__file__), "goldens_stems.tsv")
+    n = 0
+    for line in open(path):
+        w, want = line.rstrip("\n").split("\t")
+        assert stem(w) == want, w
+        n += 1
+    assert n == 250
+
+
+def test_stemming_analyzer():
+    from ferret_ray.schema import analyzer_for
+
+    a = analyzer_for("stem")
+    terms, _ = a.terms_positions("the ponies are running happily")
+    assert terms == ["poni", "run", "happili"]
