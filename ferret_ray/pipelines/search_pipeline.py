@@ -27,6 +27,7 @@ class SearcherActor:
         default_field: str = "content",
         k: int = 10,
         similarity: str | None = None,
+        warm: bool = True,
     ):
         from ..analysis import standard_analyzer
         from ..search.fql import FQLParser
@@ -35,6 +36,14 @@ class SearcherActor:
 
         self.reader = IndexReader(index_dir)
         self.searcher = Searcher(self.reader, similarity=similarity)
+        if warm:
+            # "model load" once per actor: open every shard dictionary in
+            # parallel so first queries don't pay cold-start
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=8) as tp:
+                list(tp.map(self.reader._shard_for,
+                            self.reader._shard_salts))
         self.k = k
         self.parser = FQLParser(analyzer=standard_analyzer())
         for f in self.reader.field_names:
