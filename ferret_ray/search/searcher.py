@@ -445,7 +445,7 @@ class Searcher:
                 float(w.value),
             )
             return ScoredDocs(p.docs, scores)
-        tf = np.sqrt(p.freqs.astype(np.float32), dtype=np.float32)
+        tf = np.sqrt(p.freqs.astype(np.float64)).astype(np.float32)
         scores = (tf * w.value) * self._norm_decode(q.field, p.docs)
         return ScoredDocs(p.docs, scores.astype(np.float32))
 
@@ -464,7 +464,7 @@ class Searcher:
         acc = np.zeros(all_docs.size, dtype=np.float32)
         for p, b in posts:
             idx = np.searchsorted(all_docs, p.docs)
-            tf = np.sqrt(p.freqs.astype(np.float32), dtype=np.float32)
+            tf = np.sqrt(p.freqs.astype(np.float64)).astype(np.float32)
             acc[idx] += tf * b
         scores = (acc * w.value) * self._norm_decode(q.field, all_docs)
         return ScoredDocs(all_docs, scores.astype(np.float32))
@@ -491,7 +491,7 @@ class Searcher:
         )
         docs = docs_rep[bounds]
         freqs = np.add.reduceat(contrib, bounds).astype(np.float32)
-        tf = np.sqrt(freqs, dtype=np.float32)
+        tf = np.sqrt(freqs.astype(np.float64)).astype(np.float32)
         scores = (tf * w.value) * self._norm_decode(q.field, docs)
         return ScoredDocs(docs, scores.astype(np.float32))
 
@@ -599,7 +599,7 @@ class Searcher:
             docs, freqs = self._sloppy_phrase_freqs(q, slots)
         if not docs.size:
             return ScoredDocs(docs, np.empty(0, dtype=np.float32))
-        tf = np.sqrt(freqs.astype(np.float32), dtype=np.float32)
+        tf = np.sqrt(freqs.astype(np.float64)).astype(np.float32)
         scores = (tf * w.value) * self._norm_decode(q.field, docs)
         return ScoredDocs(docs, scores.astype(np.float32))
 

@@ -27,11 +27,12 @@ F32 = np.float32
 
 
 def tf(freq: float) -> np.float32:
-    return F32(math.sqrt(freq))
+    return F32(math.sqrt(freq))  # math.sqrt is double, matching the C
 
 
 def tf_array(freqs: np.ndarray) -> np.ndarray:
-    return np.sqrt(freqs.astype(np.float32), dtype=np.float32)
+    # C computes (float)sqrt((double)freq) — double sqrt, float32 result
+    return np.sqrt(freqs.astype(np.float64)).astype(np.float32)
 
 
 def idf(doc_freq: int, num_docs: int) -> np.float32:

@@ -90,7 +90,7 @@ def wand_topk(searcher, field: str, terms: list[str], k: int = 10):
         if p is None or norm_dec is None:
             continue
         value = F32(F32(idf_v * qnorm) * idf_v)
-        tf = np.sqrt(p.freqs.astype(np.float32), dtype=np.float32)
+        tf = np.sqrt(p.freqs.astype(np.float64)).astype(np.float32)
         scores = ((tf * value) * norm_dec[p.docs]).astype(np.float32)
         p_docs = p.docs
         if deleted is not None:
