@@ -1,0 +1,145 @@
+"""MultiReader: several indexes searched as one (MultiSearcher semantics).
+
+The reference's distributed-search precedent (c/src/search.c:1290-1750):
+global df = Σ shard df, max_doc = Σ, weights computed once against the
+global stats, sub-hits merged with doc-base offsets — guaranteeing
+shard-count-invariant scores.  Our MultiReader implements the IndexReader
+surface over N sub-readers so the ordinary Searcher produces BIT-IDENTICAL
+scores to a single combined index (asserted by tests) — the correctness
+backbone for doc-partitioned serving topologies.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .reader import IndexReader, Postings
+
+
+class MultiReader:
+    def __init__(self, readers: list[IndexReader]):
+        self.readers = readers
+        self.bases = []
+        base = 0
+        for r in readers:
+            self.bases.append(base)
+            base += r.max_doc()
+        self.num_docs = base
+        # union of field names, first-seen order (field numbers per
+        # sub-reader may differ; lookups go through names)
+        self.field_names: list[str] = []
+        for r in readers:
+            for f in r.field_names:
+                if f not in self.field_names:
+                    self.field_names.append(f)
+        self.manifest = {
+            "config": {"similarity": readers[0].manifest["config"].get(
+                "similarity", "default")},
+        }
+        self.index_dir = readers[0].index_dir  # for deletes lookup only
+        self.len_sums = {
+            f: sum(r.len_sums.get(f, 0) for r in readers)
+            for f in self.field_names
+        }
+
+    # ---- stats ----------------------------------------------------------
+
+    def max_doc(self) -> int:
+        return self.num_docs
+
+    def field_num(self, field: str) -> int:
+        try:
+            return self.field_names.index(field)
+        except ValueError:
+            return -1
+
+    def is_indexed(self, field: str) -> bool:
+        return any(r.is_indexed(field) for r in self.readers)
+
+    def avg_doc_len(self, field: str) -> float:
+        s = self.len_sums.get(field, 0)
+        return s / self.num_docs if self.num_docs else 0.0
+
+    def doc_freq(self, field: str, term: str) -> int:
+        return sum(r.doc_freq(field, term) for r in self.readers)
+
+    # ---- postings -------------------------------------------------------
+
+    def postings(self, field: str, term: str) -> Postings | None:
+        docs_l, freqs_l, prx = [], [], []
+        for r, base in zip(self.readers, self.bases):
+            p = r.postings(field, term)
+            if p is None:
+                continue
+            docs_l.append(p.docs + base)
+            freqs_l.append(p.freqs)
+            prx.extend(p.prx_parts)
+        if not docs_l:
+            return None
+        return Postings(
+            np.concatenate(docs_l), np.concatenate(freqs_l), prx
+        )
+
+    def terms_with_prefix(self, field: str, prefix: str) -> list[str]:
+        out: set[str] = set()
+        for r in self.readers:
+            out.update(r.terms_with_prefix(field, prefix))
+        return sorted(out)
+
+    def terms_in_range(self, field, lower, upper, il, iu) -> list[str]:
+        out: set[str] = set()
+        for r in self.readers:
+            out.update(r.terms_in_range(field, lower, upper, il, iu))
+        return sorted(out)
+
+    def terms_matching(self, field, pred, prefix: str = "") -> list[str]:
+        out: set[str] = set()
+        for r in self.readers:
+            out.update(r.terms_matching(field, pred, prefix))
+        return sorted(out)
+
+    # ---- norms / docs ---------------------------------------------------
+
+    def norms(self, field: str) -> np.ndarray | None:
+        parts = []
+        for r in self.readers:
+            n = r.norms(field)
+            parts.append(
+                n if n is not None
+                else np.zeros(r.max_doc(), dtype=np.uint8)
+            )
+        return np.concatenate(parts)
+
+    def doc_lens(self, field: str) -> np.ndarray | None:
+        parts = []
+        for r in self.readers:
+            d = r.doc_lens(field)
+            parts.append(
+                d if d is not None
+                else np.zeros(r.max_doc(), dtype=np.int32)
+            )
+        return np.concatenate(parts)
+
+    def docs_column(self, col: str) -> np.ndarray | None:
+        parts = []
+        for r in self.readers:
+            v = r.docs_column(col)
+            if v is None:
+                v = np.array([None] * r.max_doc(), dtype=object)
+            parts.append(np.asarray(v, dtype=object))
+        return np.concatenate(parts)
+
+    def get_doc(self, doc_id: int) -> dict:
+        import bisect
+
+        i = bisect.bisect_right(self.bases, doc_id) - 1
+        return self.readers[i].get_doc(doc_id - self.bases[i])
+
+
+def multi_searcher(index_dirs: list[str], similarity: str | None = None):
+    from .searcher import Searcher
+
+    return Searcher(
+        MultiReader([IndexReader(d) for d in index_dirs]),
+        similarity=similarity,
+    )

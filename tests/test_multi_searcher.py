@@ -1,0 +1,102 @@
+"""MultiSearcher: N sub-indexes == one combined index, bit-exact
+(tc_multi_searcher.rb / c/src/search.c:1290-1750 semantics)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ferret_ray.search.query import (
+    MUST,
+    SHOULD,
+    BooleanQuery,
+    FuzzyQuery,
+    PhraseQuery,
+    PrefixQuery,
+    TermQuery,
+)
+
+
+@pytest.fixture(scope="module")
+def split_searcher(ray_session, tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ferret_ray.fixtures import (
+        SEARCH_TEST_DATA,
+        conformance_config,
+    )
+    from ferret_ray.pipelines.build import build_index
+    from ferret_ray.search.multi import multi_searcher
+
+    tmp = str(tmp_path_factory.mktemp("multi"))
+    dirs = []
+    for part, rows in enumerate(
+        (SEARCH_TEST_DATA[:10], SEARCH_TEST_DATA[10:])
+    ):
+        corpus = os.path.join(tmp, f"c{part}.parquet")
+        base = 0 if part == 0 else 10
+        pq.write_table(
+            pa.table(
+                {
+                    "date": [d[0] for d in rows],
+                    "field": [d[1] for d in rows],
+                    "cat": [d[2] for d in rows],
+                    "number": [d[3] for d in rows],
+                    "boost": [
+                        float(base + i + 1) for i in range(len(rows))
+                    ],
+                }
+            ),
+            corpus,
+        )
+        idx = os.path.join(tmp, f"idx{part}")
+        build_index(corpus, idx, conformance_config(num_shards=2))
+        dirs.append(idx)
+    return multi_searcher(dirs)
+
+
+QUERIES = [
+    TermQuery("field", "word1"),
+    TermQuery("field", "word2"),
+    TermQuery("field", "quick"),
+    PrefixQuery("cat", "cat1/sub"),
+    FuzzyQuery("field", "wort", min_sim=0.5),
+]
+
+
+def _bq():
+    q = BooleanQuery()
+    q.add(TermQuery("field", "word1"), MUST)
+    q.add(TermQuery("field", "word3"), MUST)
+    q.add(TermQuery("field", "word2"), SHOULD)
+    return q
+
+
+def _phq():
+    q = PhraseQuery("field")
+    q.add_term("quick").add_term("brown").add_term("fox")
+    q.slop = 4
+    return q
+
+
+@pytest.mark.parametrize(
+    "query", QUERIES + [_bq(), _phq()],
+    ids=lambda q: type(q).__name__ + str(id(q) % 97),
+)
+def test_multi_equals_single(conformance_searcher, split_searcher, query):
+    a = conformance_searcher.search(query, 0, 25)
+    b = split_searcher.search(query, 0, 25)
+    assert a.total_hits == b.total_hits
+    assert [(h.doc, np.float32(h.score)) for h in a.hits] == [
+        (h.doc, np.float32(h.score)) for h in b.hits
+    ]
+
+
+def test_multi_stats_and_docs(conformance_searcher, split_searcher):
+    s, m = conformance_searcher, split_searcher
+    assert m.max_doc() == 18
+    for t in ("word1", "word2", "quick"):
+        assert m.doc_freq("field", t) == s.doc_freq("field", t)
+    assert m.reader.get_doc(12)["date"] == "20051012"
+    assert m.reader.get_doc(3)["cat"] == "cat1/sub2"
