@@ -151,3 +151,29 @@ def test_wild_lower_off():
         == "ASDF?*?asd*dsf?ASFD*asdf?^20.0"
     )
     assert to_s(p.parse("ASDFasdAasAasASD~"), "xx") == "asdfasdaasaasasd~"
+
+
+STD_PAIRS = [
+    # test_q_parser_standard_analyzer (test_q_parser.c:186-260):
+    # with the standard analyzer numbers survive tokenization
+    ('"word1 word2 word3"', '"word1 word2 word3"'),
+    ('"word1 2342 word3"', '"word1 2342 word3"'),
+    ('field:"one two three"', 'field:"one two three"'),
+    ('field:"one 222 three"', 'field:"one 222 three"'),
+    ('xx:"one 222 three"', '"one 222 three"'),
+    ("Opus::City", '"opus city"~1'),
+    ("word", "word"),
+    ("f1|f2:word", "f1:word f2:word"),
+]
+
+
+@pytest.mark.parametrize("qstr,expect", STD_PAIRS, ids=range(len(STD_PAIRS)))
+def test_round_trip_standard_analyzer(qstr, expect):
+    from ferret_ray.analysis import standard_analyzer
+
+    p = FQLParser(analyzer=standard_analyzer(stop_words=None))
+    p.add_field("xx", default=True, tokenized=True)
+    p.add_field("f1", tokenized=True)
+    p.add_field("f2", tokenized=True)
+    p.add_field("field", tokenized=False)
+    assert to_s(p.parse(qstr), "xx") == expect
