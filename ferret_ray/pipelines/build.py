@@ -64,12 +64,14 @@ def build_index(
     # 16-way beats 32-way on one 32-core host). Reserving 2 CPUs/task caps
     # per-node concurrency at cores/2 — the standard Ray pattern for
     # bandwidth-bound stages — while cluster-level scaling stays linear.
-    invert_metrics = frag_ds.map_batches(
+    invert_ds = frag_ds.map_batches(
         InvertFragment(cfg, index_dir, build_fp),
         batch_size=1,
         num_cpus=2,
         concurrency=concurrency,
-    ).take_all()
+    )
+    invert_metrics = invert_ds.take_all()
+    invert_stats = invert_ds.stats()
     t_invert = time.time()
 
     # ---- phase 2: salted term-hash shuffle + per-shard merge ------------
@@ -88,11 +90,11 @@ def build_index(
     def merge_shard(group):
         return writer(group)
 
-    shard_metrics = (
-        seg_ds.groupby("shard_salt")
-        .map_groups(merge_shard, batch_format="pyarrow")
-        .take_all()
+    shard_ds = seg_ds.groupby("shard_salt").map_groups(
+        merge_shard, batch_format="pyarrow"
     )
+    shard_metrics = shard_ds.take_all()
+    shard_stats = shard_ds.stats()
     t_merge = time.time()
 
     # ---- phase 3: stats + atomic manifest commit ------------------------
@@ -137,6 +139,12 @@ def build_index(
             "input_fingerprint": input_fp,
             "config_fingerprint": cfg_fp,
             "inputs": sorted({os.path.basename(f["path"]) for f in fragments}),
+        },
+        # ray.data per-operator execution stats (remote wall/cpu, block
+        # sizes, throughput) for the two distributed stages
+        "ray_stats": {
+            "invert": invert_stats[:4000],
+            "merge": shard_stats[:4000],
         },
     }
     write_manifest(index_dir, manifest)
