@@ -228,7 +228,10 @@ def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
 def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
     from ferret_ray.functions.dedup import minhash_lsh_dedup
 
-    _, keep = minhash_lsh_dedup(_docs_ds(sf_dir))
+    _, survivors = minhash_lsh_dedup(_docs_ds(sf_dir))
+    keep = sorted(
+        int(r["doc_id"]) for r in survivors.take_all()
+    )
     return pd.DataFrame({"doc_id": keep}).astype("int64")
 
 

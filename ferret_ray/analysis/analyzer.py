@@ -21,6 +21,7 @@ from typing import Callable, Iterable, Iterator
 
 from .stopwords import FULL_ENGLISH_STOP_WORDS
 from .tokenizer import (
+    _REGION,
     LetterTokenizer,
     NonTokenizer,
     StandardTokenizer,
@@ -29,6 +30,8 @@ from .tokenizer import (
     tokenize,
     tokenize_raw,
 )
+
+_REGION_FINDALL = _REGION.findall
 
 TokenStream = Iterable[Token]
 
@@ -158,6 +161,90 @@ class Analyzer:
             stream = stem_filter(stream)
         return iter(stream)
 
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state.pop("_region_cache", None)  # per-process memo, never shipped
+        return state
+
+    def _process_region(self, region: str) -> tuple[tuple, int]:
+        """Run the full filter chain over ONE separator-free region.
+
+        A region is a maximal run of non-separator characters, so its
+        token output is context-free: the result is a tuple of
+        ``(term, pos_inc)`` pairs (pos_inc folds in gaps from stop words
+        dropped earlier in the region) plus the trailing stop-word gap to
+        carry into the next region.  This is what makes per-region
+        memoization exact."""
+        lowercase = self.lowercase
+        stop = self.stop_words
+        hyphen = self.hyphen
+        if self.stem:
+            from .stemmer import stem as _stem
+        else:
+            _stem = None
+        pairs: list[tuple[str, int]] = []
+        gap = 0
+        for t, _s, _e in tokenize_raw(region):
+            if lowercase:
+                t = t.lower()
+            if stop is not None and t in stop:
+                gap += 1
+                continue
+            pinc = 1 + gap
+            gap = 0
+            if hyphen and "-" in t and _is_splittable(t):
+                concat = t.replace("-", "")
+                pairs.append((_stem(concat) if _stem else concat, pinc))
+                first = True
+                for part in t.split("-"):
+                    pairs.append(
+                        (_stem(part) if _stem else part, 0 if first else 1)
+                    )
+                    first = False
+            else:
+                pairs.append((_stem(t) if _stem else t, pinc))
+        return tuple(pairs), gap
+
+    def _terms_positions_std(
+        self, text: str, max_field_length: int
+    ) -> tuple[list[str], list[int]]:
+        """StandardTokenizer hot path with per-region memoization.
+
+        Corpora (especially code) repeat a small vocabulary of regions
+        enormously; caching region -> processed (term, pos_inc) pairs
+        turns the per-token regex + filter chain into one dict hit."""
+        cache: dict[str, tuple[tuple, int]] = getattr(
+            self, "_region_cache", None
+        ) or self.__dict__.setdefault("_region_cache", {})
+        process = self._process_region
+        terms: list[str] = []
+        positions: list[int] = []
+        append_t = terms.append
+        append_p = positions.append
+        pos = -1
+        gap = 0
+        n = 0
+        get = cache.get
+        for region in _REGION_FINDALL(text):
+            v = get(region)
+            if v is None:
+                v = process(region)
+                if len(region) <= 64:
+                    if len(cache) >= 1_000_000:  # bound actor memory
+                        cache.clear()
+                    cache[region] = v
+            pairs, tgap = v
+            for t, pinc in pairs:
+                pos += pinc + gap
+                gap = 0
+                append_t(t)
+                append_p(pos)
+                n += 1
+                if n > max_field_length:
+                    return terms, positions
+            gap += tgap
+        return terms, positions
+
     def terms_positions(
         self, text: str, max_field_length: int = 10_000
     ) -> tuple[list[str], list[int]]:
@@ -171,9 +258,11 @@ class Analyzer:
         reference's post-increment check keeps one extra).
         """
         if isinstance(self.tokenizer, StandardTokenizer):
-            raw = ((t, 1) for t, _, _ in tokenize_raw(text))
-        else:
-            raw = ((tk.text, tk.pos_inc) for tk in self.tokenizer(text))
+            # memoized per-region path (exactly equivalent: the region
+            # split is the tokenizer's own outer loop, and std-tokenizer
+            # pos_inc is always 1 so positions are never negative)
+            return self._terms_positions_std(text, max_field_length)
+        raw = ((tk.text, tk.pos_inc) for tk in self.tokenizer(text))
         lowercase = self.lowercase
         stop = self.stop_words
         hyphen = self.hyphen

@@ -14,12 +14,38 @@ identical structure to the scorer-actor top-k merge of the search path.
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=-1, keepdims=True)
     n[n == 0] = 1.0
     return m / n
+
+
+def _vecs_np(col) -> np.ndarray:
+    """Zero-copy (n, dim) float32 matrix from an Arrow list column.
+
+    Fixed-size-list and rectangular variable-list columns reshape the
+    flat values buffer directly; ragged input falls back to np.stack."""
+    arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+    if isinstance(arr.type, pa.FixedSizeListType):
+        dim = arr.type.list_size
+        flat = arr.values.to_numpy(zero_copy_only=False)
+        return flat.reshape(len(arr), dim).astype(np.float32, copy=False)
+    if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+        off = arr.offsets.to_numpy()
+        widths = np.diff(off)
+        if widths.size and (widths == widths[0]).all():
+            flat = arr.values.to_numpy(zero_copy_only=False)
+            return (
+                flat[off[0]: off[-1]]
+                .reshape(len(arr), int(widths[0]))
+                .astype(np.float32, copy=False)
+            )
+    return np.stack(
+        [np.asarray(v, dtype=np.float32) for v in arr.to_pylist()]
+    )
 
 
 class _BatchTopK:
@@ -33,10 +59,8 @@ class _BatchTopK:
         self.id_col = id_col
 
     def __call__(self, batch) -> dict:
-        vecs = np.stack(
-            [np.asarray(v, dtype=np.float32) for v in batch[self.vec_col]]
-        )
-        ids = np.asarray(batch[self.id_col], dtype=np.int64)
+        vecs = _vecs_np(batch.column(self.vec_col))
+        ids = batch.column(self.id_col).to_numpy().astype(np.int64)
         sims = _normalize(vecs) @ self.q.T  # (n, nq)
         out = {"query_idx": [], "vec_id": [], "score": []}
         for qi in range(self.q.shape[0]):
@@ -65,7 +89,10 @@ def brute_force_topk(
             "query": query, "k": k, "vec_col": vec_col, "id_col": id_col,
         },
         batch_size=4096,
-        concurrency=(1, concurrency or 4),
+        batch_format="pyarrow",
+        # autoscaling pool with an effectively-unbounded ceiling (the
+        # cluster is the real cap); only tiny top-k rows reach the driver
+        concurrency=concurrency or (1, 512),
     ).to_pandas()
     results = []
     nq = np.atleast_2d(np.asarray(query)).shape[0]
@@ -118,15 +145,10 @@ def lsh_topk(
             ok.add(qsig ^ (1 << b))
 
     def bucket_filter(batch):
-        vecs = np.stack(
-            [np.asarray(v, dtype=np.float32) for v in batch[vec_col]]
-        )
+        vecs = _vecs_np(batch.column(vec_col))
         sigs = lsh.signature(_normalize(vecs))
         keep = np.isin(sigs, list(ok))
-        return {
-            id_col: np.asarray(batch[id_col])[keep],
-            vec_col: [batch[vec_col][i] for i in np.flatnonzero(keep)],
-        }
+        return batch.select([id_col, vec_col]).filter(pa.array(keep))
 
-    filtered = ds.map_batches(bucket_filter)
+    filtered = ds.map_batches(bucket_filter, batch_format="pyarrow")
     return brute_force_topk(filtered, query, k, vec_col, id_col)

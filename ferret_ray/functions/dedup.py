@@ -96,6 +96,7 @@ def minhash_signature_ds(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
+    concurrency=None,
 ):
     """Dataset of (id, band, bucket) LSH rows — one shuffle key per band."""
     rows_per_band = num_perm // bands
@@ -124,7 +125,39 @@ def minhash_signature_ds(
                     out["bucket"].append(bucket)
             return out
 
-    return ds.map_batches(Signer, concurrency=(1, 4))
+    return ds.map_batches(Signer, concurrency=concurrency or (1, 512))
+
+
+def _bucket_pairs_fn(max_bucket: int):
+    """All within-bucket candidate pairs, guarded at ``max_bucket`` ids.
+
+    A bucket larger than max_bucket is almost always a degenerate
+    near-constant region (boilerplate); we keep the first max_bucket ids
+    (sorted — deterministic) and REPORT the truncation in the ``dropped``
+    column instead of silently capping recall."""
+
+    def pairs_of(group):
+        ids = sorted(int(x) for x in set(group["doc_id"]))
+        dropped = 0
+        if len(ids) > max_bucket:
+            # C(n,2) - C(cap,2) pairs lost — surfaced, not silent
+            n = len(ids)
+            dropped = n * (n - 1) // 2 - max_bucket * (max_bucket - 1) // 2
+            ids = ids[:max_bucket]
+        out = {"a": [], "b": [], "dropped": []}
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out["a"].append(ids[i])
+                out["b"].append(ids[j])
+                out["dropped"].append(0)
+        if dropped:
+            # carrier row for the truncation metric (a == b == -1)
+            out["a"].append(-1)
+            out["b"].append(-1)
+            out["dropped"].append(dropped)
+        return out
+
+    return pairs_of
 
 
 def minhash_lsh_dedup(
@@ -135,40 +168,64 @@ def minhash_lsh_dedup(
     bands: int = 16,
     shingle_k: int = 3,
     jaccard_threshold: float = 0.8,
+    max_bucket: int = 512,
+    concurrency=None,
 ):
-    """Near-duplicate groups via MinHash+LSH; returns (pairs, keep_ids).
+    """Near-duplicate removal via MinHash+LSH; returns
+    ``(verified_pairs, survivors_ds)``.
 
-    ``pairs`` is a list of verified (id_a, id_b) near-dup pairs;
-    ``keep_ids`` the union-find representatives (min id per group).
-    The verify step re-reads only candidate docs (small side).
+    Fully distributed — the driver only ever touches data that is small
+    by construction (candidate pairs and candidate texts, never the
+    corpus):
+
+    1. signatures + band buckets        (map_batches, vectorized)
+    2. candidate pairs per (band,bucket) group (groupby; all pairs, with
+       a guarded + *reported* cap on degenerate mega-buckets)
+    3. pair dedup across bands          (groupby(a,b) — pairs only)
+    4. candidate texts: broadcast need-set filter -> small (id,text) side
+    5. exact-Jaccard verify             (map_batches over PAIRS, texts
+       shared once via ray.put — the broadcast-small-side pattern)
+    6. union-find over verified pairs (small) -> DROP set -> broadcast
+       into a filter stage; ``survivors_ds`` streams — the full id
+       column never reaches the driver.
+
+    ``verified_pairs`` is the (small) list of verified (a, b) pairs.
     """
+    import logging
+
+    import ray
+
     sig = minhash_signature_ds(
-        ds, text_col, id_col, num_perm, bands, shingle_k
+        ds, text_col, id_col, num_perm, bands, shingle_k, concurrency
     )
-    # bucket groupby: emit candidate pairs per (band, bucket) group
-    def pairs_of(group):
-        ids = sorted(int(x) for x in group["doc_id"])
-        out = {"a": [], "b": []}
-        for i in range(len(ids)):
-            for j in range(i + 1, min(i + 6, len(ids))):  # cap fanout
-                out["a"].append(ids[i])
-                out["b"].append(ids[j])
-        return out
-
-    cand = (
-        sig.groupby(["band", "bucket"])
-        .map_groups(pairs_of)
-        .to_pandas()
+    cand = sig.groupby(["band", "bucket"]).map_groups(
+        _bucket_pairs_fn(max_bucket)
     )
-    cand_pairs = sorted(
-        {(int(a), int(b)) for a, b in zip(cand["a"], cand["b"])}
-    ) if len(cand) else []
+    # dedup pairs across bands — shuffles only (a, b) ids
+    pair_ds = cand.groupby(["a", "b"]).sum("dropped")
 
-    # verify with exact jaccard on the candidate doc texts (small side)
+    pairs_df = pair_ds.to_pandas()  # candidate pairs: small by construction
+    dropped_total = 0
+    cand_pairs: list[tuple[int, int]] = []
+    for a, b, d in zip(pairs_df["a"], pairs_df["b"],
+                       pairs_df["sum(dropped)"]):
+        if int(a) < 0:
+            dropped_total += int(d)
+        else:
+            cand_pairs.append((int(a), int(b)))
+    if dropped_total:
+        logging.getLogger("ferret_ray.dedup").warning(
+            "minhash_lsh_dedup: %d candidate pairs dropped in "
+            "over-full buckets (>%d ids); raise max_bucket to recover "
+            "recall", dropped_total, max_bucket,
+        )
+    cand_pairs.sort()
+
+    # candidate texts — the broadcast small side (need-set filter)
     need = sorted({i for p in cand_pairs for i in p})
-    texts = {}
+    verified: list[tuple[int, int]] = []
     if need:
-        need_set = set(need)
+        need_set = frozenset(need)
 
         def pick(batch):
             sel = [
@@ -181,17 +238,38 @@ def minhash_lsh_dedup(
                 "text": [x[1] for x in sel],
             }
 
-        picked = ds.map_batches(pick).to_pandas()
-        texts = dict(zip(picked["doc_id"], picked["text"]))
+        picked = ds.map_batches(pick).take_all()  # |candidates| rows only
+        texts_ref = ray.put(
+            {int(r["doc_id"]): r["text"] for r in picked}
+        )
 
-    verified = [
-        (a, b)
-        for a, b in cand_pairs
-        if ngram_jaccard(texts.get(a, ""), texts.get(b, ""), shingle_k)
-        >= jaccard_threshold
-    ]
+        class Verifier:
+            """Jaccard verify per pair; texts fetched once per actor."""
 
-    # union-find on verified pairs (pairs are small by construction)
+            def __init__(self):
+                self.texts = ray.get(texts_ref)
+
+            def __call__(self, batch):
+                texts = self.texts
+                out_a, out_b = [], []
+                for a, b in zip(batch["a"], batch["b"]):
+                    a, b = int(a), int(b)
+                    if a < 0:
+                        continue
+                    if ngram_jaccard(
+                        texts.get(a, ""), texts.get(b, ""), shingle_k
+                    ) >= jaccard_threshold:
+                        out_a.append(a)
+                        out_b.append(b)
+                return {"a": out_a, "b": out_b}
+
+        ver_rows = pair_ds.map_batches(
+            Verifier, concurrency=concurrency or (1, 512)
+        ).take_all()  # verified pairs: still the small side
+        verified = sorted((int(r["a"]), int(r["b"])) for r in ver_rows)
+
+    # union-find on verified pairs only (small); DROP set = every id whose
+    # representative is a smaller id — strictly smaller than the pairs set
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -205,9 +283,33 @@ def minhash_lsh_dedup(
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    all_ids = [int(x) for x in ds.select_columns([id_col]).to_pandas()[id_col]]
-    keep = sorted(i for i in all_ids if find(i) == i)
-    return verified, keep
+    drop = frozenset(x for x in parent if find(x) != x)
+    drop_ref = ray.put(drop)
+
+    class KeepFilter:
+        def __init__(self):
+            self.drop = ray.get(drop_ref)
+
+        def __call__(self, batch):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            ids = batch.column(id_col)
+            if not self.drop:
+                return batch.select([id_col])
+            mask = pc.invert(
+                pc.is_in(
+                    ids, value_set=pa.array(sorted(self.drop),
+                                            type=ids.type)
+                )
+            )
+            return batch.select([id_col]).filter(mask)
+
+    survivors = ds.map_batches(
+        KeepFilter, batch_format="pyarrow",
+        concurrency=concurrency or (1, 512),
+    )
+    return verified, survivors
 
 
 def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
@@ -236,9 +338,18 @@ def simhash64(tokens: Iterable[str]) -> int:
 
 
 def simhash_dedup(
-    ds, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int = 512,
 ):
-    """Candidate near-dup pairs via simhash band blocking (4x16 bits)."""
+    """Candidate near-dup pairs via simhash band blocking (4x16 bits).
+
+    All within-bucket pairs are checked (vectorized XOR+popcount);
+    buckets beyond ``max_bucket`` ids are truncated with a logged count,
+    never silently.  Only the (small) matching pairs reach the driver."""
+    import logging
 
     def sign(batch):
         out = {"doc_id": [], "band": [], "bucket": [], "sim": []}
@@ -256,24 +367,59 @@ def simhash_dedup(
 
     def pairs_of(group):
         rows = sorted(
-            zip(
-                (int(x) for x in group["doc_id"]),
-                (int(x) for x in group["sim"]),
+            set(
+                zip(
+                    (int(x) for x in group["doc_id"]),
+                    (int(x) for x in group["sim"]),
+                )
             )
         )
-        out = {"a": [], "b": [], "hamming": []}
-        mask = (1 << 64) - 1
-        for i in range(len(rows)):
-            for j in range(i + 1, min(i + 6, len(rows))):
-                d = bin((rows[i][1] ^ rows[j][1]) & mask).count("1")
-                if d <= max_hamming and rows[i][0] != rows[j][0]:
-                    out["a"].append(rows[i][0])
-                    out["b"].append(rows[j][0])
-                    out["hamming"].append(d)
+        out = {"a": [], "b": [], "hamming": [], "dropped": []}
+        dropped = 0
+        if len(rows) > max_bucket:
+            n = len(rows)
+            dropped = (
+                n * (n - 1) // 2 - max_bucket * (max_bucket - 1) // 2
+            )
+            rows = rows[:max_bucket]
+        if rows:
+            ids = np.array([r[0] for r in rows], dtype=np.int64)
+            sims = np.array([r[1] for r in rows], dtype=np.int64).view(
+                np.uint64
+            )
+            n = ids.size
+            iu, ju = np.triu_indices(n, k=1)
+            x = sims[iu] ^ sims[ju]
+            d = np.zeros(x.size, dtype=np.int64)
+            while True:  # popcount via shift-mask folding
+                nz = x != 0
+                if not nz.any():
+                    break
+                d[nz] += (x[nz] & np.uint64(1)).astype(np.int64)
+                x = x >> np.uint64(1)
+            hit = (d <= max_hamming) & (ids[iu] != ids[ju])
+            out["a"] = ids[iu][hit].tolist()
+            out["b"] = ids[ju][hit].tolist()
+            out["hamming"] = d[hit].tolist()
+            out["dropped"] = [0] * int(hit.sum())
+        if dropped:
+            out["a"].append(-1)
+            out["b"].append(-1)
+            out["hamming"].append(-1)
+            out["dropped"].append(dropped)
         return out
 
     pairs = sig.groupby(["band", "bucket"]).map_groups(pairs_of).to_pandas()
+    if not len(pairs):
+        return []
+    dropped_total = int(pairs.loc[pairs["a"] < 0, "dropped"].sum())
+    if dropped_total:
+        logging.getLogger("ferret_ray.dedup").warning(
+            "simhash_dedup: %d candidate pairs dropped in over-full "
+            "buckets (>%d ids)", dropped_total, max_bucket,
+        )
+    pairs = pairs[pairs["a"] >= 0]
     return sorted(
-        {(a, b, h) for a, b, h in zip(pairs["a"], pairs["b"],
-                                      pairs["hamming"])}
-    ) if len(pairs) else []
+        {(int(a), int(b), int(h)) for a, b, h in zip(
+            pairs["a"], pairs["b"], pairs["hamming"])}
+    )

@@ -6,17 +6,20 @@ merge -> commit lifecycle, SURVEY.md §3.1):
 1. driver lists input parquet fragments (footer metadata only) and assigns
    deterministic doc bases;
 2. ``from_items(fragments) -> map_batches(InvertFragment)``  — stateless
-   tokenize+invert tasks, one per row-group, each writing its segment +
-   docs-table partition and a checkpoint (skip on resume);
-3. ``read_parquet(segments/) -> groupby(shard_salt) ->
-   map_groups(ShardWriter)``  — the single wide shuffle: salted term-hash
-   merge into the final shard files (skip on resume per shard);
+   tokenize+invert tasks, one per fragment group, each writing its docs
+   partition plus BUCKETED segment files (one per shard_salt %
+   merge_buckets) and a checkpoint (skip on resume);
+3. ``from_items(buckets) -> map_batches(BucketMerger)``  — the shuffle is
+   map-side through shared storage: each merge task reads only its own
+   bucket's files and writes the final per-salt shard files (skip on
+   resume per shard).  No Ray all-to-all, no sort — the salted layout
+   makes doc-ordered concatenation the exact merge;
 4. driver commits ``manifest.json`` atomically (generation protocol) with
    global stats (N, per-field doc-length sums for BM25), per-stage metrics
    and lineage records.
 
-All intermediate datasets hold only compressed posting fragments or tiny
-metrics rows; document text never passes through the shuffle.
+Document text never leaves the invert tasks; only compressed posting
+fragments flow between stages, via bucket files on shared storage.
 """
 
 from __future__ import annotations
@@ -27,7 +30,6 @@ import time
 from ..schema import IndexConfig
 from ..sources.fragments import list_fragments
 from ..stages.invert import InvertFragment
-from ..stages.merge import ShardWriter
 from ..state.manifest import read_manifest, write_manifest
 
 
@@ -59,39 +61,35 @@ def build_index(
         fragments, cfg.fragments_per_task, cfg.salt_doc_range
     )
     frag_ds = ray.data.from_items(groups, override_num_blocks=len(groups))
-    # num_cpus=2: tokenize+invert is memory-bandwidth-heavy; running one
-    # task per logical core oversaturates a node's memory bus (measured:
-    # 16-way beats 32-way on one 32-core host). Reserving 2 CPUs/task caps
-    # per-node concurrency at cores/2 — the standard Ray pattern for
-    # bandwidth-bound stages — while cluster-level scaling stays linear.
+    # invert_num_cpus=2 default: tokenize+invert is memory-bandwidth-heavy;
+    # running one task per logical core oversaturates a node's memory bus
+    # (measured: 16-way beats 32-way on one 32-core host). Reserving 2
+    # CPUs/task caps per-node concurrency at cores/2 — the standard Ray
+    # pattern for bandwidth-bound stages — while cluster-level scaling
+    # stays linear.
     invert_ds = frag_ds.map_batches(
         InvertFragment(cfg, index_dir, build_fp),
         batch_size=1,
-        num_cpus=2,
+        num_cpus=cfg.invert_num_cpus,
         concurrency=concurrency,
     )
     invert_metrics = invert_ds.take_all()
     invert_stats = invert_ds.stats()
     t_invert = time.time()
 
-    # ---- phase 2: salted term-hash shuffle + per-shard merge ------------
-    from ..stages.merge import combine_fragment_rows
+    # ---- phase 2: per-bucket merge (map-side shuffle, no all-to-all) ----
+    from ..stages.merge import BucketMerger
 
-    seg_ds = ray.data.read_parquet(os.path.join(index_dir, "segments"))
-    # pre-shuffle combiner: partial merge of same-term rows per batch
-    # drastically shrinks the all-to-all exchange (semantically a no-op)
-    seg_ds = seg_ds.map_batches(
-        combine_fragment_rows,
-        batch_format="pyarrow",
-        batch_size=512 * 1024,
+    num_buckets = cfg.resolved_merge_buckets
+    bucket_ds = ray.data.from_items(
+        [{"bucket": b} for b in range(num_buckets)],
+        override_num_blocks=num_buckets,
     )
-    writer = ShardWriter(index_dir, build_fp)
-
-    def merge_shard(group):
-        return writer(group)
-
-    shard_ds = seg_ds.groupby("shard_salt").map_groups(
-        merge_shard, batch_format="pyarrow"
+    shard_ds = bucket_ds.map_batches(
+        BucketMerger(index_dir, build_fp),
+        batch_size=1,
+        batch_format="pyarrow",
+        concurrency=concurrency,
     )
     shard_metrics = shard_ds.take_all()
     shard_stats = shard_ds.stats()

@@ -45,6 +45,21 @@ class IndexConfig:
     hot_df_per_fragment: int = 4096
     salt_doc_range: int = 1 << 22
     similarity: str = "default"  # "default" (Ferret TF-IDF) | "bm25"
+    # map-side shuffle fan-out: invert tasks write one segment file per
+    # bucket (= shard_salt % merge_buckets); the merge is one task per
+    # bucket with NO Ray all-to-all.  Fixed by config (not by cluster
+    # size) so outputs are byte-identical at any parallelism.  Scale with
+    # the corpus: each merge task holds ~total_postings/merge_buckets in
+    # memory — at 100 TB raise this to O(cluster cores).
+    merge_buckets: int = 32
+    # CPUs reserved per invert task (tokenize+invert is memory-bandwidth
+    # heavy; >1 caps per-node concurrency below the logical core count)
+    invert_num_cpus: float = 2.0
+
+    @property
+    def resolved_merge_buckets(self) -> int:
+        """merge_buckets clamped so every bucket holds >=1 term hash."""
+        return max(1, min(self.merge_buckets, self.num_shards))
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -69,6 +84,7 @@ class IndexConfig:
             "hot_df_per_fragment": self.hot_df_per_fragment,
             "salt_doc_range": self.salt_doc_range,
             "similarity": self.similarity,
+            "merge_buckets": self.merge_buckets,
         }
 
     @property

@@ -79,44 +79,47 @@ def _invert_texts(
     texts: list[str | None],
     max_field_length: int,
     with_positions: bool,
-    term_ids: dict[str, int],
     doc_offset: int = 0,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Invert a column of texts -> (tid[], doc[], pos[], lens[]).
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, list[str]]:
+    """Invert a column of texts -> (tid[], doc[], pos[], lens[], id2term).
 
     Token-order arrays with ABSOLUTE doc ids (``doc_offset`` + row);
-    ``term_ids`` is the caller's accumulating term dictionary; ``lens``
-    is per-doc token count (for norms)."""
-    tids: list[int] = []
-    docs: list[int] = []
-    poss: list[int] = []
+    ``lens`` is per-doc token count (for norms).  Term-id assignment is
+    one Arrow ``dictionary_encode`` over the whole token stream (C++
+    hashing, not a Python dict per token)."""
+    all_terms: list[str] = []
+    all_poss: list[int] = []
     lens = np.zeros(len(texts), dtype=np.int32)
-    get = term_ids.get
+    tp = analyzer.terms_positions
     for di, text in enumerate(texts):
         if not text:
             continue
-        terms, positions = analyzer.terms_positions(text, max_field_length)
+        terms, positions = tp(text, max_field_length)
         lens[di] = len(terms)
-        d = doc_offset + di
-        for t, p in zip(terms, positions):
-            tid = get(t)
-            if tid is None:
-                tid = len(term_ids)
-                term_ids[t] = tid
-            tids.append(tid)
-            docs.append(d)
-            poss.append(p)
+        all_terms.extend(terms)
+        all_poss.extend(positions)
+    docs = np.repeat(
+        np.arange(doc_offset, doc_offset + len(texts), dtype=np.int64),
+        lens.astype(np.int64),
+    )
+    if not all_terms:
+        e = np.empty(0, dtype=np.int64)
+        return e, docs, e, lens, []
+    darr = pa.array(all_terms, type=pa.string()).dictionary_encode()
+    tids = darr.indices.to_numpy().astype(np.int64)
+    id2term = darr.dictionary.to_pylist()
     return (
-        np.asarray(tids, dtype=np.int64),
-        np.asarray(docs, dtype=np.int64),
-        np.asarray(poss, dtype=np.int64),
+        tids,
+        docs,
+        np.asarray(all_poss, dtype=np.int64),
         lens,
+        id2term,
     )
 
 
 def _encode_field_postings(
     field_num: int,
-    term_ids: dict[str, int],
+    id2term: list[str],
     tids: np.ndarray,
     docs: np.ndarray,
     poss: np.ndarray,
@@ -194,7 +197,6 @@ def _encode_field_postings(
     max_tfs = np.maximum.reduceat(freqs, t_starts).tolist()
     doc_firsts = abs_docs[t_starts].tolist()
     doc_lasts = abs_docs[t_ends - 1].tolist()
-    id2term = sorted(term_ids, key=term_ids.get)
     num_shards = cfg.num_shards
     salt_base = (doc_base // cfg.salt_doc_range) * num_shards
 
@@ -284,7 +286,7 @@ class InvertFragment:
         n_rows_total = int(sum(f["num_rows"] for f in frags))
         key = f"{group_id:06d}"
         fp = f"{self.input_fp}:{n_rows_total}:{doc_base}:{len(frags)}"
-        seg_rel = f"segments/seg-{key}.parquet"
+        salt_range = doc_base // cfg.salt_doc_range
         docs_rel = f"docs/part-{key}.parquet"
         if checkpoint_done(self.index_dir, "frag", key, fp):
             from ..state.manifest import checkpoint_path, read_json
@@ -330,15 +332,14 @@ class InvertFragment:
                     docs_cols[fname] = table.column(fname)
                 if not fc.indexed or fname not in table.column_names:
                     continue
-                term_ids: dict[str, int] = {}
                 texts = table.column(fname).to_pylist()
-                tids, docs, poss, lens = _invert_texts(
+                tids, docs, poss, lens, id2term = _invert_texts(
                     analyzers[fname], texts, fc.max_field_length,
-                    fc.positions, term_ids, doc_offset=fb,
+                    fc.positions, doc_offset=fb,
                 )
                 total_tokens += int(tids.size)
                 _encode_field_postings(
-                    field_names.index(fname), term_ids, tids, docs, poss,
+                    field_names.index(fname), id2term, tids, docs, poss,
                     doc_base, cfg, fc.positions, seg_out,
                 )
                 docs_cols[f"len_{fname}"] = lens
@@ -371,7 +372,6 @@ class InvertFragment:
                     docs_cols[c] = table.column(c)
             docs_tables.append(pa.table(docs_cols))
 
-        os.makedirs(os.path.join(self.index_dir, "segments"), exist_ok=True)
         os.makedirs(os.path.join(self.index_dir, "docs"), exist_ok=True)
         from .merge import combine_fragment_rows
 
@@ -381,13 +381,37 @@ class InvertFragment:
             )
             if len(seg_tables) > 1 else seg_tables[0]
         )
-        # segments are shuffle intermediates (read exactly once by the
-        # merge) — favor speed over ratio
-        pq.write_table(
-            seg_table,
-            os.path.join(self.index_dir, seg_rel),
-            compression="lz4",
+        # --- map-side bucketed shuffle write -----------------------------
+        # Instead of a Ray all-to-all groupby, every invert task partitions
+        # its segment rows by bucket = shard_salt % merge_buckets and
+        # writes one file per non-empty bucket.  The merge phase is then an
+        # embarrassingly-parallel map over buckets (each reads only its own
+        # files) — the classic map-side shuffle of external sort engines,
+        # with shared storage playing the exchange.  Segments are shuffle
+        # intermediates (read exactly once) — favor speed over ratio.
+        num_buckets = cfg.resolved_merge_buckets
+        salts_np = seg_table.column("shard_salt").to_numpy()
+        buckets = salts_np % num_buckets
+        order = np.argsort(buckets, kind="stable")
+        sorted_tbl = seg_table.take(pa.array(order))
+        bounds = np.searchsorted(
+            buckets[order], np.arange(num_buckets + 1)
         )
+        seg_rels: list[str] = []
+        for b in range(num_buckets):
+            i, j = int(bounds[b]), int(bounds[b + 1])
+            if i == j:
+                continue
+            rel = (
+                f"segments/bucket={b:04d}/"
+                f"rng{salt_range:06d}-seg-{key}.parquet"
+            )
+            path = os.path.join(self.index_dir, rel)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            pq.write_table(
+                sorted_tbl.slice(i, j - i), path, compression="lz4"
+            )
+            seg_rels.append(rel)
         docs_table = (
             pa.concat_tables(docs_tables, promote_options="default")
             if len(docs_tables) > 1 else docs_tables[0]
@@ -411,6 +435,6 @@ class InvertFragment:
             else:
                 metrics[f"len_sum_{fname}"] = 0
         write_checkpoint(
-            self.index_dir, "frag", key, fp, [seg_rel, docs_rel], metrics
+            self.index_dir, "frag", key, fp, seg_rels + [docs_rel], metrics
         )
         return {**metrics, "group_id": group_id, "skipped": False}

@@ -1,19 +1,24 @@
-"""Shard merge: the term-hash shuffle's combiner + per-group writer.
+"""Shard merge: bucketed map-side shuffle + per-bucket merge tasks.
 
 The Ray analogue of SegmentMerger (c/src/index.c:5816-6159): where the
-reference k-way-merges per-segment TermEnums under one mutex, we let Ray
-Data shuffle posting fragments by ``shard_salt`` (salted term hash — see
-stages/invert.py) and merge each group independently:
+reference k-way-merges per-segment TermEnums under one mutex, we run a
+classic map-side shuffle through shared storage:
 
-  segments ds -> map_batches(combine_fragment_rows)   # pre-shuffle combiner
-              -> groupby("shard_salt") -> map_groups(ShardWriter)
+  invert tasks write  segments/bucket={salt % B}/rng{r}-seg-{g}.parquet
+  merge phase:        from_items(buckets) -> map_batches(BucketMerger)
 
-Fragments of the same (shard_salt, field, term) concatenate in
+Each merge task reads ONLY its bucket's files — no Ray all-to-all, no
+sort: fragments of the same (shard_salt, field, term) concatenate in
 ``doc_base`` order (postings are doc-ordered and the salting guarantees
 non-overlapping doc ranges per group, so concatenation IS the exact
-merge).  Both stages run the same fully-vectorized core: binary posting
-blobs never become Python objects — rows are permuted and group-merged by
-numpy gathers over the raw Arrow offset/data buffers, doc deltas are
+merge).  This removes the sort-shuffle constant entirely and scales as
+one independent task per bucket; memory per task is bounded by one
+(bucket x salt-range) slice because files are grouped by their ``rng``
+prefix before merging.
+
+The vectorized core (:class:`_MergedGroups`) never turns posting blobs
+into Python objects — rows are permuted and group-merged by numpy
+gathers over the raw Arrow offset/data buffers, doc deltas are
 re-encoded in one global VInt pass, and only terms long enough to need
 skip entries (df > 16) take a per-term path, mirroring how the reference
 only writes skip data every SKIP_INTERVAL docs.
@@ -320,57 +325,111 @@ def combine_fragment_rows(batch: pa.Table) -> pa.Table:
     return mg.fragment_table(SEGMENT_SCHEMA)
 
 
-class ShardWriter:
-    """map_groups UDF: one shard_salt group -> one shard parquet file."""
+class BucketMerger:
+    """map_batches UDF: one shuffle bucket -> all its shard files.
+
+    Reads ``segments/bucket={b}/*.parquet`` (this bucket's slice of every
+    invert task's output), merges per (salt-range, shard_salt) and writes
+    one shard parquet per shard_salt — each with its own resumable
+    checkpoint.  Files are processed one salt-range group at a time so a
+    task's working set is one (bucket x range) slice, independent of the
+    corpus size."""
 
     def __init__(self, index_dir: str, input_fp: str):
         self.index_dir = index_dir
         self.input_fp = input_fp
 
-    def __call__(self, group: pa.Table) -> pa.Table:
-        shard_salt = int(group.column("shard_salt")[0].as_py())
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tables = [
+            self._merge_bucket(int(b))
+            for b in batch.column("bucket").to_pylist()
+        ]
+        tables = [t for t in tables if t is not None]
+        if not tables:
+            return _METRICS_SCHEMA.empty_table()
+        return pa.concat_tables(tables)
+
+    def _merge_bucket(self, bucket: int) -> pa.Table | None:
+        bdir = os.path.join(self.index_dir, f"segments/bucket={bucket:04d}")
+        if not os.path.isdir(bdir):
+            return None
+        names = sorted(
+            n for n in os.listdir(bdir) if n.endswith(".parquet")
+        )
+        if not names:
+            return None
+        rows: list[pa.Table] = []
+        from itertools import groupby as _groupby
+
+        # names sort as rng{range:06d}-seg-{group:06d}: grouping by the
+        # 9-char prefix batches one salt range at a time
+        for _rng, grp in _groupby(names, key=lambda n: n[:9]):
+            t = pa.concat_tables(
+                [pq.read_table(os.path.join(bdir, n)) for n in grp],
+                promote_options="default",
+            )
+            if t.num_rows == 0:
+                continue
+            mg = _MergedGroups(t)
+            salts = mg.salt
+            uniq, starts = np.unique(salts, return_index=True)
+            ends = np.append(starts[1:], mg.num_runs)
+            for salt, i, j in zip(
+                uniq.tolist(), starts.tolist(), ends.tolist()
+            ):
+                rows.append(self._write_shard(mg, int(salt), int(i), int(j)))
+        return pa.concat_tables(rows) if rows else None
+
+    def _write_shard(
+        self, mg: "_MergedGroups", shard_salt: int, i: int, j: int
+    ) -> pa.Table:
         key = f"{shard_salt:08d}"
         rel = shard_file_name(shard_salt)
         if checkpoint_done(self.index_dir, "shard", key, self.input_fp):
-            return _metrics(shard_salt, 0, 0, 0, True)
+            from ..state.manifest import checkpoint_path, read_json
 
-        mg = _MergedGroups(group)
-        n = mg.num_runs
-        doc_min = mg.doc_first
-        doc_max = mg.doc_last
-        max_tf = mg.max_tf
+            rec = read_json(
+                checkpoint_path(self.index_dir, "shard", key)
+            ) or {}
+            m = rec.get("metrics", {})
+            return _metrics(
+                shard_salt, m.get("num_terms", 0),
+                m.get("num_postings", 0), 0, True,
+            )
 
+        n = j - i
+        df = mg.df[i:j]
         # skip + block-max only where postings are long enough: decode just
         # those runs (the reference likewise only writes skip data every
         # SKIP_INTERVAL docs)
         skip_col: list[bytes] = [b""] * n
         bmax_col: list[bytes] = [b""] * n
-        for k in np.flatnonzero(mg.df > SKIP_INTERVAL):
-            k = int(k)
+        for k0 in np.flatnonzero(df > SKIP_INTERVAL):
+            k = int(k0) + i
             deltas_k = vint_decode(mg.run_docs_bytes(k))
             docs_k = np.cumsum(deltas_k)
             freqs_k = vint_decode(mg.run_bytes("freqs_enc", k))
             blens_k = vint_byte_len(deltas_k)
-            skip_col[k], bmax_col[k] = _skip_blockmax(
+            skip_col[int(k0)], bmax_col[int(k0)] = _skip_blockmax(
                 docs_k, freqs_k, blens_k,
                 mg.run_bytes("prx_lens_enc", k),
             )
 
         table = pa.table(
             {
-                "field": pa.array(mg.field.astype(np.int32),
+                "field": pa.array(mg.field[i:j].astype(np.int32),
                                   type=pa.int32()),
-                "term": mg.terms,
-                "df": pa.array(mg.df, type=pa.int64()),
-                "tf_sum": pa.array(mg.tf_sum, type=pa.int64()),
-                "doc_min": pa.array(doc_min, type=pa.int64()),
-                "doc_max": pa.array(doc_max, type=pa.int64()),
-                "max_tf": pa.array(max_tf.astype(np.int32),
+                "term": mg.terms.slice(i, n),
+                "df": pa.array(df, type=pa.int64()),
+                "tf_sum": pa.array(mg.tf_sum[i:j], type=pa.int64()),
+                "doc_min": pa.array(mg.doc_first[i:j], type=pa.int64()),
+                "doc_max": pa.array(mg.doc_last[i:j], type=pa.int64()),
+                "max_tf": pa.array(mg.max_tf[i:j].astype(np.int32),
                                    type=pa.int32()),
-                "docs_enc": mg.docs_enc,
-                "freqs_enc": mg.freqs_enc,
-                "prx_enc": mg.prx_enc,
-                "prx_lens_enc": mg.prx_lens_enc,
+                "docs_enc": mg.docs_enc.slice(i, n),
+                "freqs_enc": mg.freqs_enc.slice(i, n),
+                "prx_enc": mg.prx_enc.slice(i, n),
+                "prx_lens_enc": mg.prx_lens_enc.slice(i, n),
                 "skip_enc": pa.array(skip_col, type=pa.large_binary()),
                 "block_max_tf": pa.array(bmax_col,
                                          type=pa.large_binary()),
@@ -381,7 +440,7 @@ class ShardWriter:
         path = os.path.join(self.index_dir, rel)
         pq.write_table(table, path, compression="zstd")
         size = os.path.getsize(path)
-        total_postings = int(mg.df.sum())
+        total_postings = int(df.sum())
         write_checkpoint(
             self.index_dir, "shard", key, self.input_fp, [rel],
             {"num_terms": n, "num_postings": total_postings},
