@@ -68,36 +68,91 @@ class Postings:
         return self._pos_flat, self._pos_off
 
 
-class _LazyBlobs:
-    """Per-row bytes access over an Arrow binary column without
-    materializing every blob up front."""
+class _RGBlobs:
+    """Per-row bytes access over one blob column, fetched by row-group
+    range reads through the shard's shared row-group LRU."""
 
-    __slots__ = ("col",)
+    __slots__ = ("shard", "name")
 
-    def __init__(self, col):
-        self.col = col.combine_chunks()
+    def __init__(self, shard: "_Shard", name: str):
+        self.shard = shard
+        self.name = name
 
     def __getitem__(self, i: int) -> bytes:
-        return self.col[i].as_py()
+        return self.shard._blob(self.name, i)
+
+
+def _bisect_terms(terms, x: str, lo: int, hi: int, right: bool = False):
+    """bisect over an Arrow string array slice without materializing it
+    (O(log n) scalar reads — the sampled .tix seek of the reference,
+    c/src/index.c:2820-2830, with parquet pages as the blocks)."""
+    while lo < hi:
+        mid = (lo + hi) // 2
+        v = terms[mid].as_py()
+        if v < x or (right and v == x):
+            lo = mid + 1
+        else:
+            hi = mid
+    return lo
 
 
 class _Shard:
-    """One shard file: dictionary in memory, posting blobs decoded lazily."""
+    """One shard file, opened LAZILY: only the dictionary columns
+    (field, term, df, tf_sum) load at init — terms stay a compact Arrow
+    array (binary-searched, never a Python dict).  Posting blobs are
+    fetched on demand by row-group range reads with a small LRU; at
+    cluster scale these map to object-store/S3 range requests.  The
+    reference analogue: TermInfosReader's .tix sampled index + seek
+    (c/src/index.c:2712-2869) instead of slurping the whole .tis/.frq."""
 
-    def __init__(self, path: str):
-        t = pq.read_table(path)
+    BLOB_COLS = ["docs_enc", "freqs_enc", "prx_enc", "prx_lens_enc"]
+
+    def __init__(self, path: str, rg_cache: int = 8):
+        self._pf = pq.ParquetFile(path)
+        t = self._pf.read(columns=["field", "term", "df", "tf_sum"])
         self.fields = t.column("field").to_numpy()
-        self.terms = t.column("term").to_pylist()
+        self.terms = t.column("term").combine_chunks()
         self.df = t.column("df").to_numpy()
         self.tf_sum = t.column("tf_sum").to_numpy()
-        self.docs_enc = _LazyBlobs(t.column("docs_enc"))
-        self.freqs_enc = _LazyBlobs(t.column("freqs_enc"))
-        self.prx_enc = _LazyBlobs(t.column("prx_enc"))
-        self.prx_lens_enc = _LazyBlobs(t.column("prx_lens_enc"))
-        self.index: dict[tuple[int, str], int] = {
-            (int(f), s): i
-            for i, (f, s) in enumerate(zip(self.fields, self.terms))
-        }
+        md = self._pf.metadata
+        counts = np.array(
+            [md.row_group(i).num_rows for i in range(md.num_row_groups)],
+            dtype=np.int64,
+        )
+        self._rg_off = np.concatenate(([0], np.cumsum(counts)))
+        self._rg_cache: OrderedDict[int, object] = OrderedDict()
+        self._rg_cap = rg_cache
+        self.docs_enc = _RGBlobs(self, "docs_enc")
+        self.freqs_enc = _RGBlobs(self, "freqs_enc")
+        self.prx_enc = _RGBlobs(self, "prx_enc")
+        self.prx_lens_enc = _RGBlobs(self, "prx_lens_enc")
+
+    def term_at(self, i: int) -> str:
+        return self.terms[i].as_py()
+
+    def terms_slice(self, a: int, b: int) -> list[str]:
+        """Materialize ONLY rows [a, b) of the dictionary (range scans)."""
+        return self.terms.slice(a, b - a).to_pylist()
+
+    def row_of(self, field_num: int, term: str) -> int | None:
+        a = int(np.searchsorted(self.fields, field_num, side="left"))
+        b = int(np.searchsorted(self.fields, field_num, side="right"))
+        i = _bisect_terms(self.terms, term, a, b)
+        if i < b and self.terms[i].as_py() == term:
+            return i
+        return None
+
+    def _blob(self, name: str, i: int) -> bytes:
+        rg = int(np.searchsorted(self._rg_off, i, side="right") - 1)
+        tbl = self._rg_cache.get(rg)
+        if tbl is None:
+            tbl = self._pf.read_row_group(rg, columns=self.BLOB_COLS)
+            self._rg_cache[rg] = tbl
+            if len(self._rg_cache) > self._rg_cap:
+                self._rg_cache.popitem(last=False)
+        else:
+            self._rg_cache.move_to_end(rg)
+        return tbl.column(name)[i - int(self._rg_off[rg])].as_py()
 
 
 class IndexReader:
@@ -163,7 +218,7 @@ class IndexReader:
         rows: list[tuple[_Shard, int]] = []
         for ss in self._by_shard.get(s, ()):
             sh = self._shard_for(ss)
-            idx = sh.index.get((field_num, term))
+            idx = sh.row_of(field_num, term)
             if idx is not None:
                 rows.append((sh, idx))
         return rows
@@ -229,14 +284,11 @@ class IndexReader:
     ) -> range:
         """Row range of terms in [lo, hi) for field fn (dict is sorted by
         (field, term) — the sampled-index seek of the reference's .tix,
-        c/src/index.c:2820-2830, as a bisect)."""
-        a = np.searchsorted(sh.fields, fn, side="left")
-        b = np.searchsorted(sh.fields, fn, side="right")
-        terms = sh.terms
-        import bisect
-
-        i = bisect.bisect_left(terms, lo, a, b)
-        j = bisect.bisect_left(terms, hi, a, b) if hi else b
+        c/src/index.c:2820-2830, as a bisect over the Arrow array)."""
+        a = int(np.searchsorted(sh.fields, fn, side="left"))
+        b = int(np.searchsorted(sh.fields, fn, side="right"))
+        i = _bisect_terms(sh.terms, lo, a, b)
+        j = _bisect_terms(sh.terms, hi, a, b) if hi else b
         return range(i, j)
 
     def terms_with_prefix(self, field: str, prefix: str) -> list[str]:
@@ -247,8 +299,8 @@ class IndexReader:
         hi = prefix + "\U0010FFFF" if prefix else ""
         for ss in self._shard_salts:
             sh = self._shard_for(ss)
-            for i in self._field_term_slice(sh, fn, prefix, hi):
-                found.add(sh.terms[i])
+            r = self._field_term_slice(sh, fn, prefix, hi)
+            found.update(sh.terms_slice(r.start, r.stop))
         return sorted(found)
 
     def terms_in_range(
@@ -265,23 +317,16 @@ class IndexReader:
         found: set[str] = set()
         for ss in self._shard_salts:
             sh = self._shard_for(ss)
-            a = np.searchsorted(sh.fields, fn, side="left")
-            b = np.searchsorted(sh.fields, fn, side="right")
-            import bisect
-
+            a = int(np.searchsorted(sh.fields, fn, side="left"))
+            b = int(np.searchsorted(sh.fields, fn, side="right"))
             terms = sh.terms
-            i = a if lower is None else (
-                bisect.bisect_left(terms, lower, a, b)
-                if include_lower
-                else bisect.bisect_right(terms, lower, a, b)
+            i = a if lower is None else _bisect_terms(
+                terms, lower, a, b, right=not include_lower
             )
-            j = b if upper is None else (
-                bisect.bisect_right(terms, upper, a, b)
-                if include_upper
-                else bisect.bisect_left(terms, upper, a, b)
+            j = b if upper is None else _bisect_terms(
+                terms, upper, a, b, right=include_upper
             )
-            for idx in range(i, j):
-                found.add(terms[idx])
+            found.update(sh.terms_slice(i, j))
         return sorted(found)
 
     def terms_matching(self, field: str, pred,
@@ -298,13 +343,13 @@ class IndexReader:
             if prefix:
                 rows = self._field_term_slice(sh, fn, prefix, hi)
             else:
-                a = np.searchsorted(sh.fields, fn, side="left")
-                b = np.searchsorted(sh.fields, fn, side="right")
+                a = int(np.searchsorted(sh.fields, fn, side="left"))
+                b = int(np.searchsorted(sh.fields, fn, side="right"))
                 rows = range(a, b)
-            for i in rows:
-                t = sh.terms[i]
-                if pred(t):
-                    found.add(t)
+            found.update(
+                t for t in sh.terms_slice(rows.start, rows.stop)
+                if pred(t)
+            )
         return sorted(found)
 
     # ---- norms / doc store ---------------------------------------------

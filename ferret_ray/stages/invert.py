@@ -31,6 +31,7 @@ from typing import Any
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..analysis import Analyzer
@@ -104,38 +105,51 @@ def _invert_texts(
     )
     if not all_terms:
         e = np.empty(0, dtype=np.int64)
-        return e, docs, e, lens, []
+        return e, docs, e, lens, pa.array([], type=pa.string())
     darr = pa.array(all_terms, type=pa.string()).dictionary_encode()
     tids = darr.indices.to_numpy().astype(np.int64)
-    id2term = darr.dictionary.to_pylist()
     return (
         tids,
         docs,
         np.asarray(all_poss, dtype=np.int64),
         lens,
-        id2term,
+        darr.dictionary,
+    )
+
+
+def _bin_from_slices(
+    data: bytes, bounds: np.ndarray
+) -> pa.LargeBinaryArray:
+    """large_binary array whose row i is data[bounds[i]:bounds[i+1]] —
+    zero-copy view over the shared VInt buffer."""
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(),
+        bounds.size - 1,
+        [None, pa.py_buffer(np.ascontiguousarray(bounds,
+                                                 dtype=np.int64)),
+         pa.py_buffer(data)],
     )
 
 
 def _encode_field_postings(
     field_num: int,
-    id2term: list[str],
+    term_dict: pa.StringArray,
     tids: np.ndarray,
     docs: np.ndarray,
     poss: np.ndarray,
     doc_base: int,
     cfg: IndexConfig,
     with_positions: bool,
-    out: dict[str, list],
-) -> None:
-    """Invert the token stream to fragment rows, fully vectorized.
+    crc_cache: dict,
+) -> pa.Table | None:
+    """Invert the token stream to a fragment-row table, fully vectorized.
 
     All VInt encoding happens in ONE call over the whole field's token
-    stream; per-term blobs are byte slices of the global buffers (no
-    per-term numpy ops — the per-term loop only appends slices).
-    """
+    stream; per-term blobs are zero-copy Arrow slices of the global
+    buffers (``from_buffers`` over shared data + per-term offsets) — no
+    per-term Python loop except the memoized term->shard crc."""
     if tids.size == 0:
-        return
+        return None
     n = tids.size
     order = np.argsort(tids, kind="stable")
     s_tid = tids[order]
@@ -194,54 +208,69 @@ def _encode_field_postings(
         prx_b = tok_off[term_tok_ends]
 
     tf_sums = np.add.reduceat(freqs, t_starts)
-    max_tfs = np.maximum.reduceat(freqs, t_starts).tolist()
-    doc_firsts = abs_docs[t_starts].tolist()
-    doc_lasts = abs_docs[t_ends - 1].tolist()
+    max_tfs = np.maximum.reduceat(freqs, t_starts)
     num_shards = cfg.num_shards
     salt_base = (doc_base // cfg.salt_doc_range) * num_shards
+    nt = t_starts.size
 
-    first_tids = u_tid[t_starts].tolist()
-    da, db_ = docs_off[t_starts].tolist(), docs_off[t_ends].tolist()
-    fa, fb = freqs_off[t_starts].tolist(), freqs_off[t_ends].tolist()
-    tf_sums = tf_sums.tolist()
-    if with_positions:
-        prx_a = prx_a.tolist()
-        prx_b = prx_b.tolist()
-        plens_off = plens_off.tolist()
-    o_field, o_term = out["field"], out["term"]
-    o_shard, o_base = out["shard_salt"], out["doc_base"]
-    o_df, o_tf = out["df"], out["tf_sum"]
-    o_docs, o_freqs = out["docs_enc"], out["freqs_enc"]
-    o_prx, o_plens = out["prx_enc"], out["prx_lens_enc"]
-    o_dfirst, o_dlast = out["doc_first"], out["doc_last"]
-    o_maxtf = out["max_tf"]
-    t_starts_l = t_starts.tolist()
-    t_ends_l = t_ends.tolist()
+    # term -> shard hash, memoized across fragments (code vocab repeats)
     crc = zlib.crc32
-    for k in range(t_starts.size):
-        term = id2term[first_tids[k]]
-        o_field.append(field_num)
-        o_term.append(term)
-        o_shard.append(
-            salt_base
-            + crc(term.encode("utf-8", "surrogatepass"), field_num)
-            % num_shards
+    id2term = term_dict.to_pylist()
+    crc_arr = np.empty(len(id2term), dtype=np.int64)
+    cget = crc_cache.get
+    for tid, term in enumerate(id2term):
+        ck = (field_num, term)
+        v = cget(ck)
+        if v is None:
+            v = crc(
+                term.encode("utf-8", "surrogatepass"), field_num
+            ) % num_shards
+            crc_cache[ck] = v
+        crc_arr[tid] = v
+    first_tids = u_tid[t_starts]
+
+    # blob columns: zero-copy from_buffers views over the shared buffers
+    # (per-term slices are contiguous by construction)
+    docs_enc = _bin_from_slices(
+        docs_buf, docs_off[np.append(t_starts, m)]
+    )
+    freqs_enc = _bin_from_slices(
+        freqs_buf, freqs_off[np.append(t_starts, m)]
+    )
+    if with_positions:
+        prx_enc = _bin_from_slices(prx_buf, np.append(prx_a, prx_b[-1]))
+        plens_enc = _bin_from_slices(
+            plens_buf, plens_off[np.append(t_starts, m)]
         )
-        o_base.append(doc_base)
-        o_dfirst.append(doc_firsts[k])
-        o_dlast.append(doc_lasts[k])
-        o_maxtf.append(max_tfs[k])
-        o_df.append(t_ends_l[k] - t_starts_l[k])
-        o_tf.append(tf_sums[k])
-        o_docs.append(docs_buf[da[k]: db_[k]])
-        o_freqs.append(freqs_buf[fa[k]: fb[k]])
-        if with_positions:
-            o_prx.append(prx_buf[prx_a[k]: prx_b[k]])
-            o_plens.append(plens_buf[plens_off[t_starts_l[k]]:
-                                     plens_off[t_ends_l[k]]])
-        else:
-            o_prx.append(b"")
-            o_plens.append(b"")
+    else:
+        zeros = np.zeros(nt + 1, dtype=np.int64)
+        prx_enc = _bin_from_slices(b"", zeros)
+        plens_enc = _bin_from_slices(b"", zeros)
+
+    return pa.table(
+        {
+            "field": pa.array(
+                np.full(nt, field_num, dtype=np.int32), type=pa.int32()
+            ),
+            "term": pc.take(term_dict, pa.array(first_tids)),
+            "shard_salt": pa.array(
+                salt_base + crc_arr[first_tids], type=pa.int64()
+            ),
+            "doc_base": pa.array(
+                np.full(nt, doc_base, dtype=np.int64), type=pa.int64()
+            ),
+            "doc_first": pa.array(abs_docs[t_starts], type=pa.int64()),
+            "doc_last": pa.array(abs_docs[t_ends - 1], type=pa.int64()),
+            "df": pa.array(t_ends - t_starts, type=pa.int64()),
+            "tf_sum": pa.array(tf_sums, type=pa.int64()),
+            "max_tf": pa.array(max_tfs, type=pa.int64()),
+            "docs_enc": docs_enc,
+            "freqs_enc": freqs_enc,
+            "prx_enc": prx_enc,
+            "prx_lens_enc": plens_enc,
+        },
+        schema=SEGMENT_SCHEMA,
+    )
 
 
 class InvertFragment:
@@ -259,6 +288,9 @@ class InvertFragment:
         self.index_dir = index_dir
         self.input_fp = input_fp
         self._analyzers: dict[str, Analyzer] | None = None
+        # (field, term) -> term-hash, shared across this worker's
+        # fragments (code vocabularies repeat heavily)
+        self._crc_cache: dict = {}
 
     def _get_analyzers(self) -> dict[str, Analyzer]:
         if self._analyzers is None:
@@ -324,24 +356,24 @@ class InvertFragment:
             else:
                 doc_boosts = np.ones(n_rows, dtype=np.float32)
 
-            seg_out: dict[str, list] = {
-                f.name: [] for f in SEGMENT_SCHEMA
-            }
+            field_tables: list[pa.Table] = []
             for fname, fc in cfg.fields.items():
                 if fc.stored and fname in table.column_names:
                     docs_cols[fname] = table.column(fname)
                 if not fc.indexed or fname not in table.column_names:
                     continue
                 texts = table.column(fname).to_pylist()
-                tids, docs, poss, lens, id2term = _invert_texts(
+                tids, docs, poss, lens, term_dict = _invert_texts(
                     analyzers[fname], texts, fc.max_field_length,
                     fc.positions, doc_offset=fb,
                 )
                 total_tokens += int(tids.size)
-                _encode_field_postings(
-                    field_names.index(fname), id2term, tids, docs, poss,
-                    doc_base, cfg, fc.positions, seg_out,
+                ft = _encode_field_postings(
+                    field_names.index(fname), term_dict, tids, docs, poss,
+                    doc_base, cfg, fc.positions, self._crc_cache,
                 )
+                if ft is not None:
+                    field_tables.append(ft)
                 docs_cols[f"len_{fname}"] = lens
                 if fc.norms:
                     # boost chain in float32, C association order:
@@ -356,11 +388,9 @@ class InvertFragment:
                     docs_cols[f"norm_{fname}"] = encode_norms(boost)
 
             seg_tables.append(
-                pa.table(
-                    {k: pa.array(v, type=SEGMENT_SCHEMA.field(k).type)
-                     for k, v in seg_out.items()},
-                    schema=SEGMENT_SCHEMA,
-                )
+                pa.concat_tables(field_tables)
+                if field_tables
+                else SEGMENT_SCHEMA.empty_table()
             )
             if "content" in table.column_names:
                 docs_cols["content_sha256"] = [

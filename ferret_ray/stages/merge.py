@@ -91,9 +91,11 @@ def _metrics(shard_salt, num_terms, num_postings, nbytes, skipped):
 # zero-object binary column machinery
 # --------------------------------------------------------------------------
 
-def _bin_bufs(col: pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+def _bin_bufs(col) -> tuple[np.ndarray, np.ndarray]:
     """(offsets int64[n+1], data uint8[]) of a large_binary column."""
-    arr = col.combine_chunks()
+    arr = (
+        col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    )
     if isinstance(arr, pa.ChunkedArray):  # zero-chunk edge
         arr = pa.concat_arrays(arr.chunks or [pa.array([], arr.type)])
     off_buf, data_buf = arr.buffers()[1], arr.buffers()[2]
@@ -104,27 +106,6 @@ def _bin_bufs(col: pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
         np.empty(0, dtype=np.uint8)
     )
     return off - base if base else off, data
-
-
-def _gather_rows(
-    off: np.ndarray, data: np.ndarray, order: np.ndarray
-) -> tuple[np.ndarray, np.ndarray]:
-    """Permute binary rows by ``order`` with ONE fancy-index gather.
-
-    Returns (new row offsets int64[n+1], new data uint8[])."""
-    lens = off[1:] - off[:-1]
-    sel_len = lens[order]
-    out_off = np.empty(order.size + 1, dtype=np.int64)
-    out_off[0] = 0
-    np.cumsum(sel_len, out=out_off[1:])
-    total = int(out_off[-1])
-    if total == 0:
-        return out_off, np.empty(0, dtype=np.uint8)
-    idx = (
-        np.repeat(off[:-1][order] - out_off[:-1], sel_len)
-        + np.arange(total, dtype=np.int64)
-    )
-    return out_off, data[idx]
 
 
 def _bin_from_group_offsets(
@@ -268,11 +249,19 @@ class _MergedGroups:
         )
 
         # --- freqs / prx / prx_lens: pure byte concatenation -------------
+        # row permutation via Arrow C++ take (no per-byte index arrays),
+        # then group merge by offset arithmetic alone
         merged = {}
         self._gathered = {}
+        order_arr = pa.array(order)
         for name in ("freqs_enc", "prx_enc", "prx_lens_enc"):
-            o, d = _bin_bufs(batch.column(name))
-            go, gd = _gather_rows(o, d, order)
+            col = batch.column(name)
+            taken = pc.take(
+                col.combine_chunks()
+                if isinstance(col, pa.ChunkedArray) else col,
+                order_arr,
+            )
+            go, gd = _bin_bufs(taken)
             merged[name] = _bin_from_group_offsets(go, gd, t_starts, t_ends)
             self._gathered[name] = (go, gd)
         self.freqs_enc = merged["freqs_enc"]
@@ -438,7 +427,11 @@ class BucketMerger:
         )
         os.makedirs(os.path.join(self.index_dir, "shards"), exist_ok=True)
         path = os.path.join(self.index_dir, rel)
-        pq.write_table(table, path, compression="zstd")
+        # small row groups bound the lazy reader's per-term range reads
+        # (one row group ~ one .frq block seek)
+        pq.write_table(
+            table, path, compression="zstd", row_group_size=1024
+        )
         size = os.path.getsize(path)
         total_postings = int(df.sum())
         write_checkpoint(
