@@ -1,0 +1,436 @@
+"""Incremental index lifecycle: append, upsert-by-key, geometric merge.
+
+The Ray re-expression of the reference's IndexWriter lifecycle:
+
+* ``add_indexes``      — bulk append of existing indexes with doc-base
+  and field-number remapping (``iw_add_readers``/``add_indexes``,
+  c/src/index.c:6530-6810): a distributed rebase (shard rows -> shifted
+  segment rows via a first-VInt byte splice) feeding the same bucketed
+  merge as a fresh build.  Merged shard bytes are IDENTICAL to a
+  from-scratch build over the concatenated corpus (tested).
+* ``IncrementalIndex`` — an LSM of delta indexes under one root:
+  ``append`` builds a new delta through the normal build pipeline,
+  ``reader()`` serves all deltas as one (MultiReader — global df,
+  doc-base offsets, bit-identical scores), and the geometric merge
+  policy of ``iw_maybe_merge_segments`` (c/src/index.c:6280-6309)
+  compacts runs of small deltas with ``add_indexes``.
+* upsert-by-key        — ``Index#add_doc`` with ``:key``
+  (c/src/ind.c:202-258, ruby/lib/ferret/index.rb:34-45): incoming keys
+  tombstone matching docs in every existing delta, then the new docs
+  append; compaction drops tombstoned docs for real.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..schema import FieldConfig, IndexConfig
+from ..state.manifest import (
+    atomic_write_json,
+    checkpoint_done,
+    read_json,
+    read_manifest,
+    write_checkpoint,
+    write_manifest,
+)
+
+_COMPAT_KEYS = ("num_shards", "salt_doc_range", "merge_buckets",
+                "similarity")
+
+
+def _cfg_from_manifest(m: dict) -> IndexConfig:
+    c = m["config"]
+    fields = {
+        name: FieldConfig(
+            indexed=fc["indexed"], stored=fc["stored"],
+            positions=fc["positions"], norms=fc["norms"],
+            boost=fc["boost"], analyzer=fc["analyzer"],
+            max_field_length=fc["max_field_length"],
+        )
+        for name, fc in c["fields"].items()
+    }
+    return IndexConfig(
+        fields=fields,
+        boost_column=c.get("boost_column"),
+        id_columns=tuple(c.get("id_columns", ())),
+        num_shards=c["num_shards"],
+        fragments_per_task=c.get("fragments_per_task", 8),
+        hot_df_per_fragment=c.get("hot_df_per_fragment", 4096),
+        salt_doc_range=c["salt_doc_range"],
+        similarity=c.get("similarity", "default"),
+        merge_buckets=c.get("merge_buckets", 32),
+    )
+
+
+class _RebaseTask:
+    """map_batches UDF over work rows: rebase one source shard file into
+    dest bucket files, or renumber one source docs part."""
+
+    def __init__(self, dest_dir: str, fp: str, cfg: IndexConfig,
+                 field_names: list[str]):
+        self.dest_dir = dest_dir
+        self.fp = fp
+        self.cfg = cfg
+        self.field_names = field_names
+        self._crc_cache: dict = {}
+
+    def __call__(self, batch: dict) -> dict:
+        outs = []
+        for i in range(len(batch["kind"])):
+            outs.append(
+                self._one(
+                    str(batch["kind"][i]), str(batch["src"][i]),
+                    str(batch["rel"][i]), int(batch["offset"][i]),
+                    str(batch["tag"][i]),
+                    json.loads(str(batch["field_map"][i])),
+                )
+            )
+        return {"outputs": [json.dumps(o) for o in outs]}
+
+    def _one(self, kind, src, rel, offset, tag, field_map_l) -> list[str]:
+        from ..stages.merge import rebase_shard_rows, write_bucketed_segments
+
+        key = f"{kind}-{tag}"
+        if checkpoint_done(self.dest_dir, "rebase", key, self.fp):
+            from ..state.manifest import checkpoint_path
+
+            rec = read_json(checkpoint_path(self.dest_dir, "rebase", key))
+            return rec.get("outputs", [])
+        t = pq.read_table(os.path.join(src, rel))
+        if kind == "shard":
+            seg = rebase_shard_rows(
+                t, offset, np.asarray(field_map_l, dtype=np.int64),
+                self.field_names, self.cfg, self._crc_cache,
+            )
+            rels = write_bucketed_segments(seg, self.dest_dir, tag,
+                                           self.cfg)
+        else:  # docs part
+            ids = t.column("doc_id").to_numpy() + offset
+            t = t.set_column(
+                t.schema.get_field_index("doc_id"), "doc_id",
+                pa.array(ids, type=pa.int64()),
+            )
+            rels = [f"docs/part-{tag}.parquet"]
+            path = os.path.join(self.dest_dir, rels[0])
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            pq.write_table(t, path, compression="zstd")
+        write_checkpoint(self.dest_dir, "rebase", key, self.fp, rels, {})
+        return rels
+
+
+def add_indexes(
+    dest_dir: str,
+    src_dirs: list[str],
+    *,
+    concurrency: int | None = None,
+) -> dict:
+    """Merge N source indexes into one (iw_add_readers semantics).
+
+    Doc ids shift by cumulative source sizes; field numbers remap into
+    the union schema; source tombstones carry forward shifted (like the
+    per-segment .del a merge keeps honoring; a rebuild from a filtered
+    corpus is the physical purge).  Distributed: one rebase task per
+    source shard/docs file, then the standard bucketed merge.
+    Byte-identical to a from-scratch build of the concatenated corpus
+    when sources carry no tombstones (tested)."""
+    import ray.data
+
+    from ..pipelines.deletes import load_deleted
+    from ..stages.merge import BucketMerger
+
+    t_start = time.time()
+    manifests = [read_manifest(d) for d in src_dirs]
+    for d, m in zip(src_dirs, manifests):
+        if m is None:
+            raise FileNotFoundError(f"no manifest in {d}")
+    base_cfg = manifests[0]["config"]
+    for m in manifests[1:]:
+        for k in _COMPAT_KEYS:
+            if m["config"].get(k) != base_cfg.get(k):
+                raise ValueError(
+                    f"add_indexes: incompatible config {k!r}: "
+                    f"{m['config'].get(k)} != {base_cfg.get(k)}"
+                )
+    # union field schema, first-seen order; same-name fields must agree
+    field_names: list[str] = []
+    fields_cfg: dict[str, dict] = {}
+    for m in manifests:
+        for name in m["field_names"]:
+            fc = m["config"]["fields"].get(name)
+            if name not in field_names:
+                field_names.append(name)
+                if fc:
+                    fields_cfg[name] = fc
+            elif fc and fields_cfg.get(name) != fc:
+                raise ValueError(
+                    f"add_indexes: field {name!r} config mismatch"
+                )
+    cfg = _cfg_from_manifest(
+        {"config": {**base_cfg, "fields": fields_cfg}}
+    )
+    offsets = np.concatenate(
+        ([0], np.cumsum([m["num_docs"] for m in manifests]))
+    )
+    fp = "addidx:" + ":".join(
+        f"{m['fingerprint']}@{int(o)}" for m, o in zip(manifests, offsets)
+    )
+
+    existing = read_manifest(dest_dir)
+    if existing and existing.get("fingerprint") == fp:
+        return existing
+    os.makedirs(dest_dir, exist_ok=True)
+    del_by_src = [sorted(load_deleted(d)) for d in src_dirs]
+
+    work = []
+    part_idx = 0
+    for si, (src, m) in enumerate(zip(src_dirs, manifests)):
+        fmap = [field_names.index(f) for f in m["field_names"]]
+        for salt in m["shards"]:
+            work.append(
+                {
+                    "kind": "shard", "src": src,
+                    "rel": f"shards/shard-{salt:08d}.parquet",
+                    "offset": int(offsets[si]),
+                    "tag": f"x{si:03d}-{salt:08d}",
+                    "field_map": json.dumps(fmap),
+                }
+            )
+        docs_dir = os.path.join(src, "docs")
+        for name in sorted(os.listdir(docs_dir)):
+            if name.endswith(".parquet"):
+                work.append(
+                    {
+                        "kind": "docs", "src": src,
+                        "rel": f"docs/{name}",
+                        "offset": int(offsets[si]),
+                        "tag": f"{part_idx:06d}",
+                        "field_map": "[]",
+                    }
+                )
+                part_idx += 1
+
+    rebase_ds = ray.data.from_items(
+        work, override_num_blocks=max(1, len(work))
+    ).map_batches(
+        _RebaseTask(dest_dir, fp, cfg, field_names),
+        batch_size=8,
+        concurrency=concurrency,
+    )
+    rebase_ds.take_all()
+    t_rebase = time.time()
+
+    num_buckets = cfg.resolved_merge_buckets
+    bucket_ds = ray.data.from_items(
+        [{"bucket": b} for b in range(num_buckets)],
+        override_num_blocks=num_buckets,
+    )
+    shard_metrics = bucket_ds.map_batches(
+        BucketMerger(dest_dir, fp),
+        batch_size=1,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    ).take_all()
+    t_merge = time.time()
+
+    num_docs = int(offsets[-1])
+    len_sums = {
+        f: int(sum(m.get("len_sums", {}).get(f, 0) for m in manifests))
+        for f in cfg.indexed_fields
+    }
+    manifest = {
+        "version": 1,
+        "fingerprint": fp,
+        "config": cfg.to_json(),
+        "field_names": field_names,
+        "num_docs": num_docs,
+        "len_sums": len_sums,
+        "num_fragments": int(
+            sum(m.get("num_fragments", 0) for m in manifests)
+        ),
+        "shards": sorted(int(x["shard_salt"]) for x in shard_metrics),
+        "metrics": {
+            "sources": len(src_dirs),
+            "rebase_sec": t_rebase - t_start,
+            "merge_sec": t_merge - t_rebase,
+            "total_sec": time.time() - t_start,
+            "terms_merged": int(
+                sum(x["num_terms"] for x in shard_metrics)
+            ),
+        },
+        "lineage": {
+            "kind": "add_indexes",
+            "sources": [
+                {"dir": os.path.basename(d.rstrip("/")),
+                 "fingerprint": m["fingerprint"],
+                 "num_docs": m["num_docs"],
+                 "doc_base": int(o)}
+                for d, m, o in zip(src_dirs, manifests, offsets)
+            ],
+        },
+    }
+    write_manifest(dest_dir, manifest)
+    # carry tombstones forward, shifted by each source's doc base
+    from ..pipelines.deletes import delete_docs
+
+    shifted = [
+        int(d) + int(o)
+        for ds_, o in zip(del_by_src, offsets)
+        for d in ds_
+    ]
+    if shifted:
+        delete_docs(dest_dir, shifted)
+    return manifest
+
+
+class IncrementalIndex:
+    """LSM of delta indexes with the reference's geometric merge policy.
+
+    Layout: ``root/gens.json`` lists delta dirs in doc order; each delta
+    is a complete index built by the normal pipeline.  ``append`` adds a
+    delta and runs ``maybe_merge`` (iw_maybe_merge_segments,
+    c/src/index.c:6280-6309); ``optimize`` compacts to one delta
+    (iw_optimize, :6439-6460).  Serving never stops: ``reader()`` is a
+    MultiReader over the current generation set."""
+
+    def __init__(self, root: str, cfg: IndexConfig,
+                 merge_factor: int = 10,
+                 max_merge_docs: int = 1 << 31):
+        self.root = root
+        self.cfg = cfg
+        self.merge_factor = merge_factor
+        self.max_merge_docs = max_merge_docs
+        os.makedirs(root, exist_ok=True)
+        self._state = read_json(self._gens_path()) or {
+            "deltas": [], "counter": 0,
+        }
+
+    def _gens_path(self) -> str:
+        return os.path.join(self.root, "gens.json")
+
+    def _commit(self) -> None:
+        atomic_write_json(self._gens_path(), self._state)
+
+    @property
+    def delta_dirs(self) -> list[str]:
+        return [os.path.join(self.root, d) for d in self._state["deltas"]]
+
+    def delta_doc_counts(self) -> list[int]:
+        return [
+            read_manifest(d)["num_docs"] for d in self.delta_dirs
+        ]
+
+    def num_docs(self) -> int:
+        return sum(self.delta_doc_counts())
+
+    # ---- writing --------------------------------------------------------
+
+    def append(self, input_paths, *, merge: bool = True) -> dict:
+        """Index new docs as a delta; maybe run geometric compaction."""
+        from .build import build_index
+
+        name = f"delta-{self._state['counter']:06d}"
+        self._state["counter"] += 1
+        m = build_index(
+            input_paths, os.path.join(self.root, name), self.cfg
+        )
+        self._state["deltas"].append(name)
+        self._commit()
+        if merge:
+            self.maybe_merge()
+        return m
+
+    def upsert(self, input_paths, key_field: str,
+               *, merge: bool = True) -> dict:
+        """Index#add_doc with :key semantics (c/src/ind.c:202-258):
+        tombstone every existing doc whose ``key_field`` matches an
+        incoming key, then append the new docs as a delta."""
+        from ..analysis.tokenizer import NonTokenizer
+        from ..pipelines.deletes import delete_by_term
+
+        fc = self.cfg.fields.get(key_field)
+        if fc is None or fc.analyzer != "keyword":
+            raise ValueError(
+                f"upsert key field {key_field!r} must be a keyword field"
+            )
+        paths = (
+            [input_paths] if isinstance(input_paths, str) else input_paths
+        )
+        keys: set[str] = set()
+        for p in paths:
+            t = pq.read_table(p, columns=[key_field])
+            keys.update(
+                x for x in t.column(key_field).to_pylist() if x
+            )
+        for d in self.delta_dirs:
+            for k in sorted(keys):
+                delete_by_term(d, key_field, k)
+        return self.append(input_paths, merge=merge)
+
+    # ---- merge policy ---------------------------------------------------
+
+    def maybe_merge(self) -> None:
+        """Geometric policy, mirroring iw_maybe_merge_segments
+        (c/src/index.c:6280-6309): walk size tiers from merge_factor
+        upward; whenever the trailing run of deltas smaller than the
+        tier target holds >= target docs, compact that run."""
+        target = self.merge_factor
+        while 0 < target <= self.max_merge_docs:
+            counts = self.delta_doc_counts()
+            min_seg = len(counts) - 1
+            merge_docs = 0
+            while min_seg >= 0 and counts[min_seg] < target:
+                merge_docs += counts[min_seg]
+                min_seg -= 1
+            if merge_docs >= target:
+                self._compact_from(min_seg + 1)
+            elif min_seg <= 0:
+                break
+            target *= self.merge_factor
+
+    def _compact_from(self, start: int) -> None:
+        """Compact deltas[start:] into one (iw_merge_segments_from)."""
+        srcs = self._state["deltas"][start:]
+        if len(srcs) < 2:
+            return
+        name = f"delta-{self._state['counter']:06d}"
+        self._state["counter"] += 1
+        add_indexes(
+            os.path.join(self.root, name),
+            [os.path.join(self.root, s) for s in srcs],
+        )
+        self._state["deltas"] = self._state["deltas"][:start] + [name]
+        self._commit()
+        # GC the merged-away deltas (the reference's Deleter removes
+        # unreferenced segment files after the commit point)
+        import shutil
+
+        for s in srcs:
+            shutil.rmtree(os.path.join(self.root, s), ignore_errors=True)
+
+    def optimize(self) -> None:
+        """iw_optimize: merge everything into a single delta."""
+        if len(self._state["deltas"]) >= 2:
+            self._compact_from(0)
+
+    # ---- reading --------------------------------------------------------
+
+    def reader(self):
+        from ..search.multi import MultiReader
+        from ..search.reader import IndexReader
+
+        dirs = self.delta_dirs
+        if len(dirs) == 1:
+            return IndexReader(dirs[0])
+        return MultiReader([IndexReader(d) for d in dirs])
+
+    def searcher(self, similarity: str | None = None):
+        from ..search.searcher import Searcher
+
+        return Searcher(self.reader(), similarity=similarity)

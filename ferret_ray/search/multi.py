@@ -63,6 +63,13 @@ class MultiReader:
     def doc_freq(self, field: str, term: str) -> int:
         return sum(r.doc_freq(field, term) for r in self.readers)
 
+    def deleted_docs(self) -> set[int]:
+        """Union of sub-reader tombstones, shifted by doc bases."""
+        out: set[int] = set()
+        for r, base in zip(self.readers, self.bases):
+            out.update(d + base for d in r.deleted_docs())
+        return out
+
     # ---- postings -------------------------------------------------------
 
     def postings(self, field: str, term: str) -> Postings | None:

@@ -197,6 +197,12 @@ class IndexReader:
     def max_doc(self) -> int:
         return self.num_docs
 
+    def deleted_docs(self) -> set[int]:
+        """Tombstoned docids of this index (the .del bitvector union)."""
+        from ..pipelines.deletes import load_deleted
+
+        return load_deleted(self.index_dir)
+
     def avg_doc_len(self, field: str) -> float:
         s = self.len_sums.get(field, 0)
         return s / self.num_docs if self.num_docs else 0.0

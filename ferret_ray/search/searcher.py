@@ -302,9 +302,12 @@ class Searcher:
             "similarity", "default"
         )
         self.bm25 = BM25Similarity() if self.sim_name == "bm25" else None
-        from ..pipelines.deletes import load_deleted
+        if hasattr(reader, "deleted_docs"):
+            deleted = reader.deleted_docs()  # MultiReader shifts by base
+        else:
+            from ..pipelines.deletes import load_deleted
 
-        deleted = load_deleted(reader.index_dir)
+            deleted = load_deleted(reader.index_dir)
         self._deleted = (
             np.array(sorted(deleted), dtype=np.int64) if deleted else None
         )

@@ -318,7 +318,6 @@ class InvertFragment:
         n_rows_total = int(sum(f["num_rows"] for f in frags))
         key = f"{group_id:06d}"
         fp = f"{self.input_fp}:{n_rows_total}:{doc_base}:{len(frags)}"
-        salt_range = doc_base // cfg.salt_doc_range
         docs_rel = f"docs/part-{key}.parquet"
         if checkpoint_done(self.index_dir, "frag", key, fp):
             from ..state.manifest import checkpoint_path, read_json
@@ -414,34 +413,15 @@ class InvertFragment:
         # --- map-side bucketed shuffle write -----------------------------
         # Instead of a Ray all-to-all groupby, every invert task partitions
         # its segment rows by bucket = shard_salt % merge_buckets and
-        # writes one file per non-empty bucket.  The merge phase is then an
-        # embarrassingly-parallel map over buckets (each reads only its own
-        # files) — the classic map-side shuffle of external sort engines,
-        # with shared storage playing the exchange.  Segments are shuffle
-        # intermediates (read exactly once) — favor speed over ratio.
-        num_buckets = cfg.resolved_merge_buckets
-        salts_np = seg_table.column("shard_salt").to_numpy()
-        buckets = salts_np % num_buckets
-        order = np.argsort(buckets, kind="stable")
-        sorted_tbl = seg_table.take(pa.array(order))
-        bounds = np.searchsorted(
-            buckets[order], np.arange(num_buckets + 1)
+        # writes one file per non-empty (range, bucket).  The merge phase
+        # is then an embarrassingly-parallel map over buckets (each reads
+        # only its own files) — the classic map-side shuffle of external
+        # sort engines, with shared storage playing the exchange.
+        from .merge import write_bucketed_segments
+
+        seg_rels = write_bucketed_segments(
+            seg_table, self.index_dir, key, cfg
         )
-        seg_rels: list[str] = []
-        for b in range(num_buckets):
-            i, j = int(bounds[b]), int(bounds[b + 1])
-            if i == j:
-                continue
-            rel = (
-                f"segments/bucket={b:04d}/"
-                f"rng{salt_range:06d}-seg-{key}.parquet"
-            )
-            path = os.path.join(self.index_dir, rel)
-            os.makedirs(os.path.dirname(path), exist_ok=True)
-            pq.write_table(
-                sorted_tbl.slice(i, j - i), path, compression="lz4"
-            )
-            seg_rels.append(rel)
         docs_table = (
             pa.concat_tables(docs_tables, promote_options="default")
             if len(docs_tables) > 1 else docs_tables[0]

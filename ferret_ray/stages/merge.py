@@ -314,6 +314,151 @@ def combine_fragment_rows(batch: pa.Table) -> pa.Table:
     return mg.fragment_table(SEGMENT_SCHEMA)
 
 
+def write_bucketed_segments(
+    seg_table: pa.Table, index_dir: str, tag: str, cfg
+) -> list[str]:
+    """Split SEGMENT_SCHEMA rows by (salt range, shuffle bucket) and write
+    ``segments/bucket={b}/rng{r}-seg-{tag}.parquet`` files (the map side
+    of the bucketed shuffle).  Returns the written rels."""
+    num_buckets = cfg.resolved_merge_buckets
+    salts = seg_table.column("shard_salt").to_numpy()
+    ranges = salts // cfg.num_shards
+    buckets = salts % num_buckets
+    order = np.lexsort((salts, ranges, buckets))
+    sorted_tbl = seg_table.take(pa.array(order))
+    sb = buckets[order]
+    sr = ranges[order]
+    n = salts.size
+    newf = np.empty(n, dtype=bool)
+    if n:
+        newf[0] = True
+        newf[1:] = (sb[1:] != sb[:-1]) | (sr[1:] != sr[:-1])
+    starts = np.flatnonzero(newf)
+    ends = np.concatenate((starts[1:], [n]))
+    rels: list[str] = []
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        b, r = int(sb[s]), int(sr[s])
+        rel = f"segments/bucket={b:04d}/rng{r:06d}-seg-{tag}.parquet"
+        path = os.path.join(index_dir, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(
+            sorted_tbl.slice(s, e - s), path, compression="lz4"
+        )
+        rels.append(rel)
+    return rels
+
+
+def _splice_first_vint(
+    col, old_first: np.ndarray, new_first: np.ndarray
+) -> pa.LargeBinaryArray:
+    """Rewrite the FIRST VInt of every row of a binary column from
+    ``old_first`` to ``new_first`` (vectorized byte splice) — the doc-base
+    remap of the reference's ``sm_append_postings``
+    (c/src/index.c:5922-5974) without decoding the stream."""
+    n = len(old_first)
+    o, d = _bin_bufs(col)
+    old_len = vint_byte_len(old_first)
+    new_buf = np.frombuffer(vint_encode(new_first), dtype=np.uint8)
+    lenA = vint_byte_len(new_first)
+    new_off = np.empty(n + 1, dtype=np.int64)
+    new_off[0] = 0
+    np.cumsum(lenA, out=new_off[1:])
+    row_lens = o[1:] - o[:-1]
+    lenB = row_lens - old_len
+    src = np.concatenate((new_buf, d))
+    starts2 = np.empty(2 * n, dtype=np.int64)
+    lens2 = np.empty(2 * n, dtype=np.int64)
+    starts2[0::2] = new_off[:-1]
+    starts2[1::2] = o[:-1] + old_len + new_buf.size
+    lens2[0::2] = lenA
+    lens2[1::2] = lenB
+    out_off2 = np.empty(2 * n + 1, dtype=np.int64)
+    out_off2[0] = 0
+    np.cumsum(lens2, out=out_off2[1:])
+    total = int(out_off2[-1])
+    idx = (
+        np.repeat(starts2 - out_off2[:-1], lens2)
+        + np.arange(total, dtype=np.int64)
+    )
+    spliced = src[idx]
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), n,
+        [None, pa.py_buffer(out_off2[0::2].copy().tobytes()),
+         pa.py_buffer(spliced.tobytes())],
+    )
+
+
+def rebase_shard_rows(
+    shard_table: pa.Table,
+    offset: int,
+    field_map: np.ndarray,
+    field_names: list[str],
+    cfg,
+    crc_cache: dict | None = None,
+) -> pa.Table:
+    """Turn one source index's shard rows back into SEGMENT_SCHEMA
+    fragment rows with every docid shifted by ``offset`` and field
+    numbers remapped — the ``add_indexes``/``iw_add_readers`` doc-base +
+    field-number remap (c/src/index.c:6530-6810), Ray-side.
+
+    Only the first VInt of each docs_enc row changes (absolute first doc
+    -> shifted); freqs/prx blobs pass through untouched."""
+    from .invert import term_shard
+
+    n = shard_table.num_rows
+    doc_min = shard_table.column("doc_min").to_numpy()
+    doc_max = shard_table.column("doc_max").to_numpy()
+    old_fields = shard_table.column("field").to_numpy()
+    new_fields = field_map[old_fields]
+    new_first = doc_min + offset
+    docs_enc = (
+        _splice_first_vint(
+            shard_table.column("docs_enc"), doc_min, new_first
+        )
+        if offset
+        else shard_table.column("docs_enc").combine_chunks()
+    )
+    terms = shard_table.column("term").to_pylist()
+    cache = crc_cache if crc_cache is not None else {}
+    num_shards = cfg.num_shards
+    salts = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        fn = int(new_fields[i])
+        ck = (fn, terms[i])
+        h = cache.get(ck)
+        if h is None:
+            h = term_shard(fn, terms[i], num_shards)
+            cache[ck] = h
+        salts[i] = h
+    salts += (new_first // cfg.salt_doc_range) * num_shards
+    from .invert import SEGMENT_SCHEMA
+
+    return pa.table(
+        {
+            "field": pa.array(new_fields.astype(np.int32),
+                              type=pa.int32()),
+            "term": shard_table.column("term"),
+            "shard_salt": pa.array(salts, type=pa.int64()),
+            # per-row doc_base = shifted first doc: orders same-term rows
+            # from different sources/ranges correctly in the merge lexsort
+            "doc_base": pa.array(new_first, type=pa.int64()),
+            "doc_first": pa.array(new_first, type=pa.int64()),
+            "doc_last": pa.array(doc_max + offset, type=pa.int64()),
+            "df": shard_table.column("df"),
+            "tf_sum": shard_table.column("tf_sum"),
+            "max_tf": pa.array(
+                shard_table.column("max_tf").to_numpy().astype(np.int64),
+                type=pa.int64(),
+            ),
+            "docs_enc": docs_enc,
+            "freqs_enc": shard_table.column("freqs_enc"),
+            "prx_enc": shard_table.column("prx_enc"),
+            "prx_lens_enc": shard_table.column("prx_lens_enc"),
+        },
+        schema=SEGMENT_SCHEMA,
+    )
+
+
 class BucketMerger:
     """map_batches UDF: one shuffle bucket -> all its shard files.
 

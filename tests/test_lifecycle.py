@@ -1,0 +1,185 @@
+"""Incremental lifecycle: append deltas, geometric merge, upsert-by-key.
+
+The acceptance bar from the reference semantics:
+* searching N appended deltas (MultiReader) returns the same hits/scores
+  as one from-scratch index over the concatenated corpus;
+* add_indexes compaction produces shard files BYTE-IDENTICAL to that
+  from-scratch build (iw_add_readers + SegmentMerger equivalence);
+* the geometric policy (iw_maybe_merge_segments, c/src/index.c:6280-6309)
+  bounds the delta count;
+* upsert by key (c/src/ind.c:202-258, ruby/lib/ferret/index.rb:34-45):
+  re-adding a doc with an existing key leaves ONE live doc.
+"""
+
+import hashlib
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+
+def _slices(tmp, n_slices=3, docs_per=200):
+    from ferret_ray.sources.corpus import generate_corpus
+
+    paths = []
+    full = os.path.join(tmp, "full")
+    os.makedirs(full, exist_ok=True)
+    for i in range(n_slices):
+        p = os.path.join(tmp, f"slice-{i}.parquet")
+        generate_corpus(
+            p, docs_per, seed=42 + i, rows_per_fragment=100
+        )
+        paths.append(p)
+        # the "full corpus" = the same slices side by side (sorted file
+        # order matches append order)
+        os.link(p, os.path.join(full, f"slice-{i}.parquet"))
+    return paths, full
+
+
+def _cfg():
+    from ferret_ray.schema import source_code_config
+
+    return source_code_config(num_shards=8)
+
+
+def _shard_hashes(d):
+    out = {}
+    for n in sorted(os.listdir(os.path.join(d, "shards"))):
+        with open(os.path.join(d, "shards", n), "rb") as f:
+            out[n] = hashlib.sha256(f.read()).hexdigest()
+    return out
+
+
+@pytest.fixture(scope="module")
+def env(ray_session, tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("lsm"))
+    paths, full = _slices(tmp)
+    from ferret_ray.pipelines.build import build_index
+
+    full_dir = os.path.join(tmp, "full_idx")
+    build_index(full, full_dir, _cfg())
+    return tmp, paths, full_dir
+
+
+def test_appended_deltas_match_full_index(env):
+    from ferret_ray.pipelines.lifecycle import IncrementalIndex
+    from ferret_ray.search.query import TermQuery
+    from ferret_ray.search.reader import IndexReader
+    from ferret_ray.search.searcher import Searcher
+
+    tmp, paths, full_dir = env
+    inc = IncrementalIndex(os.path.join(tmp, "inc1"), _cfg(),
+                           merge_factor=100)  # no auto-merge
+    for p in paths:
+        inc.append(p)
+    assert len(inc.delta_dirs) == 3
+
+    s_inc = inc.searcher()
+    s_full = Searcher(IndexReader(full_dir))
+    for term in ("int", "tok1", "tok77", "fn_12"):
+        a = s_full.search(TermQuery("content", term), 0, 30)
+        b = s_inc.search(TermQuery("content", term), 0, 30)
+        assert a.total_hits == b.total_hits
+        assert [(h.doc, h.score) for h in a.hits] == [
+            (h.doc, h.score) for h in b.hits
+        ]
+
+
+def test_compaction_byte_identical_to_fresh_build(env):
+    from ferret_ray.pipelines.lifecycle import IncrementalIndex
+
+    tmp, paths, full_dir = env
+    inc = IncrementalIndex(os.path.join(tmp, "inc2"), _cfg(),
+                           merge_factor=100)
+    for p in paths:
+        inc.append(p)
+    inc.optimize()
+    assert len(inc.delta_dirs) == 1
+    got = _shard_hashes(inc.delta_dirs[0])
+    want = _shard_hashes(full_dir)
+    assert got == want, "compacted shards differ from fresh build"
+    # docs table equal too (modulo part file naming)
+    import pandas as pd
+
+    a = pq.read_table(os.path.join(inc.delta_dirs[0], "docs")).to_pandas()
+    b = pq.read_table(os.path.join(full_dir, "docs")).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id").reset_index(drop=True),
+        b.sort_values("doc_id").reset_index(drop=True),
+    )
+
+
+def test_geometric_merge_policy(ray_session, tmp_path):
+    from ferret_ray.pipelines.lifecycle import IncrementalIndex
+    from ferret_ray.sources.corpus import generate_corpus
+
+    tmp = str(tmp_path)
+    inc = IncrementalIndex(os.path.join(tmp, "inc"), _cfg(),
+                           merge_factor=3)
+    for i in range(5):
+        p = os.path.join(tmp, f"s{i}.parquet")
+        generate_corpus(p, 40, seed=100 + i, rows_per_fragment=40)
+        inc.append(p)
+        # the policy keeps fewer than merge_factor small deltas + tiers
+        assert len(inc.delta_dirs) <= 3
+    assert inc.num_docs() == 200
+    # search still sees everything
+    from ferret_ray.search.query import TermQuery
+
+    td = inc.searcher().search(TermQuery("content", "int"), 0, 5)
+    assert td.total_hits > 0
+
+
+def test_upsert_by_key(ray_session, tmp_path):
+    import pyarrow as pa
+
+    from ferret_ray.pipelines.lifecycle import IncrementalIndex
+    from ferret_ray.schema import FieldConfig, IndexConfig
+    from ferret_ray.search.query import TermQuery
+
+    cfg = IndexConfig(
+        fields={
+            "content": FieldConfig(analyzer="standard"),
+            "path": FieldConfig(analyzer="keyword", positions=False),
+        },
+        num_shards=2,
+    )
+    tmp = str(tmp_path)
+
+    def write(path, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "path": [r[0] for r in rows],
+                    "content": [r[1] for r in rows],
+                }
+            ),
+            path,
+        )
+
+    inc = IncrementalIndex(os.path.join(tmp, "inc"), cfg, merge_factor=100)
+    p1 = os.path.join(tmp, "a.parquet")
+    write(p1, [("src/a.c", "alpha beta"), ("src/b.c", "gamma delta")])
+    inc.upsert(p1, "path")
+
+    # re-add src/a.c with new content -> exactly one live doc for the key
+    p2 = os.path.join(tmp, "b.parquet")
+    write(p2, [("src/a.c", "alpha NEW epsilon")])
+    inc.upsert(p2, "path")
+
+    s = inc.searcher()
+    td = s.search(TermQuery("path", "src/a.c"), 0, 10)
+    assert td.total_hits == 1
+    doc = s.reader.get_doc(td.hits[0].doc)
+    assert "NEW" in doc["content"] or "epsilon" in doc["content"]
+    # the old content no longer matches
+    assert s.search(TermQuery("content", "beta"), 0, 10).total_hits == 0
+    assert s.search(TermQuery("content", "epsilon"), 0, 10).total_hits == 1
+    # gamma doc untouched
+    assert s.search(TermQuery("content", "gamma"), 0, 10).total_hits == 1
+
+    # compaction keeps the tombstones honored
+    inc.optimize()
+    s = inc.searcher()
+    assert s.search(TermQuery("path", "src/a.c"), 0, 10).total_hits == 1
+    assert s.search(TermQuery("content", "beta"), 0, 10).total_hits == 0
