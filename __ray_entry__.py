@@ -25,6 +25,12 @@ _TOKENS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 _CACHE: dict[str, Any] = {}
 
 
+def pa_ds_field(name: str):
+    from pyarrow.dataset import field as _f
+
+    return _f(name)
+
+
 def _index_for(sf_dir: str):
     """Build (or reuse) the documents-table index for this sf_dir."""
     key = os.path.abspath(sf_dir)
@@ -175,16 +181,13 @@ def q_term_df_top20(sf_dir: str) -> pd.DataFrame:
 
     index_dir, reader, _ = _index_for(sf_dir)
     fn = reader.field_num("text")
+    # expression filter pushes into the parquet scan (no per-row lambda)
     ds = ray.data.read_parquet(
         os.path.join(index_dir, "shards"),
         columns=["field", "term", "df"],
+        filter=(pa_ds_field("field") == fn),
     )
-    df = (
-        ds.filter(lambda r: r["field"] == fn)
-        .groupby("term")
-        .sum("df")
-        .to_pandas()
-    )
+    df = ds.groupby("term").sum("df").to_pandas()
     df = df.rename(columns={"sum(df)": "df"})
     df = df.sort_values(["df", "term"], ascending=[False, True]).head(20)
     return df.reset_index(drop=True).astype({"df": "int64"})
@@ -195,23 +198,30 @@ def q_token_stats(sf_dir: str) -> pd.DataFrame:
 
     return (
         _docs_ds(sf_dir)
-        .map_batches(token_stats)
+        .map_batches(token_stats, batch_format="pyarrow")
         .to_pandas()
         .astype("int64")
     )
 
 
 def q_sort_by_field(sf_dir: str) -> pd.DataFrame:
-    """Sort/SortField (c/src/sort.c): top 15 by integer field desc."""
-    _, reader, _ = _index_for(sf_dir)
-    n_chars = reader._load_docs_column("n_chars")
-    doc_ids = np.arange(n_chars.size, dtype=np.int64)
-    order = np.lexsort((doc_ids, -n_chars))[:15]
+    """Sort/SortField (c/src/sort.c): top 15 by integer field desc —
+    distributed per-block top-k + tiny driver merge (never loads the
+    whole column into one process)."""
+    import ray.data
+
+    from ferret_ray.functions.topk import sort_topk
+
+    index_dir, _, _ = _index_for(sf_dir)
+    ds = ray.data.read_parquet(
+        os.path.join(index_dir, "docs"), columns=["doc_id", "n_chars"]
+    )
+    top = sort_topk(ds, "n_chars", 15, ascending=False)
     return pd.DataFrame(
         {
-            "rank": np.arange(order.size, dtype="int64"),
-            "doc_id": doc_ids[order],
-            "n_chars": n_chars[order].astype("int64"),
+            "rank": np.arange(len(top), dtype="int64"),
+            "doc_id": top["doc_id"].astype("int64"),
+            "n_chars": top["n_chars"].astype("int64"),
         }
     )
 
@@ -287,19 +297,19 @@ def q_ann_lsh_top10(sf_dir: str) -> pd.DataFrame:
 def q_lang_id(sf_dir: str) -> pd.DataFrame:
     from ferret_ray.functions.textstats import lang_id
 
-    return _docs_ds(sf_dir).map_batches(lang_id).to_pandas()
+    return _docs_ds(sf_dir).map_batches(lang_id, batch_format="pyarrow").to_pandas()
 
 
 def q_quality(sf_dir: str) -> pd.DataFrame:
     from ferret_ray.functions.textstats import quality_score
 
-    return _docs_ds(sf_dir).map_batches(quality_score).to_pandas()
+    return _docs_ds(sf_dir).map_batches(quality_score, batch_format="pyarrow").to_pandas()
 
 
 def q_fingerprints(sf_dir: str) -> pd.DataFrame:
     from ferret_ray.functions.textstats import fingerprints
 
-    df = _docs_ds(sf_dir).map_batches(fingerprints).to_pandas()
+    df = _docs_ds(sf_dir).map_batches(fingerprints, batch_format="pyarrow").to_pandas()
     df["fingerprint"] = df["fingerprint"].astype("uint64")
     return df
 
