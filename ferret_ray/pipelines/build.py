@@ -30,6 +30,7 @@ import time
 from ..schema import IndexConfig
 from ..sources.fragments import list_fragments
 from ..stages.invert import InvertFragment
+from ..state.fs import fs_makedirs, resolve_fs
 from ..state.manifest import read_manifest, write_manifest
 
 
@@ -52,7 +53,8 @@ def build_index(
     if existing and existing.get("fingerprint") == build_fp:
         return existing  # already committed for these exact inputs
 
-    os.makedirs(index_dir, exist_ok=True)
+    _fs, _root = resolve_fs(index_dir)
+    fs_makedirs(_fs, _root)
 
     # ---- phase 1: tokenize + invert, one task per fragment GROUP --------
     # deterministic grouping (split at salt-range boundaries) => resumable

@@ -13,13 +13,13 @@ from __future__ import annotations
 import json
 import os
 
+from ..state.fs import fs_listdir, fs_read_json, join as fs_join, resolve_fs
 
-def _next_gen(ddir: str) -> int:
-    if not os.path.isdir(ddir):
-        return 0
+
+def _next_gen(fs, ddir: str) -> int:
     gens = [
         int(n.split("-")[1].split(".")[0])
-        for n in os.listdir(ddir)
+        for n in fs_listdir(fs, ddir)
         if n.startswith("gen-") and n.endswith(".json")
     ]
     return max(gens) + 1 if gens else 0
@@ -32,9 +32,11 @@ def delete_docs(index_dir: str, doc_ids) -> int:
     ids = sorted({int(d) for d in doc_ids})
     if not ids:
         return 0
-    ddir = os.path.join(index_dir, "deletes")
+    fs, root = resolve_fs(index_dir)
+    ddir = fs_join(root, "deletes")
     atomic_write_json(
-        os.path.join(ddir, f"gen-{_next_gen(ddir)}.json"), {"docs": ids}
+        fs_join(index_dir, "deletes", f"gen-{_next_gen(fs, ddir)}.json"),
+        {"docs": ids},
     )
     return len(ids)
 
@@ -52,12 +54,12 @@ def delete_by_term(index_dir: str, field: str, term: str) -> int:
 
 
 def load_deleted(index_dir: str) -> set[int]:
-    ddir = os.path.join(index_dir, "deletes")
+    fs, root = resolve_fs(index_dir)
+    ddir = fs_join(root, "deletes")
     out: set[int] = set()
-    if not os.path.isdir(ddir):
-        return out
-    for n in sorted(os.listdir(ddir)):
+    for n in fs_listdir(fs, ddir):
         if n.startswith("gen-") and n.endswith(".json"):
-            with open(os.path.join(ddir, n)) as f:
-                out.update(json.load(f)["docs"])
+            rec = fs_read_json(fs, fs_join(ddir, n))
+            if rec:
+                out.update(rec["docs"])
     return out

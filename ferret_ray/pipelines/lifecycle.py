@@ -32,6 +32,13 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..schema import FieldConfig, IndexConfig
+from ..state.fs import (
+    fs_listdir,
+    fs_makedirs,
+    fs_rmtree,
+    join as fs_join,
+    resolve_fs,
+)
 from ..state.manifest import (
     atomic_write_json,
     checkpoint_done,
@@ -103,7 +110,8 @@ class _RebaseTask:
 
             rec = read_json(checkpoint_path(self.dest_dir, "rebase", key))
             return rec.get("outputs", [])
-        t = pq.read_table(os.path.join(src, rel))
+        sfs, sroot = resolve_fs(src)
+        t = pq.read_table(fs_join(sroot, rel), filesystem=sfs)
         if kind == "shard":
             seg = rebase_shard_rows(
                 t, offset, np.asarray(field_map_l, dtype=np.int64),
@@ -118,9 +126,12 @@ class _RebaseTask:
                 pa.array(ids, type=pa.int64()),
             )
             rels = [f"docs/part-{tag}.parquet"]
-            path = os.path.join(self.dest_dir, rels[0])
-            os.makedirs(os.path.dirname(path), exist_ok=True)
-            pq.write_table(t, path, compression="zstd")
+            dfs, droot = resolve_fs(self.dest_dir)
+            fs_makedirs(dfs, fs_join(droot, "docs"))
+            pq.write_table(
+                t, fs_join(droot, rels[0]), compression="zstd",
+                filesystem=dfs,
+            )
         write_checkpoint(self.dest_dir, "rebase", key, self.fp, rels, {})
         return rels
 
@@ -185,7 +196,8 @@ def add_indexes(
     existing = read_manifest(dest_dir)
     if existing and existing.get("fingerprint") == fp:
         return existing
-    os.makedirs(dest_dir, exist_ok=True)
+    _dfs, _droot = resolve_fs(dest_dir)
+    fs_makedirs(_dfs, _droot)
     del_by_src = [sorted(load_deleted(d)) for d in src_dirs]
 
     work = []
@@ -202,8 +214,8 @@ def add_indexes(
                     "field_map": json.dumps(fmap),
                 }
             )
-        docs_dir = os.path.join(src, "docs")
-        for name in sorted(os.listdir(docs_dir)):
+        sfs, sroot = resolve_fs(src)
+        for name in fs_listdir(sfs, fs_join(sroot, "docs")):
             if name.endswith(".parquet"):
                 work.append(
                     {
@@ -306,20 +318,21 @@ class IncrementalIndex:
         self.cfg = cfg
         self.merge_factor = merge_factor
         self.max_merge_docs = max_merge_docs
-        os.makedirs(root, exist_ok=True)
+        rfs, rroot = resolve_fs(root)
+        fs_makedirs(rfs, rroot)
         self._state = read_json(self._gens_path()) or {
             "deltas": [], "counter": 0,
         }
 
     def _gens_path(self) -> str:
-        return os.path.join(self.root, "gens.json")
+        return fs_join(self.root, "gens.json")
 
     def _commit(self) -> None:
         atomic_write_json(self._gens_path(), self._state)
 
     @property
     def delta_dirs(self) -> list[str]:
-        return [os.path.join(self.root, d) for d in self._state["deltas"]]
+        return [fs_join(self.root, d) for d in self._state["deltas"]]
 
     def delta_doc_counts(self) -> list[int]:
         return [
@@ -338,7 +351,7 @@ class IncrementalIndex:
         name = f"delta-{self._state['counter']:06d}"
         self._state["counter"] += 1
         m = build_index(
-            input_paths, os.path.join(self.root, name), self.cfg
+            input_paths, fs_join(self.root, name), self.cfg
         )
         self._state["deltas"].append(name)
         self._commit()
@@ -364,7 +377,8 @@ class IncrementalIndex:
         )
         keys: set[str] = set()
         for p in paths:
-            t = pq.read_table(p, columns=[key_field])
+            pfs, pin = resolve_fs(p)
+            t = pq.read_table(pin, columns=[key_field], filesystem=pfs)
             keys.update(
                 x for x in t.column(key_field).to_pylist() if x
             )
@@ -402,17 +416,16 @@ class IncrementalIndex:
         name = f"delta-{self._state['counter']:06d}"
         self._state["counter"] += 1
         add_indexes(
-            os.path.join(self.root, name),
-            [os.path.join(self.root, s) for s in srcs],
+            fs_join(self.root, name),
+            [fs_join(self.root, s) for s in srcs],
         )
         self._state["deltas"] = self._state["deltas"][:start] + [name]
         self._commit()
         # GC the merged-away deltas (the reference's Deleter removes
         # unreferenced segment files after the commit point)
-        import shutil
-
+        rfs, rroot = resolve_fs(self.root)
         for s in srcs:
-            shutil.rmtree(os.path.join(self.root, s), ignore_errors=True)
+            fs_rmtree(rfs, fs_join(rroot, s))
 
     def optimize(self) -> None:
         """iw_optimize: merge everything into a single delta."""

@@ -31,6 +31,12 @@ from ..codec.postings import (
     decode_positions_all,
 )
 from ..stages.invert import term_shard
+from ..state.fs import (
+    fs_listdir,
+    join as fs_join,
+    open_parquet,
+    resolve_fs,
+)
 from ..state.manifest import read_manifest
 
 
@@ -107,8 +113,10 @@ class _Shard:
 
     BLOB_COLS = ["docs_enc", "freqs_enc", "prx_enc", "prx_lens_enc"]
 
-    def __init__(self, path: str, rg_cache: int = 8):
-        self._pf = pq.ParquetFile(path)
+    def __init__(self, path: str, rg_cache: int = 8, fs=None):
+        if fs is None:
+            fs, path = resolve_fs(path)
+        self._pf = open_parquet(fs, path)
         t = self._pf.read(columns=["field", "term", "df", "tf_sum"])
         self.fields = t.column("field").to_numpy()
         self.terms = t.column("term").combine_chunks()
@@ -158,6 +166,7 @@ class _Shard:
 class IndexReader:
     def __init__(self, index_dir: str, postings_cache: int = 4096):
         self.index_dir = index_dir
+        self._fs, self._root = resolve_fs(index_dir)
         m = read_manifest(index_dir)
         if m is None:
             raise FileNotFoundError(f"no manifest in {index_dir}")
@@ -212,10 +221,10 @@ class IndexReader:
     def _shard_for(self, shard_salt: int) -> _Shard:
         sh = self._shards.get(shard_salt)
         if sh is None:
-            path = os.path.join(
-                self.index_dir, f"shards/shard-{shard_salt:08d}.parquet"
+            path = fs_join(
+                self._root, f"shards/shard-{shard_salt:08d}.parquet"
             )
-            sh = _Shard(path)
+            sh = _Shard(path, fs=self._fs)
             self._shards[shard_salt] = sh
         return sh
 
@@ -371,13 +380,13 @@ class IndexReader:
         return self._col_cache[col]
 
     def _load_docs_column(self, col: str) -> np.ndarray | None:
-        docs_dir = os.path.join(self.index_dir, "docs")
-        parts = sorted(os.listdir(docs_dir))
+        docs_dir = fs_join(self._root, "docs")
+        parts = fs_listdir(self._fs, docs_dir)
         arrs = []
         for name in parts:
             if not name.endswith(".parquet"):
                 continue
-            pf = pq.ParquetFile(os.path.join(docs_dir, name))
+            pf = open_parquet(self._fs, fs_join(docs_dir, name))
             if col not in pf.schema_arrow.names:
                 return None
             arrs.append(pf.read(columns=[col]).column(col).to_numpy())
@@ -398,12 +407,12 @@ class IndexReader:
 
     def get_doc(self, doc_id: int) -> dict:
         if self._docs_parts is None:
-            docs_dir = os.path.join(self.index_dir, "docs")
+            docs_dir = fs_join(self._root, "docs")
             parts = []
-            for name in sorted(os.listdir(docs_dir)):
+            for name in fs_listdir(self._fs, docs_dir):
                 if name.endswith(".parquet"):
-                    path = os.path.join(docs_dir, name)
-                    first = pq.ParquetFile(path).read(
+                    path = fs_join(docs_dir, name)
+                    first = open_parquet(self._fs, path).read(
                         columns=["doc_id"]
                     ).column("doc_id")[0].as_py()
                     parts.append((first, path))
@@ -411,7 +420,7 @@ class IndexReader:
         bases = [b for b, _ in self._docs_parts]
         pi = bisect.bisect_right(bases, doc_id) - 1
         _, path = self._docs_parts[pi]
-        t = pq.read_table(path)
+        t = pq.read_table(path, filesystem=self._fs)
         ids = t.column("doc_id").to_numpy()
         row = int(np.searchsorted(ids, doc_id))
         return {c: t.column(c)[row].as_py() for c in t.column_names}

@@ -17,9 +17,13 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import posixpath
 from typing import Any
 
 import pyarrow.parquet as pq
+from pyarrow import fs as pafs
+
+from ..state.fs import open_parquet, resolve_fs
 
 
 def list_fragments(
@@ -35,13 +39,16 @@ def list_fragments(
         input_paths = [input_paths]
     files: list[str] = []
     for p in input_paths:
-        if os.path.isdir(p):
-            for root, _, names in os.walk(p):
-                files.extend(
-                    os.path.join(root, n)
-                    for n in names
-                    if n.endswith(".parquet")
-                )
+        fs, inner = resolve_fs(p)
+        info = fs.get_file_info(inner)
+        if info.type == pafs.FileType.Directory:
+            sel = pafs.FileSelector(inner, recursive=True)
+            scheme = p.split("://", 1)[0] + "://" if "://" in p else ""
+            files.extend(
+                scheme + fi.path
+                for fi in fs.get_file_info(sel)
+                if fi.path.endswith(".parquet")
+            )
         else:
             files.append(p)
     files.sort()
@@ -49,7 +56,8 @@ def list_fragments(
     doc_base = 0
     frag_id = 0
     for path in files:
-        meta = pq.ParquetFile(path).metadata
+        fs, inner = resolve_fs(path)
+        meta = open_parquet(fs, inner).metadata
         for rg in range(meta.num_row_groups):
             num_rows = meta.row_group(rg).num_rows
             fragments.append(
@@ -76,5 +84,6 @@ def list_fragments(
 
 def read_fragment(frag: dict[str, Any], columns: list[str] | None):
     """Read one row-group with column pruning (runs inside a Ray task)."""
-    pf = pq.ParquetFile(frag["path"])
+    fs, inner = resolve_fs(frag["path"])
+    pf = open_parquet(fs, inner)
     return pf.read_row_group(int(frag["row_group"]), columns=columns)

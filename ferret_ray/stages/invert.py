@@ -39,6 +39,7 @@ from ..codec.norms import encode_norms
 from ..codec.vint import vint_byte_len, vint_encode
 from ..schema import IndexConfig, analyzer_for
 from ..sources.fragments import read_fragment
+from ..state.fs import fs_makedirs, join as fs_join, resolve_fs
 from ..state.manifest import checkpoint_done, write_checkpoint
 
 F32 = np.float32
@@ -286,6 +287,7 @@ class InvertFragment:
     def __init__(self, cfg: IndexConfig, index_dir: str, input_fp: str):
         self.cfg = cfg
         self.index_dir = index_dir
+        self.fs, self.root = resolve_fs(index_dir)
         self.input_fp = input_fp
         self._analyzers: dict[str, Analyzer] | None = None
         # (field, term) -> term-hash, shared across this worker's
@@ -401,7 +403,7 @@ class InvertFragment:
                     docs_cols[c] = table.column(c)
             docs_tables.append(pa.table(docs_cols))
 
-        os.makedirs(os.path.join(self.index_dir, "docs"), exist_ok=True)
+        fs_makedirs(self.fs, fs_join(self.root, "docs"))
         from .merge import combine_fragment_rows
 
         seg_table = (
@@ -428,8 +430,9 @@ class InvertFragment:
         )
         pq.write_table(
             docs_table,
-            os.path.join(self.index_dir, docs_rel),
+            fs_join(self.root, docs_rel),
             compression="zstd",
+            filesystem=self.fs,
         )
         metrics = {
             "num_docs": n_rows_total,

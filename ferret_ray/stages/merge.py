@@ -39,6 +39,13 @@ import pyarrow.parquet as pq
 
 from ..codec.postings import SKIP_INTERVAL
 from ..codec.vint import vint_byte_len, vint_decode, vint_encode
+from ..state.fs import (
+    fs_file_size,
+    fs_listdir,
+    fs_makedirs,
+    join as fs_join,
+    resolve_fs,
+)
 from ..state.manifest import checkpoint_done, write_checkpoint
 
 SHARD_SCHEMA = pa.schema(
@@ -335,14 +342,20 @@ def write_bucketed_segments(
         newf[1:] = (sb[1:] != sb[:-1]) | (sr[1:] != sr[:-1])
     starts = np.flatnonzero(newf)
     ends = np.concatenate((starts[1:], [n]))
+    fs, root = resolve_fs(index_dir)
     rels: list[str] = []
+    made: set[str] = set()
     for s, e in zip(starts.tolist(), ends.tolist()):
         b, r = int(sb[s]), int(sr[s])
         rel = f"segments/bucket={b:04d}/rng{r:06d}-seg-{tag}.parquet"
-        path = os.path.join(index_dir, rel)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
+        path = fs_join(root, rel)
+        parent = fs_join(root, f"segments/bucket={b:04d}")
+        if parent not in made:
+            fs_makedirs(fs, parent)
+            made.add(parent)
         pq.write_table(
-            sorted_tbl.slice(s, e - s), path, compression="lz4"
+            sorted_tbl.slice(s, e - s), path, compression="lz4",
+            filesystem=fs,
         )
         rels.append(rel)
     return rels
@@ -471,6 +484,7 @@ class BucketMerger:
 
     def __init__(self, index_dir: str, input_fp: str):
         self.index_dir = index_dir
+        self.fs, self.root = resolve_fs(index_dir)
         self.input_fp = input_fp
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -484,12 +498,11 @@ class BucketMerger:
         return pa.concat_tables(tables)
 
     def _merge_bucket(self, bucket: int) -> pa.Table | None:
-        bdir = os.path.join(self.index_dir, f"segments/bucket={bucket:04d}")
-        if not os.path.isdir(bdir):
-            return None
-        names = sorted(
-            n for n in os.listdir(bdir) if n.endswith(".parquet")
-        )
+        bdir = fs_join(self.root, f"segments/bucket={bucket:04d}")
+        names = [
+            n for n in fs_listdir(self.fs, bdir)
+            if n.endswith(".parquet")
+        ]
         if not names:
             return None
         rows: list[pa.Table] = []
@@ -499,7 +512,10 @@ class BucketMerger:
         # 9-char prefix batches one salt range at a time
         for _rng, grp in _groupby(names, key=lambda n: n[:9]):
             t = pa.concat_tables(
-                [pq.read_table(os.path.join(bdir, n)) for n in grp],
+                [
+                    pq.read_table(fs_join(bdir, n), filesystem=self.fs)
+                    for n in grp
+                ],
                 promote_options="default",
             )
             if t.num_rows == 0:
@@ -570,14 +586,15 @@ class BucketMerger:
             },
             schema=SHARD_SCHEMA,
         )
-        os.makedirs(os.path.join(self.index_dir, "shards"), exist_ok=True)
-        path = os.path.join(self.index_dir, rel)
+        fs_makedirs(self.fs, fs_join(self.root, "shards"))
+        path = fs_join(self.root, rel)
         # small row groups bound the lazy reader's per-term range reads
         # (one row group ~ one .frq block seek)
         pq.write_table(
-            table, path, compression="zstd", row_group_size=1024
+            table, path, compression="zstd", row_group_size=1024,
+            filesystem=self.fs,
         )
-        size = os.path.getsize(path)
+        size = fs_file_size(self.fs, path)
         total_postings = int(df.sum())
         write_checkpoint(
             self.index_dir, "shard", key, self.input_fp, [rel],

@@ -7,51 +7,51 @@ input fingerprint, and an atomic ``manifest.json`` rename as the commit
 point.  A build that is killed and re-run skips every partition whose
 checkpoint matches and produces byte-identical outputs (docids are pure
 functions of (fragment, row) — never of time or scheduling).
+
+All paths may be URIs (``file://``, ``s3://``, any fsspec scheme) —
+resolved through :mod:`ferret_ray.state.fs` so the commit protocol works
+on shared cluster storage.
 """
 
 from __future__ import annotations
 
-import json
-import os
-import tempfile
 from typing import Any
+
+from .fs import (
+    fs_exists,
+    fs_read_json,
+    fs_write_json_atomic,
+    join,
+    resolve_fs,
+)
 
 
 def atomic_write_json(path: str, obj: Any) -> None:
-    d = os.path.dirname(path)
-    os.makedirs(d, exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
-    try:
-        with os.fdopen(fd, "w") as f:
-            json.dump(obj, f, sort_keys=True, separators=(",", ":"))
-        os.replace(tmp, path)  # atomic commit point
-    except BaseException:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
-        raise
+    fs, p = resolve_fs(path)
+    fs_write_json_atomic(fs, p, obj)
 
 
 def read_json(path: str) -> Any | None:
-    try:
-        with open(path) as f:
-            return json.load(f)
-    except (FileNotFoundError, json.JSONDecodeError):
-        return None
+    fs, p = resolve_fs(path)
+    return fs_read_json(fs, p)
 
 
 def checkpoint_path(index_dir: str, kind: str, key: str) -> str:
-    return os.path.join(index_dir, "checkpoints", f"{kind}-{key}.json")
+    return join(index_dir, "checkpoints", f"{kind}-{key}.json")
 
 
 def checkpoint_done(
     index_dir: str, kind: str, key: str, fingerprint: str
 ) -> bool:
     """True if this partition already completed with the same inputs."""
-    rec = read_json(checkpoint_path(index_dir, kind, key))
+    fs, root = resolve_fs(index_dir)
+    rec = fs_read_json(
+        fs, join(root, "checkpoints", f"{kind}-{key}.json")
+    )
     if not rec or rec.get("fingerprint") != fingerprint:
         return False
     for out in rec.get("outputs", []):
-        if not os.path.exists(os.path.join(index_dir, out)):
+        if not fs_exists(fs, join(root, out)):
             return False
     return True
 
@@ -77,8 +77,8 @@ def write_checkpoint(
 
 
 def write_manifest(index_dir: str, manifest: dict[str, Any]) -> None:
-    atomic_write_json(os.path.join(index_dir, "manifest.json"), manifest)
+    atomic_write_json(join(index_dir, "manifest.json"), manifest)
 
 
 def read_manifest(index_dir: str) -> dict[str, Any] | None:
-    return read_json(os.path.join(index_dir, "manifest.json"))
+    return read_json(join(index_dir, "manifest.json"))
