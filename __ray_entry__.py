@@ -333,6 +333,8 @@ def q_tfidf_top10(sf_dir: str) -> pd.DataFrame:
 
 
 def q_bm25_top10(sf_dir: str) -> pd.DataFrame:
+    """BM25 top-10 rank order (oracle-checked: ranks vs a float64 SQL
+    BM25; scores are float32 engine-side so only ranks are compared)."""
     from ferret_ray.search.query import BooleanQuery, TermQuery
     from ferret_ray.search.searcher import Searcher
 
@@ -345,25 +347,31 @@ def q_bm25_top10(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "rank": np.arange(len(td.hits), dtype="int64"),
-            "doc_id": [h.doc for h in td.hits],
-            "score": [h.score for h in td.hits],
+            "doc_id": pd.Series([h.doc for h in td.hits], dtype="int64"),
         }
     )
 
 
 def q_batch_search(sf_dir: str) -> pd.DataFrame:
-    """Actor-pool batch query serving (rows-only)."""
+    """Actor-pool batch query serving (oracle-checked): five FQL queries
+    evaluated through the SearcherActor pool; k exceeds every match
+    count, so the result is each query's full match set."""
     from ferret_ray.pipelines.search_pipeline import search_batch
 
     index_dir, _, _ = _index_for(sf_dir)
     ds = search_batch(
         index_dir,
         ["spark", "+table +hash", '"table hash"', "sca*", "dup merge"],
-        k=5,
+        k=1_000_000,
         concurrency=2,
         default_field="text",
     )
-    return ds.to_pandas()
+    df = ds.to_pandas()[["query", "doc_id"]]
+    return (
+        df.sort_values(["query", "doc_id"])
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64"})
+    )
 
 
 def q_fuzzy_search(sf_dir: str) -> pd.DataFrame:
@@ -618,8 +626,110 @@ def oracle_sql() -> dict[str, str]:
                         hpos, h -> h > t AND h - t - 1 <= 3)) > 0
                   )) > 0
         """,
-        # dedup_minhash / simhash_pairs / ann_lsh_top10 / lang_id /
-        # quality / fingerprints / tfidf_top10 / bm25_top10 /
-        # batch_search: non-SQL-expressible (heuristic or float32-scored)
-        # -> rows-only checks.
+        # BM25 rank order in float64 SQL (engine scores are float32 with
+        # identical rank order; only ranks are compared)
+        "bm25_top10": f"""
+            WITH t AS (SELECT doc_id, {tokens} AS toks FROM documents),
+            stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl
+                      FROM t),
+            terms(term) AS (VALUES ('spark'), ('table'), ('hash')),
+            dfs AS (SELECT term, count(*) AS df FROM t, terms
+                    WHERE list_contains(toks, term) GROUP BY term),
+            scores AS (
+              SELECT t.doc_id,
+                sum( ln(1 + (s.n - d.df + 0.5)/(d.df + 0.5))
+                     * tf * 2.2
+                     / (tf + 1.2*(1 - 0.75 + 0.75*len(t.toks)/s.avgdl))
+                ) AS score
+              FROM t, stats s, dfs d,
+              LATERAL (SELECT len(list_filter(t.toks, x -> x = d.term))
+                              ::DOUBLE AS tf) x
+              WHERE tf > 0
+              GROUP BY t.doc_id)
+            SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                    - 1) AS rank,
+                   doc_id
+            FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        # same decision rule as functions/textstats.py detect_lang:
+        # CJK presence -> zh; else argmax of UNIQUE-stopword overlap with
+        # first-wins tie order en, de, fr, es
+        "lang_id": f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_distinct({tokens}) AS toks FROM documents
+            ), c AS (
+              SELECT doc_id, text,
+                len(list_filter(toks, x -> x IN ('the','and','of','to',
+                    'a','in','is','it','that','for'))) AS en,
+                len(list_filter(toks, x -> x IN ('der','die','das','und',
+                    'ist','nicht','ein','mit','zu'))) AS de,
+                len(list_filter(toks, x -> x IN ('le','la','les','et',
+                    'est','un','une','de','pas','que'))) AS fr,
+                len(list_filter(toks, x -> x IN ('el','la','los','las',
+                    'y','es','un','una','de','no'))) AS es
+              FROM t
+            )
+            SELECT doc_id,
+              CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                   WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+                   WHEN de >= fr AND de >= es THEN 'de'
+                   WHEN fr >= es THEN 'fr'
+                   ELSE 'es' END AS lang_pred
+            FROM c
+        """,
+        # exact same float64 arithmetic order as quality_score()
+        "quality": f"""
+            WITH t AS (
+              SELECT doc_id, text, {tokens} AS toks FROM documents
+            )
+            SELECT doc_id,
+              len(regexp_extract_all(text, '\\p{{L}}'))::DOUBLE
+                / greatest(length(text), 1) AS alpha_ratio,
+              len(array_to_string(toks, ''))::DOUBLE
+                / greatest(len(toks), 1) AS mean_word_len,
+              len(list_filter(toks, x -> x IN ('the','and','of','to','a',
+                  'in','is','it','that','for')))::DOUBLE
+                / greatest(len(toks), 1) AS stop_ratio,
+              least(1.0,
+                0.5 * (len(regexp_extract_all(text, '\\p{{L}}'))::DOUBLE
+                       / greatest(length(text), 1))
+                + 0.3 * least((len(array_to_string(toks, ''))::DOUBLE
+                               / greatest(len(toks), 1)) / 6.0, 1.0)
+                + 0.2 * least((len(list_filter(toks, x -> x IN ('the',
+                      'and','of','to','a','in','is','it','that','for')))
+                      ::DOUBLE / greatest(len(toks), 1)) * 5, 1.0)
+              ) AS quality
+            FROM t
+        """,
+        # batch serving = each query's full match set (k > every match
+        # count), so the oracle is the union of per-query predicates
+        "batch_search": f"""
+            SELECT * FROM (
+              SELECT 'spark' AS query, doc_id FROM documents
+              WHERE list_contains({tokens}, 'spark')
+              UNION ALL
+              SELECT '+table +hash', doc_id FROM documents
+              WHERE list_contains({tokens}, 'table')
+                AND list_contains({tokens}, 'hash')
+              UNION ALL
+              SELECT '"table hash"', doc_id FROM documents
+              WHERE {joined} LIKE '% table hash %'
+              UNION ALL
+              SELECT 'sca*', doc_id FROM documents
+              WHERE len(list_filter({tokens}, x -> x LIKE 'sca%')) > 0
+              UNION ALL
+              SELECT 'dup merge', doc_id FROM documents
+              WHERE list_contains({tokens}, 'dup')
+                 OR list_contains({tokens}, 'merge')
+            ) ORDER BY query, doc_id
+        """,
+        # dedup_minhash / simhash_pairs / ann_lsh_top10 / fingerprints:
+        # hash-sketch ops (crc32/minhash) with no SQL equivalent ->
+        # rows-only checks.  tfidf_top10 / wand_topk: Ferret-default
+        # scoring depends on the float8-QUANTIZED norm byte
+        # (c/src/helper.c:41-63) which SQL cannot reproduce; rank
+        # identity is instead proven bit-exact against the compiled
+        # reference (tests/test_reference_scores*.py).  highlight:
+        # excerpt selection is not SQL-expressible.
     }

@@ -235,6 +235,11 @@ class _Weight:
         self.qweight = F32(self.qweight * factor)
         self.value = F32(self.qweight * self.idf)
 
+    def bm25_normalize(self) -> None:
+        """BM25 practice (Lucene BM25Similarity): no query norm, no
+        idf re-multiplication — value is idf * boost, once."""
+        self.value = F32(self.idf * F32(self.query.boost))
+
 
 class _TermWeight(_Weight):
     pass
@@ -274,6 +279,9 @@ class _FilteredWeight:
     def normalize(self, factor: np.float32) -> None:
         self.inner.normalize(F32(factor * F32(self.query.boost)))
 
+    def bm25_normalize(self) -> None:
+        self.inner.bm25_normalize()
+
 
 class _BooleanWeight:
     def __init__(self, query: BooleanQuery, children: list):
@@ -293,6 +301,10 @@ class _BooleanWeight:
         for clause, w in zip(self.query.clauses, self.children):
             if not clause.is_prohibited:
                 w.normalize(factor)
+
+    def bm25_normalize(self) -> None:
+        for w in self.children:
+            w.bm25_normalize()
 
 
 class Searcher:
@@ -385,6 +397,9 @@ class Searcher:
         (c/src/search.c:355-366)."""
         query = rewrite(query, self.reader)
         w = self._create_weight(query)
+        if self.bm25 and hasattr(w, "bm25_normalize"):
+            w.bm25_normalize()
+            return w
         s = w.sum_of_squared_weights()
         norm = query_norm(float(s))
         w.normalize(norm)
