@@ -63,12 +63,9 @@ def build_index(
         fragments, cfg.fragments_per_task, cfg.salt_doc_range
     )
     frag_ds = ray.data.from_items(groups, override_num_blocks=len(groups))
-    # invert_num_cpus=2 default: tokenize+invert is memory-bandwidth-heavy;
-    # running one task per logical core oversaturates a node's memory bus
-    # (measured: 16-way beats 32-way on one 32-core host). Reserving 2
-    # CPUs/task caps per-node concurrency at cores/2 — the standard Ray
-    # pattern for bandwidth-bound stages — while cluster-level scaling
-    # stays linear.
+    # invert_num_cpus reserves CPUs per task (cfg knob; >1 caps per-node
+    # concurrency for bandwidth-bound analyzers — unnecessary since the
+    # memoized tokenizer, measured in BASELINE.md).
     invert_ds = frag_ds.map_batches(
         InvertFragment(cfg, index_dir, build_fp),
         batch_size=1,

@@ -60,6 +60,7 @@ def _cfg_from_manifest(m: dict) -> IndexConfig:
             positions=fc["positions"], norms=fc["norms"],
             boost=fc["boost"], analyzer=fc["analyzer"],
             max_field_length=fc["max_field_length"],
+            term_vector=fc.get("term_vector", False),
         )
         for name, fc in c["fields"].items()
     }

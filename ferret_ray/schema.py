@@ -26,6 +26,9 @@ class FieldConfig:
     # instances may be passed directly (picklable).
     analyzer: str | Analyzer = "standard"
     max_field_length: int = 10_000  # c/src/index.c:36
+    # store per-doc term vectors (positions + offsets) in the docs table
+    # (TERM_VECTOR_WITH_POSITIONS_OFFSETS, c/include/index.h:544-566)
+    term_vector: bool = False
 
 
 @dataclass
@@ -39,7 +42,9 @@ class IndexConfig:
     num_shards: int = 16
     # fragments (row-groups) per invert task: tokenized one-by-one (small
     # working set) but written as ONE segment — per-group vocab dedup
-    fragments_per_task: int = 8
+    # (4 x 500-row fragments ~ 2k docs/task: enough tasks to avoid wave
+    # quantization at high parallelism, enough docs for vocab dedup)
+    fragments_per_task: int = 4
     # skew handling: a term whose df within one input fragment exceeds
     # hot_df_per_fragment gets salted sub-groups of salt_doc_range docs
     hot_df_per_fragment: int = 4096
@@ -52,9 +57,10 @@ class IndexConfig:
     # the corpus: each merge task holds ~total_postings/merge_buckets in
     # memory — at 100 TB raise this to O(cluster cores).
     merge_buckets: int = 32
-    # CPUs reserved per invert task (tokenize+invert is memory-bandwidth
-    # heavy; >1 caps per-node concurrency below the logical core count)
-    invert_num_cpus: float = 2.0
+    # CPUs reserved per invert task.  1.0 since the memoized tokenizer:
+    # the stage is no longer memory-bandwidth-bound, so one task per core
+    # wins (measured: invert 15.8s -> 9.2s at 32 cpus / 200k docs)
+    invert_num_cpus: float = 1.0
 
     @property
     def resolved_merge_buckets(self) -> int:
@@ -74,6 +80,7 @@ class IndexConfig:
                     if isinstance(fc.analyzer, str)
                     else "custom",
                     "max_field_length": fc.max_field_length,
+                    "term_vector": fc.term_vector,
                 }
                 for name, fc in self.fields.items()
             },

@@ -114,20 +114,9 @@ def _compact_with_breaks(matches: list[list]) -> list[list]:
     return matches[: left + 1]
 
 
-def _offsets_by_position(analyzer: Analyzer, text: str) -> list[tuple]:
-    """Per-position (start, end) token offsets via re-analysis (the
-    TermVector offsets table), with skipped positions filled forward
-    (excerpt_expand's fill, c/src/search.c:704-713)."""
-    spans: dict[int, tuple[int, int]] = {}
-    pos = -1
-    for tk in analyzer.token_stream(text):
-        pos += tk.pos_inc
-        p = max(pos, 0)
-        if p in spans:
-            s, e = spans[p]
-            spans[p] = (min(s, tk.start), max(e, tk.end))
-        else:
-            spans[p] = (tk.start, tk.end)
+def _offsets_from_spans(spans: dict[int, tuple[int, int]]) -> list[tuple]:
+    """Per-position (start, end) offsets table with skipped positions
+    filled forward (excerpt_expand's fill, c/src/search.c:704-713)."""
     if not spans:
         return []
     n = max(spans) + 1
@@ -137,6 +126,39 @@ def _offsets_by_position(analyzer: Analyzer, text: str) -> list[tuple]:
         prev = spans.get(i, prev)
         out.append(prev)
     return out
+
+
+def _merge_span(spans: dict, p: int, start: int, end: int) -> None:
+    if p in spans:
+        s, e = spans[p]
+        spans[p] = (min(s, start), max(e, end))
+    else:
+        spans[p] = (start, end)
+
+
+def _offsets_by_position(
+    searcher, doc: int, field: str, analyzer: Analyzer, text: str
+) -> list[tuple]:
+    """Offsets table from the STORED term vector when the field was
+    indexed with one (the reference's TermVector path), else by
+    re-analyzing the text (equivalent for deterministic analyzers)."""
+    spans: dict[int, tuple[int, int]] = {}
+    tv = None
+    tv_fn = getattr(searcher.reader, "term_vector", None)
+    if tv_fn is not None:
+        try:
+            tv = tv_fn(doc, field)
+        except (KeyError, FileNotFoundError):
+            tv = None
+    if tv:
+        for _term, pos, start, end in tv:
+            _merge_span(spans, pos, start, end)
+    else:
+        pos = -1
+        for tk in analyzer.token_stream(text):
+            pos += tk.pos_inc
+            _merge_span(spans, max(pos, 0), tk.start, tk.end)
+    return _offsets_from_spans(spans)
 
 
 def _excerpt_expand(e: _Excerpt, length: int, offsets: list[tuple]) -> None:
@@ -226,7 +248,7 @@ def highlight(
         text = stored.get(field)
     if text is None:
         return None
-    offsets = _offsets_by_position(analyzer, text)
+    offsets = _offsets_by_position(searcher, doc, field, analyzer, text)
     if not offsets:
         return None
 

@@ -142,6 +142,12 @@ class MultiReader:
         i = bisect.bisect_right(self.bases, doc_id) - 1
         return self.readers[i].get_doc(doc_id - self.bases[i])
 
+    def term_vector(self, doc_id: int, field: str):
+        import bisect
+
+        i = bisect.bisect_right(self.bases, doc_id) - 1
+        return self.readers[i].term_vector(doc_id - self.bases[i], field)
+
 
 def multi_searcher(index_dirs: list[str], similarity: str | None = None):
     from .searcher import Searcher

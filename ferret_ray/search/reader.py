@@ -212,6 +212,22 @@ class IndexReader:
 
         return load_deleted(self.index_dir)
 
+    def term_vector(
+        self, doc_id: int, field: str
+    ) -> list[tuple[str, int, int, int]] | None:
+        """Stored per-doc term vector [(term, pos, start, end)] or None
+        if the field was indexed without term vectors
+        (frt_ir_term_vector, c/include/index.h:544-566)."""
+        fc = self.manifest["config"]["fields"].get(field)
+        if not fc or not fc.get("term_vector"):
+            return None
+        blob = self.get_doc(doc_id).get(f"tv_{field}")
+        if blob is None:
+            return None
+        from ..codec.termvector import decode_term_vector
+
+        return decode_term_vector(blob)
+
     def avg_doc_len(self, field: str) -> float:
         s = self.len_sums.get(field, 0)
         return s / self.num_docs if self.num_docs else 0.0

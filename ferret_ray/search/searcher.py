@@ -783,7 +783,19 @@ class Searcher:
         vals = vals[docs]
         if t == "auto":
             t = _sniff_sort_type(vals)
-        if t in ("integer", "float", "byte"):
+        if t == "byte":
+            # BYTE_FIELD_INDEX (c/src/field_index.c:95-129): each doc's
+            # sort value is its term's ordinal in term-enum (sorted)
+            # order; 0 = missing, so missing sorts SMALLEST ascending —
+            # unlike the string index
+            sv = [v if v else None for v in vals]
+            present = sorted({x for x in sv if x is not None})
+            rank = {x: i + 1 for i, x in enumerate(present)}
+            out = np.array(
+                [rank.get(x, 0) for x in sv], dtype=np.int64
+            )
+            return -out if sf.reverse else out
+        if t in ("integer", "float"):
             out = np.full(vals.size, np.inf)
             for i, v in enumerate(vals):
                 if v is None:

@@ -376,6 +376,29 @@ class InvertFragment:
                 if ft is not None:
                     field_tables.append(ft)
                 docs_cols[f"len_{fname}"] = lens
+                if fc.term_vector:
+                    # stored term vectors with positions + offsets
+                    # (fw_add_postings; TERM_VECTOR_WITH_POSITIONS_OFFSETS)
+                    from ..codec.termvector import encode_term_vector
+
+                    an = analyzers[fname]
+                    tvs = []
+                    for text in texts:
+                        toks: list[tuple[str, int, int, int]] = []
+                        if text:
+                            pos = -1
+                            for tk in an.token_stream(text):
+                                pos += tk.pos_inc
+                                toks.append(
+                                    (tk.text, max(pos, 0),
+                                     tk.start, tk.end)
+                                )
+                                if len(toks) > fc.max_field_length:
+                                    break
+                        tvs.append(encode_term_vector(toks))
+                    docs_cols[f"tv_{fname}"] = pa.array(
+                        tvs, type=pa.large_binary()
+                    )
                 if fc.norms:
                     # boost chain in float32, C association order:
                     # fi.boost * doc_boost * df_boost(1) * length_norm

@@ -100,6 +100,14 @@ def test_sorts(sort_searcher):
     check_order(s, [5, 4, 6, 3, 7, 2, 8, 1, 9, 0],
                 [SortField("string", "string", reverse=True)])
 
+    # byte sort: term-ordinal cache (c/src/field_index.c:95-129); the
+    # missing value (doc 5) gets ordinal 0 -> sorts SMALLEST ascending,
+    # unlike the string index
+    check_order(s, [5, 0, 9, 1, 8, 2, 7, 3, 6, 4],
+                [SortField("string", "byte")])
+    check_order(s, [4, 6, 3, 7, 2, 8, 1, 9, 0, 5],
+                [SortField("string", "byte", reverse=True)])
+
     # auto sniffing (:290-305)
     check_order(s, [0, 9, 1, 8, 2, 7, 3, 6, 4, 5],
                 [SortField("string", "auto")])
