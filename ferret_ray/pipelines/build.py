@@ -66,6 +66,10 @@ def build_index(
     # invert_num_cpus reserves CPUs per task (cfg knob; >1 caps per-node
     # concurrency for bandwidth-bound analyzers — unnecessary since the
     # memoized tokenizer, measured in BASELINE.md).
+    # Task pool with a serialized UDF instance: measured FASTER than an
+    # autoscaling actor pool here — actor ramp-up wastes several seconds
+    # of a sub-minute stage, while per-task UDF deserialization is cheap
+    # and the region-memo cache warms within each multi-fragment group.
     invert_ds = frag_ds.map_batches(
         InvertFragment(cfg, index_dir, build_fp),
         batch_size=1,

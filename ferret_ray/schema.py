@@ -42,9 +42,9 @@ class IndexConfig:
     num_shards: int = 16
     # fragments (row-groups) per invert task: tokenized one-by-one (small
     # working set) but written as ONE segment — per-group vocab dedup
-    # (4 x 500-row fragments ~ 2k docs/task: enough tasks to avoid wave
-    # quantization at high parallelism, enough docs for vocab dedup)
-    fragments_per_task: int = 4
+    # (8 x 500-row fragments ~ 4k docs/task: amortizes per-task overhead
+    # while leaving enough tasks to fill the cluster)
+    fragments_per_task: int = 8
     # skew handling: a term whose df within one input fragment exceeds
     # hot_df_per_fragment gets salted sub-groups of salt_doc_range docs
     hot_df_per_fragment: int = 4096
