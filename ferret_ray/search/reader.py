@@ -111,7 +111,14 @@ class _Shard:
     reference analogue: TermInfosReader's .tix sampled index + seek
     (c/src/index.c:2712-2869) instead of slurping the whole .tis/.frq."""
 
-    BLOB_COLS = ["docs_enc", "freqs_enc", "prx_enc", "prx_lens_enc"]
+    # fetch groups: scoring touches only docs+freqs; positions (the bulk
+    # of index bytes) load only for phrase/span paths
+    BLOB_GROUPS = {
+        "docs_enc": ("docs_enc", "freqs_enc"),
+        "freqs_enc": ("docs_enc", "freqs_enc"),
+        "prx_enc": ("prx_enc", "prx_lens_enc"),
+        "prx_lens_enc": ("prx_enc", "prx_lens_enc"),
+    }
 
     def __init__(self, path: str, rg_cache: int = 8, fs=None):
         if fs is None:
@@ -152,14 +159,16 @@ class _Shard:
 
     def _blob(self, name: str, i: int) -> bytes:
         rg = int(np.searchsorted(self._rg_off, i, side="right") - 1)
-        tbl = self._rg_cache.get(rg)
+        cols = self.BLOB_GROUPS[name]
+        key = (rg, cols[0])
+        tbl = self._rg_cache.get(key)
         if tbl is None:
-            tbl = self._pf.read_row_group(rg, columns=self.BLOB_COLS)
-            self._rg_cache[rg] = tbl
+            tbl = self._pf.read_row_group(rg, columns=list(cols))
+            self._rg_cache[key] = tbl
             if len(self._rg_cache) > self._rg_cap:
                 self._rg_cache.popitem(last=False)
         else:
-            self._rg_cache.move_to_end(rg)
+            self._rg_cache.move_to_end(key)
         return tbl.column(name)[i - int(self._rg_off[rg])].as_py()
 
 
