@@ -137,6 +137,10 @@ def analyzer_for(spec: str | Analyzer) -> Analyzer:
                         yield tk
 
         return _A(_DoubleTok(), lowercase=False, stop_words=None, hyphen=False)
+    if spec == "legacy":
+        from .analysis.legacy import legacy_standard_analyzer
+
+        return legacy_standard_analyzer()
     if spec == "letter":
         return letter_analyzer()
     if spec == "alnum":
