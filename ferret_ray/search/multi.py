@@ -87,6 +87,29 @@ class MultiReader:
             np.concatenate(docs_l), np.concatenate(freqs_l), prx
         )
 
+    def postings_many(self, field: str, terms: list[str]):
+        """Bulk fetch across sub-readers with doc-base offsets."""
+        merged: dict[str, Postings] = {}
+        partials: dict[str, list] = {}
+        for r, base in zip(self.readers, self.bases):
+            sub = (
+                r.postings_many(field, terms)
+                if hasattr(r, "postings_many")
+                else {
+                    t: p for t in terms
+                    if (p := r.postings(field, t)) is not None
+                }
+            )
+            for t, p in sub.items():
+                partials.setdefault(t, []).append((p, base))
+        for t, parts in partials.items():
+            merged[t] = Postings(
+                np.concatenate([p.docs + b for p, b in parts]),
+                np.concatenate([p.freqs for p, _ in parts]),
+                [pp for p, _ in parts for pp in p.prx_parts],
+            )
+        return merged
+
     def terms_with_prefix(self, field: str, prefix: str) -> list[str]:
         out: set[str] = set()
         for r in self.readers:

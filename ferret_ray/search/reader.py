@@ -40,6 +40,12 @@ from ..state.fs import (
 from ..state.manifest import read_manifest
 
 
+def _blob_bytes(b) -> bytes:
+    """Resolve a prx part entry: raw bytes or a deferred (source, row)
+    fetch (bulk expansions never pay for positions they don't use)."""
+    return b if isinstance(b, (bytes, bytearray)) else b[0][b[1]]
+
+
 class Postings:
     """Decoded posting list; positions decode lazily (one vectorized pass
     over the whole prx stream, cached)."""
@@ -49,7 +55,8 @@ class Postings:
     def __init__(self, docs, freqs, prx_parts):
         self.docs = docs           # int64, ascending
         self.freqs = freqs         # int64
-        # per-range raw blobs: (prx, prx_lens, n_docs)
+        # per-range raw blobs: (prx, prx_lens, n_docs); the blob slots
+        # hold bytes OR deferred (_RGBlobs, row) pairs
         self.prx_parts = prx_parts
         self._pos_flat = None
         self._pos_off = None
@@ -61,7 +68,9 @@ class Postings:
             base = 0
             for prx, _lens, n in self.prx_parts:
                 parts.append(
-                    decode_positions_all(prx, self.freqs[base: base + n])
+                    decode_positions_all(
+                        _blob_bytes(prx), self.freqs[base: base + n]
+                    )
                 )
                 base += n
             self._pos_flat = (
@@ -295,6 +304,67 @@ class IndexReader:
             self._postings_cache.popitem(last=False)
         return p
 
+    def postings_many(
+        self, field: str, terms: list[str]
+    ) -> dict[str, Postings]:
+        """Bulk postings fetch for many terms (prefix/wildcard/fuzzy
+        expansions): one merge-join per shard against the sorted
+        dictionary slice instead of a per-term bisect, with row-group
+        blob reads shared across terms.  Bypasses the per-term LRU (a
+        10k-term expansion would churn it)."""
+        fn = self.field_num(field)
+        out: dict[str, Postings] = {}
+        if fn < 0 or not terms:
+            return out
+        terms_sorted = sorted(set(terms))
+        # group by term-hash shard
+        by_hash: dict[int, list[str]] = {}
+        for t in terms_sorted:
+            by_hash.setdefault(
+                term_shard(fn, t, self.num_shards), []
+            ).append(t)
+        parts: dict[str, list] = {}
+        for h, tlist in by_hash.items():
+            for ss in self._by_shard.get(h, ()):
+                sh = self._shard_for(ss)
+                a = int(np.searchsorted(sh.fields, fn, side="left"))
+                b = int(np.searchsorted(sh.fields, fn, side="right"))
+                i = _bisect_terms(sh.terms, tlist[0], a, b)
+                j = _bisect_terms(sh.terms, tlist[-1], a, b, right=True)
+                if i >= j:
+                    continue
+                dict_slice = sh.terms_slice(i, j)
+                # merge-join the two sorted lists
+                di = 0
+                for t in tlist:
+                    while di < len(dict_slice) and dict_slice[di] < t:
+                        di += 1
+                    if di < len(dict_slice) and dict_slice[di] == t:
+                        parts.setdefault(t, []).append((sh, i + di))
+        for t, rows in parts.items():
+            docs_l, freqs_l, prx_parts = [], [], []
+            for sh, ri in rows:
+                d, f = decode_docs_freqs(
+                    sh.docs_enc[ri], sh.freqs_enc[ri]
+                )
+                docs_l.append(d)
+                freqs_l.append(f)
+                # deferred position blobs — fetched only if a caller
+                # actually decodes positions
+                prx_parts.append(
+                    (
+                        (sh.prx_enc, ri),
+                        (sh.prx_lens_enc, ri),
+                        d.size,
+                    )
+                )
+            out[t] = Postings(
+                np.concatenate(docs_l),
+                np.concatenate(freqs_l),
+                prx_parts,
+            )
+        return out
+
     def positions_for(
         self, p: Postings, select: np.ndarray
     ) -> list[np.ndarray]:
@@ -313,7 +383,8 @@ class IndexReader:
                 freqs = p.freqs[base:end]
                 out.extend(
                     decode_positions(
-                        prx, prx_lens, freqs, np.asarray(local)
+                        _blob_bytes(prx), _blob_bytes(prx_lens),
+                        freqs, np.asarray(local),
                     )
                 )
             base = end

@@ -471,19 +471,38 @@ class Searcher:
         q: MultiTermQuery = w.query
         if self.reader.field_num(q.field) < 0 or not q.terms:
             return None
+        # bulk dictionary merge-join for large expansions (prefix /
+        # wildcard / fuzzy rewrites): one pass per shard slice instead
+        # of a per-term bisect
+        bulk = getattr(self.reader, "postings_many", None)
+        pmap = (
+            bulk(q.field, [t for t, _ in q.terms])
+            if bulk is not None else None
+        )
         posts = []
         for t, b in q.terms:
-            p = self.reader.postings(q.field, t)
+            p = (
+                pmap.get(t) if pmap is not None
+                else self.reader.postings(q.field, t)
+            )
             if p is not None:
                 posts.append((p, F32(b)))
         if not posts:
             return None
-        all_docs = np.unique(np.concatenate([p.docs for p, _ in posts]))
+        docs_cat = np.concatenate([p.docs for p, _ in posts])
+        all_docs = np.unique(docs_cat)
+        # one accumulate pass; np.add.at adds in order of appearance =
+        # term order, the same float32 association order as the per-term
+        # loop (bit-exact with the reference goldens)
+        vals_cat = np.concatenate(
+            [
+                np.sqrt(p.freqs.astype(np.float64)).astype(np.float32)
+                * b
+                for p, b in posts
+            ]
+        )
         acc = np.zeros(all_docs.size, dtype=np.float32)
-        for p, b in posts:
-            idx = np.searchsorted(all_docs, p.docs)
-            tf = np.sqrt(p.freqs.astype(np.float64)).astype(np.float32)
-            acc[idx] += tf * b
+        np.add.at(acc, np.searchsorted(all_docs, docs_cat), vals_cat)
         scores = (acc * w.value) * self._norm_decode(q.field, all_docs)
         return ScoredDocs(all_docs, scores.astype(np.float32))
 
