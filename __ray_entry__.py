@@ -374,6 +374,41 @@ def q_batch_search(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _events_ds(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def q_window_agg(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1h event-time windows: count + integer-cents sum per
+    (window, event_type) — partial aggregation inside map_batches, one
+    small shuffle (oracle-checked)."""
+    from ferret_ray.functions.windows import tumbling_window_agg
+
+    df = tumbling_window_agg(_events_ds(sf_dir)).to_pandas()
+    df = df.rename(columns={"sum(n)": "n", "sum(cents)": "cents"})
+    return (
+        df.sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+        .astype({"window_start": "int64", "n": "int64",
+                 "cents": "int64"})
+    )
+
+
+def q_session_count(sf_dir: str) -> pd.DataFrame:
+    """Sessionization: sessions per user at a 30-min gap (hash shuffle
+    on user, vectorized gap-split; oracle-checked)."""
+    from ferret_ray.functions.windows import session_counts
+
+    df = session_counts(_events_ds(sf_dir)).to_pandas()
+    return (
+        df.sort_values("user_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+
+
 def q_fuzzy_search(sf_dir: str) -> pd.DataFrame:
     """FuzzyQuery expansion: docs containing a term within edit distance
     of 'spark' at similarity > 0.5 (reference defaults)."""
@@ -493,6 +528,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_top10": q_bm25_top10,
         "batch_search": q_batch_search,
         "group_by_events": q_group_by_events,
+        "window_agg": q_window_agg,
+        "session_count": q_session_count,
         "fuzzy_search": q_fuzzy_search,
         "span_near_search": q_span_near_search,
         "wand_topk": q_wand_topk,
@@ -592,6 +629,34 @@ def oracle_sql() -> dict[str, str]:
         "group_by_events": """
             SELECT event_type, count(*) AS n FROM events
             GROUP BY event_type
+        """,
+        # tumbling 1h event-time windows; value summed as integer cents
+        # so the result is order-independent and exactly comparable
+        "window_agg": """
+            SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+                       AS window_start,
+                   event_type,
+                   count(*) AS n,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS cents
+            FROM events
+            GROUP BY 1, 2
+            ORDER BY window_start, event_type
+        """,
+        # sessionization: a strictly-greater-than-30min gap starts a new
+        # session (microsecond-exact comparison on both sides)
+        "session_count": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         AS prev
+              FROM events
+            )
+            SELECT user_id,
+                   sum(CASE WHEN prev IS NULL
+                            OR epoch_us(ts) - epoch_us(prev)
+                               > 1800 * 1000000
+                            THEN 1 ELSE 0 END) AS n_sessions
+            FROM o GROUP BY user_id ORDER BY user_id
         """,
         # fuzzy: score = 1 - lev/min(len) must EXCEED min_sim 0.5
         # (fuzq_score, c/src/q_fuzzy.c:116-141)
