@@ -294,6 +294,28 @@ def q_ann_lsh_top10(sf_dir: str) -> pd.DataFrame:
     ).astype("int64")
 
 
+def q_ann_ivf_top10(sf_dir: str) -> pd.DataFrame:
+    """IVF ANN (k-means coarse quantizer, nprobe clusters probed) —
+    rows-only check; recall<1 by design, exact when nprobe=n_clusters."""
+    import pyarrow.parquet as pq
+
+    from ferret_ray.functions.ann import ivf_topk
+
+    q = np.asarray(
+        pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        .column("embedding")[0]
+        .as_py(),
+        dtype=np.float64,
+    )
+    res = ivf_topk(_emb_ds(sf_dir), q, k=10, n_clusters=8, nprobe=3)[0]
+    return pd.DataFrame(
+        {
+            "rank": [r for r, _, _ in res],
+            "vec_id": [v for _, v, _ in res],
+        }
+    ).astype("int64")
+
+
 def q_lang_id(sf_dir: str) -> pd.DataFrame:
     from ferret_ray.functions.textstats import lang_id
 
@@ -521,6 +543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": q_simhash_pairs,
         "ann_top10": q_ann_top10,
         "ann_lsh_top10": q_ann_lsh_top10,
+        "ann_ivf_top10": q_ann_ivf_top10,
         "lang_id": q_lang_id,
         "quality": q_quality,
         "fingerprints": q_fingerprints,

@@ -111,6 +111,81 @@ def brute_force_topk(
     return results
 
 
+class IVFIndex:
+    """Inverted-file ANN: k-means coarse quantizer + probed clusters.
+
+    The scale path beyond single-shot LSH: centroids train once on a
+    deterministic sample (k-means over a broadcastable matrix — "model
+    weights"), every vector is assigned to its nearest centroid by a
+    ``map_batches`` matmul, and a query scores only the vectors in its
+    ``nprobe`` closest clusters.  At cluster scale the assignment write
+    becomes a partitioned parquet (one directory per cluster) so probes
+    read only their clusters' files."""
+
+    def __init__(self, centroids: np.ndarray):
+        self.centroids = _normalize(
+            np.asarray(centroids, dtype=np.float32)
+        )
+
+    @staticmethod
+    def train(
+        sample: np.ndarray, n_clusters: int = 16, n_iter: int = 10,
+        seed: int = 17,
+    ) -> "IVFIndex":
+        """Deterministic k-means (cosine/spherical) on a sample."""
+        x = _normalize(np.asarray(sample, dtype=np.float32))
+        rng = np.random.default_rng(seed)
+        n_clusters = min(n_clusters, x.shape[0])
+        cent = x[rng.choice(x.shape[0], n_clusters, replace=False)]
+        for _ in range(n_iter):
+            assign = (x @ cent.T).argmax(axis=1)
+            for c in range(n_clusters):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = x[mask].mean(axis=0)
+            cent = _normalize(cent)
+        return IVFIndex(cent)
+
+    def assign(self, vecs: np.ndarray) -> np.ndarray:
+        return (_normalize(vecs) @ self.centroids.T).argmax(axis=1)
+
+    def probe(self, query: np.ndarray, nprobe: int) -> np.ndarray:
+        sims = _normalize(np.atleast_2d(query)) @ self.centroids.T
+        return np.argsort(-sims[0])[:nprobe]
+
+
+def ivf_topk(
+    ds,
+    query: np.ndarray,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    train_sample: int = 2048,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """IVF ANN: train the coarse quantizer on a limited sample (the only
+    driver-side materialization, bounded by ``train_sample``), broadcast
+    the centroids, filter to the query's probed clusters inside
+    ``map_batches``, brute-force the survivors.  Recall < 1 by design;
+    nprobe = n_clusters degenerates to exact search."""
+    sample_rows = ds.limit(train_sample).take_all()
+    sample = np.stack(
+        [np.asarray(r[vec_col], dtype=np.float32) for r in sample_rows]
+    )
+    ivf = IVFIndex.train(sample, n_clusters)
+    query = np.asarray(query, dtype=np.float32)
+    probed = set(int(c) for c in ivf.probe(query, nprobe))
+
+    def cluster_filter(batch):
+        vecs = _vecs_np(batch.column(vec_col))
+        keep = np.isin(ivf.assign(vecs), list(probed))
+        return batch.select([id_col, vec_col]).filter(pa.array(keep))
+
+    filtered = ds.map_batches(cluster_filter, batch_format="pyarrow")
+    return brute_force_topk(filtered, query, k, vec_col, id_col)
+
+
 class RandomHyperplaneLSH:
     def __init__(self, dim: int, num_bits: int = 16, seed: int = 11):
         rng = np.random.default_rng(seed)
