@@ -50,6 +50,8 @@ def vint_decode(buf: bytes | memoryview | np.ndarray) -> np.ndarray:
     if b.size == 0:
         return np.empty(0, dtype=np.int64)
     is_last = (b & 0x80) == 0
+    if is_last.all():  # fast path: every value fits one byte
+        return b.astype(np.int64)
     # group start indices: 0 and every index following a terminator
     starts = np.flatnonzero(np.concatenate(([True], is_last[:-1])))
     idx = np.arange(b.size, dtype=np.int64)

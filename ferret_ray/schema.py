@@ -33,6 +33,23 @@ class FieldConfig:
 
 @dataclass
 class IndexConfig:
+    """Index build configuration.
+
+    Sizing at scale (10^9..10^12 docs): the index has one shard file per
+    (salt range, term hash), so
+    * ``num_shards``       ~ O(cluster cores) for merge parallelism and
+      per-file size; a term's dictionary lookup touches one hash across
+      all ranges;
+    * ``salt_doc_range``   bounds the skew of any one merge group AND
+      sets a term's file fan-in (= total_docs / salt_doc_range files per
+      term at read time): raise it with corpus size, e.g. 2^30 at 10^12
+      docs (~1k range files per term);
+    * ``merge_buckets``    = merge task count; each task holds one
+      (bucket x salt-range) slice in memory — raise with corpus size so
+      slices stay in worker heap.
+    All three are part of the manifest fingerprint; outputs are
+    byte-identical at any parallelism for a fixed config."""
+
     fields: dict[str, FieldConfig]
     # column holding a per-document boost multiplier (test corpora);
     # doc_boost propagates into norms (c/src/index.c:5676-5681)

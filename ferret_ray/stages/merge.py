@@ -98,6 +98,25 @@ def _metrics(shard_salt, num_terms, num_postings, nbytes, skipped):
 # zero-object binary column machinery
 # --------------------------------------------------------------------------
 
+def _segmented_gather_idx(
+    starts: np.ndarray, lens: np.ndarray, total: int
+) -> np.ndarray:
+    """Source indices for gathering segments [starts[k], starts[k]+
+    lens[k]) back-to-back: a cumsum step function instead of
+    np.repeat + np.arange (no per-byte segment-id array)."""
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    step = np.ones(total, dtype=np.int64)
+    step[0] = starts[0]
+    if starts.size > 1:
+        bpos = np.cumsum(lens[:-1])
+        # boundary step = jump + the default 1; add.at accumulates
+        # collisions from zero-length segments (incl. leading empties)
+        jumps = starts[1:] - starts[:-1] - lens[:-1]
+        keep = bpos < total
+        np.add.at(step, bpos[keep], jumps[keep])
+    return np.cumsum(step)
+
 def _bin_bufs(col) -> tuple[np.ndarray, np.ndarray]:
     """(offsets int64[n+1], data uint8[]) of a large_binary column."""
     arr = (
@@ -135,11 +154,7 @@ def _bin_from_group_offsets(
         # groups cover the whole buffer contiguously -> reuse data as-is
         gathered = data[: total]
     else:
-        idx = (
-            np.repeat(a - out_off[:-1], lens)
-            + np.arange(total, dtype=np.int64)
-        )
-        gathered = data[idx]
+        gathered = data[_segmented_gather_idx(a, lens, total)]
     return pa.LargeBinaryArray.from_buffers(
         pa.large_binary(), n,
         [None, pa.py_buffer(out_off.tobytes()),
@@ -243,11 +258,7 @@ class _MergedGroups:
         out_off2[0] = 0
         np.cumsum(lens2, out=out_off2[1:])
         total = int(out_off2[-1])
-        idx = (
-            np.repeat(starts2 - out_off2[:-1], lens2)
-            + np.arange(total, dtype=np.int64)
-        )
-        spliced = src[idx]
+        spliced = src[_segmented_gather_idx(starts2, lens2, total)]
         row_byte_off = out_off2[0::2]  # every row's start (2k-th segment)
         self._docs_row_off = row_byte_off
         self._docs_data = spliced
@@ -389,11 +400,7 @@ def _splice_first_vint(
     out_off2[0] = 0
     np.cumsum(lens2, out=out_off2[1:])
     total = int(out_off2[-1])
-    idx = (
-        np.repeat(starts2 - out_off2[:-1], lens2)
-        + np.arange(total, dtype=np.int64)
-    )
-    spliced = src[idx]
+    spliced = src[_segmented_gather_idx(starts2, lens2, total)]
     return pa.LargeBinaryArray.from_buffers(
         pa.large_binary(), n,
         [None, pa.py_buffer(out_off2[0::2].copy().tobytes()),
