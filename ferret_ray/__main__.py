@@ -1,10 +1,17 @@
-"""CLI: build / search / inspect an index.
+"""CLI: build / search / inspect / browse an index.
 
     python -m ferret_ray build  <input.parquet...> <index_dir> \
         [--field content] [--analyzer standard] [--shards 64]
     python -m ferret_ray search <index_dir> "<FQL query>" \
         [--field content] [--k 10]
     python -m ferret_ray inspect <index_dir>
+    python -m ferret_ray terms   <index_dir> [--field f] [--prefix p] \
+        [--limit 20]          # term browser (df-ranked or prefix scan)
+    python -m ferret_ray doc     <index_dir> <doc_id>   # stored fields
+
+``terms``/``doc`` are the CLI equivalents of the reference's
+ferret-browser views (ruby/lib/ferret/browser.rb: term list + document
+view) — same data, no web server.
 """
 
 from __future__ import annotations
@@ -33,6 +40,16 @@ def main(argv=None):
 
     i = sub.add_parser("inspect")
     i.add_argument("index_dir")
+
+    tm = sub.add_parser("terms")
+    tm.add_argument("index_dir")
+    tm.add_argument("--field", default=None)
+    tm.add_argument("--prefix", default="")
+    tm.add_argument("--limit", type=int, default=20)
+
+    dc = sub.add_parser("doc")
+    dc.add_argument("index_dir")
+    dc.add_argument("doc_id", type=int)
 
     args = ap.parse_args(argv)
     import ray
@@ -81,6 +98,49 @@ def main(argv=None):
                         for h in td.hits
                     ],
                 }, indent=2,
+            ))
+        elif args.cmd == "terms":
+            from .search.reader import IndexReader
+
+            reader = IndexReader(args.index_dir)
+            fields = (
+                [args.field] if args.field
+                else [f for f in reader.field_names
+                      if reader.is_indexed(f)]
+            )
+            out = {}
+            for f in fields:
+                fn = reader.field_num(f)
+                rows = []
+                for ss in reader._shard_salts:
+                    sh = reader._shard_for(ss)
+                    import numpy as _np
+
+                    a = int(_np.searchsorted(sh.fields, fn, "left"))
+                    b = int(_np.searchsorted(sh.fields, fn, "right"))
+                    terms = sh.terms_slice(a, b)
+                    dfs = sh.df[a:b]
+                    for t, d in zip(terms, dfs):
+                        if t.startswith(args.prefix):
+                            rows.append((t, int(d)))
+                # aggregate df across salt ranges, rank by df desc
+                agg: dict[str, int] = {}
+                for t, d in rows:
+                    agg[t] = agg.get(t, 0) + d
+                top = sorted(
+                    agg.items(), key=lambda kv: (-kv[1], kv[0])
+                )[: args.limit]
+                out[f] = [{"term": t, "df": d} for t, d in top]
+            print(json.dumps(out, indent=2))
+        elif args.cmd == "doc":
+            from .search.reader import IndexReader
+
+            reader = IndexReader(args.index_dir)
+            doc = reader.get_doc(args.doc_id)
+            print(json.dumps(
+                {k: (v if not isinstance(v, bytes) else f"<{len(v)}B>")
+                 for k, v in doc.items()},
+                indent=2, default=str,
             ))
         else:
             from .state.manifest import read_manifest
