@@ -96,6 +96,28 @@ def _invert_texts(
     for di, text in enumerate(texts):
         if not text:
             continue
+        if isinstance(text, (list, tuple, np.ndarray)):
+            # multi-valued DocField (c/src/index.c:5565-5640): positions
+            # CONTINUE across values with no extra gap, so phrases may
+            # match across value boundaries — reference semantics
+            n_doc = 0
+            pos_base = 0
+            for v in text:
+                if not v:
+                    continue
+                terms, positions = tp(
+                    str(v), max_field_length - n_doc
+                )
+                if not terms:
+                    continue
+                all_terms.extend(terms)
+                all_poss.extend(p + pos_base for p in positions)
+                pos_base += positions[-1] + 1
+                n_doc += len(terms)
+                if n_doc > max_field_length:
+                    break
+            lens[di] = n_doc
+            continue
         terms, positions = tp(text, max_field_length)
         lens[di] = len(terms)
         all_terms.extend(terms)
@@ -385,16 +407,27 @@ class InvertFragment:
                     tvs = []
                     for text in texts:
                         toks: list[tuple[str, int, int, int]] = []
-                        if text:
-                            pos = -1
-                            for tk in an.token_stream(text):
+                        vals = (
+                            [v for v in text if v]
+                            if isinstance(text, (list, tuple,
+                                                 np.ndarray))
+                            else ([text] if text else [])
+                        )
+                        pos = -1
+                        off = 0  # offsets shift by value len + 1
+                        for v in vals:
+                            v = str(v)
+                            for tk in an.token_stream(v):
                                 pos += tk.pos_inc
                                 toks.append(
                                     (tk.text, max(pos, 0),
-                                     tk.start, tk.end)
+                                     off + tk.start, off + tk.end)
                                 )
                                 if len(toks) > fc.max_field_length:
                                     break
+                            off += len(v) + 1
+                            if len(toks) > fc.max_field_length:
+                                break
                         tvs.append(encode_term_vector(toks))
                     docs_cols[f"tv_{fname}"] = pa.array(
                         tvs, type=pa.large_binary()
