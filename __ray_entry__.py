@@ -660,7 +660,8 @@ def oracle_sql() -> dict[str, str]:
                        AS window_start,
                    event_type,
                    count(*) AS n,
-                   sum(CAST(round(value * 100) AS BIGINT)) AS cents
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
             FROM events
             GROUP BY 1, 2
             ORDER BY window_start, event_type
@@ -675,10 +676,10 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             )
             SELECT user_id,
-                   sum(CASE WHEN prev IS NULL
+                   CAST(sum(CASE WHEN prev IS NULL
                             OR epoch_us(ts) - epoch_us(prev)
                                > 1800 * 1000000
-                            THEN 1 ELSE 0 END) AS n_sessions
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
             FROM o GROUP BY user_id ORDER BY user_id
         """,
         # fuzzy: score = 1 - lev/min(len) must EXCEED min_sim 0.5
