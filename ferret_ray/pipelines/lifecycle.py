@@ -433,6 +433,25 @@ class IncrementalIndex:
         if len(self._state["deltas"]) >= 2:
             self._compact_from(0)
 
+    def expunge_deletes(self) -> None:
+        """Physically purge tombstones from every delta (the doc_map
+        remap of a reference merge; pipelines/expunge.py).  Scores then
+        reflect the shrunken df/N, like a fresh build."""
+        from .deletes import load_deleted
+        from .expunge import expunge_deletes as _expunge
+
+        rfs, rroot = resolve_fs(self.root)
+        for i, name in enumerate(list(self._state["deltas"])):
+            src = fs_join(self.root, name)
+            if not load_deleted(src):
+                continue
+            new = f"delta-{self._state['counter']:06d}"
+            self._state["counter"] += 1
+            _expunge(src, fs_join(self.root, new))
+            self._state["deltas"][i] = new
+            self._commit()
+            fs_rmtree(rfs, fs_join(rroot, name))
+
     # ---- reading --------------------------------------------------------
 
     def reader(self):
