@@ -92,6 +92,7 @@ def build_index(
         BucketMerger(index_dir, build_fp),
         batch_size=1,
         batch_format="pyarrow",
+        num_cpus=cfg.merge_num_cpus,
         concurrency=concurrency,
     )
     shard_metrics = shard_ds.take_all()

@@ -78,6 +78,9 @@ class IndexConfig:
     # the stage is no longer memory-bandwidth-bound, so one task per core
     # wins (measured: invert 15.8s -> 9.2s at 32 cpus / 200k docs)
     invert_num_cpus: float = 1.0
+    # CPUs reserved per merge (bucket) task — same knob for the merge
+    # stage; >1 caps concurrency for bandwidth-emulation measurements
+    merge_num_cpus: float = 1.0
 
     @property
     def resolved_merge_buckets(self) -> int:
