@@ -44,13 +44,20 @@ def delete_docs(index_dir: str, doc_ids) -> int:
 def delete_by_term(index_dir: str, field: str, term: str) -> int:
     """iw_delete_term: tombstone every doc whose ``field`` contains
     ``term``."""
+    return delete_by_terms(index_dir, field, [term])
+
+
+def delete_by_terms(index_dir: str, field: str, terms: list[str]) -> int:
+    """Batch iw_delete_term: one bulk dictionary merge-join for all
+    terms (reader.postings_many), one tombstone generation."""
     from ..search.reader import IndexReader
 
     reader = IndexReader(index_dir)
-    p = reader.postings(field, term)
-    if p is None:
-        return 0
-    return delete_docs(index_dir, p.docs.tolist())
+    pmap = reader.postings_many(field, list(terms))
+    ids: set[int] = set()
+    for p in pmap.values():
+        ids.update(int(d) for d in p.docs)
+    return delete_docs(index_dir, ids)
 
 
 def load_deleted(index_dir: str) -> set[int]:

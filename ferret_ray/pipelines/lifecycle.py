@@ -365,8 +365,7 @@ class IncrementalIndex:
         """Index#add_doc with :key semantics (c/src/ind.c:202-258):
         tombstone every existing doc whose ``key_field`` matches an
         incoming key, then append the new docs as a delta."""
-        from ..analysis.tokenizer import NonTokenizer
-        from ..pipelines.deletes import delete_by_term
+        from ..pipelines.deletes import delete_by_terms
 
         fc = self.cfg.fields.get(key_field)
         if fc is None or fc.analyzer != "keyword":
@@ -384,8 +383,8 @@ class IncrementalIndex:
                 x for x in t.column(key_field).to_pylist() if x
             )
         for d in self.delta_dirs:
-            for k in sorted(keys):
-                delete_by_term(d, key_field, k)
+            # one bulk dictionary pass per delta for ALL incoming keys
+            delete_by_terms(d, key_field, sorted(keys))
         return self.append(input_paths, merge=merge)
 
     # ---- merge policy ---------------------------------------------------
