@@ -486,15 +486,30 @@ def q_highlight(sf_dir: str) -> pd.DataFrame:
     _, _, searcher = _index_for(sf_dir)
     q = TermQuery("text", "spark")
     td = searcher.search(q, 0, 5)
-    texts = pq.read_table(
-        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
-    ).column("text")
+    # row-group-pruned source read: fetch ONLY the row groups holding
+    # the hit docs (doc_id == source row order), never the full column
+    pf = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet"))
+    md = pf.metadata
+    rg_offsets = [0]
+    for rg in range(md.num_row_groups):
+        rg_offsets.append(rg_offsets[-1] + md.row_group(rg).num_rows)
+    texts: dict[int, str] = {}
+    import bisect as _bisect
+
+    by_rg: dict[int, list[int]] = {}
+    for h in td.hits:
+        rg = _bisect.bisect_right(rg_offsets, h.doc) - 1
+        by_rg.setdefault(rg, []).append(h.doc)
+    for rg, ids in by_rg.items():
+        t = pf.read_row_group(rg, columns=["text"]).column("text")
+        for did in ids:
+            texts[did] = t[did - rg_offsets[rg]].as_py()
     out = {"doc_id": [], "excerpt": []}
     for h in td.hits:
         ex = highlight(
             searcher, q, h.doc, "text", analyzer_for("alnum"),
             excerpt_length=60, num_excerpts=1,
-            text=texts[h.doc].as_py(),
+            text=texts[h.doc],
         )
         out["doc_id"].append(h.doc)
         out["excerpt"].append(ex[0] if ex else "")

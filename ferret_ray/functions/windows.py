@@ -45,8 +45,13 @@ def _win_partial(
             "cents": cents,
         }
     )
-    return t.group_by(["window_start", key_col]).aggregate(
+    agg = t.group_by(["window_start", key_col]).aggregate(
         [("n", "sum"), ("cents", "sum")]
+    )
+    # rename by NAME, not position: pyarrow's key/aggregate column order
+    # in group_by output has changed across versions
+    return agg.select(
+        ["window_start", key_col, "n_sum", "cents_sum"]
     ).rename_columns(["window_start", key_col, "n", "cents"])
 
 
@@ -111,8 +116,11 @@ def sliding_window_agg(
                 ),
             }
         )
-        return rep_t.group_by(["window_start", key_col]).aggregate(
+        agg = rep_t.group_by(["window_start", key_col]).aggregate(
             [("n", "sum"), ("cents", "sum")]
+        )
+        return agg.select(
+            ["window_start", key_col, "n_sum", "cents_sum"]
         ).rename_columns(["window_start", key_col, "n", "cents"])
 
     return ds.map_batches(expand, batch_format="pyarrow").groupby(

@@ -30,8 +30,35 @@ import time
 from ..schema import IndexConfig
 from ..sources.fragments import list_fragments
 from ..stages.invert import InvertFragment
-from ..state.fs import fs_makedirs, resolve_fs
+from ..state.fs import (
+    fs_exists,
+    fs_makedirs,
+    fs_read_json,
+    fs_rmtree,
+    fs_write_json_atomic,
+    join as fs_join,
+    resolve_fs,
+)
 from ..state.manifest import read_manifest, write_manifest
+
+
+def _clear_stale_build(index_dir: str, build_fp: str) -> None:
+    """Rebuilding into a dir whose previous build had a DIFFERENT
+    fingerprint must not leave that build's segment/shard/docs files
+    behind — BucketMerger merges every file it finds in a bucket dir, so
+    stale segments would silently pollute the new index.  A marker file
+    records the in-progress fingerprint; same-fp reruns resume from
+    checkpoints untouched."""
+    fs, root = resolve_fs(index_dir)
+    marker = fs_join(root, "build_fp.json")
+    rec = fs_read_json(fs, marker)
+    if rec is not None and rec.get("fingerprint") != build_fp:
+        for sub in ("segments", "shards", "docs", "checkpoints"):
+            p = fs_join(root, sub)
+            if fs_exists(fs, p):
+                fs_rmtree(fs, p)
+    if rec is None or rec.get("fingerprint") != build_fp:
+        fs_write_json_atomic(fs, marker, {"fingerprint": build_fp})
 
 
 def build_index(
@@ -55,6 +82,7 @@ def build_index(
 
     _fs, _root = resolve_fs(index_dir)
     fs_makedirs(_fs, _root)
+    _clear_stale_build(index_dir, build_fp)
 
     # ---- phase 1: tokenize + invert, one task per fragment GROUP --------
     # deterministic grouping (split at salt-range boundaries) => resumable

@@ -60,6 +60,19 @@ def delete_by_terms(index_dir: str, field: str, terms: list[str]) -> int:
     return delete_docs(index_dir, ids)
 
 
+def clear_deletes(index_dir: str) -> int:
+    """undelete_all (ir_undelete_all, c/src/index.c): drop every
+    tombstone generation; returns count removed."""
+    fs, root = resolve_fs(index_dir)
+    ddir = fs_join(root, "deletes")
+    n = 0
+    for name in fs_listdir(fs, ddir):
+        if name.startswith("gen-") and name.endswith(".json"):
+            fs.delete_file(fs_join(ddir, name))
+            n += 1
+    return n
+
+
 def load_deleted(index_dir: str) -> set[int]:
     fs, root = resolve_fs(index_dir)
     ddir = fs_join(root, "deletes")

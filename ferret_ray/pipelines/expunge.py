@@ -17,6 +17,7 @@ the original range layout.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import time
 
@@ -113,11 +114,12 @@ def _purge_shard_table(
 
 class _PurgeTask:
     def __init__(self, src: str, dest: str, fp: str,
-                 deleted: list[int]):
+                 deleted: list[int], docs_rg_size: int = 1024):
         self.src = src
         self.dest = dest
         self.fp = fp
         self.deleted = np.asarray(sorted(deleted), dtype=np.int64)
+        self.docs_rg_size = docs_rg_size
 
     def __call__(self, batch: dict) -> dict:
         out = []
@@ -163,18 +165,22 @@ class _PurgeTask:
                 new.schema.get_field_index("doc_id"), "doc_id",
                 pa.array(nids, type=pa.int64()),
             )
-            fs_makedirs(dfs, fs_join(droot, "docs"))
-            pq.write_table(
-                new, fs_join(droot, rel), compression="zstd",
-                filesystem=dfs,
-            )
             metrics = {"num_docs": new.num_rows}
-            for c in new.column_names:
-                if c.startswith("len_"):
-                    metrics[f"sum_{c}"] = int(
-                        pa.compute.sum(new.column(c)).as_py() or 0
-                    )
-            outputs = [rel]
+            if new.num_rows:
+                # fully-tombstoned parts are dropped, like a fresh build
+                # that never saw those docs (reader indexes parts by
+                # first doc_id, so zero-row files must not exist)
+                fs_makedirs(dfs, fs_join(droot, "docs"))
+                pq.write_table(
+                    new, fs_join(droot, rel), compression="zstd",
+                    row_group_size=self.docs_rg_size, filesystem=dfs,
+                )
+                for c in new.column_names:
+                    if c.startswith("len_"):
+                        metrics[f"sum_{c}"] = int(
+                            pa.compute.sum(new.column(c)).as_py() or 0
+                        )
+            outputs = [rel] if new.num_rows else []
         write_checkpoint(self.dest, "purge", key, self.fp, outputs,
                          metrics)
         return metrics
@@ -196,9 +202,13 @@ def expunge_deletes(
     if m is None:
         raise FileNotFoundError(f"no manifest in {src_dir}")
     deleted = sorted(load_deleted(src_dir))
-    fp = f"purge:{m['fingerprint']}:{len(deleted)}:" + (
-        f"{deleted[0]}-{deleted[-1]}" if deleted else "none"
-    )
+    # fingerprint the FULL delete set: two different sets with equal
+    # (count, min, max) must never collide, or resumed checkpoints
+    # would reuse files purged with the wrong set
+    del_hash = hashlib.sha256(
+        np.asarray(deleted, dtype=np.int64).tobytes()
+    ).hexdigest()[:16]
+    fp = f"purge:{m['fingerprint']}:{len(deleted)}:{del_hash}"
     existing = read_manifest(dest_dir)
     if existing and existing.get("fingerprint") == fp:
         return existing
@@ -217,7 +227,10 @@ def expunge_deletes(
     rows = ray.data.from_items(
         work, override_num_blocks=max(1, len(work))
     ).map_batches(
-        _PurgeTask(src_dir, dest_dir, fp, deleted),
+        _PurgeTask(
+            src_dir, dest_dir, fp, deleted,
+            docs_rg_size=m["config"].get("docs_row_group_size", 1024),
+        ),
         batch_size=4,
         concurrency=concurrency,
     ).take_all()

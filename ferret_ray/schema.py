@@ -81,6 +81,10 @@ class IndexConfig:
     # CPUs reserved per merge (bucket) task — same knob for the merge
     # stage; >1 caps concurrency for bandwidth-emulation measurements
     merge_num_cpus: float = 1.0
+    # parquet row-group size of the stored-docs parts: the unit of
+    # point access for get_doc/highlight (FieldsReader .fdx analogue).
+    # Smaller = finer fetches for doc display, larger = better scans.
+    docs_row_group_size: int = 1024
 
     @property
     def resolved_merge_buckets(self) -> int:
@@ -112,6 +116,7 @@ class IndexConfig:
             "salt_doc_range": self.salt_doc_range,
             "similarity": self.similarity,
             "merge_buckets": self.merge_buckets,
+            "docs_row_group_size": self.docs_row_group_size,
         }
 
     @property

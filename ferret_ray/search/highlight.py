@@ -244,7 +244,7 @@ def highlight(
     field has no matches (the reference returns NULL then).  ``text``
     overrides the stored field (for indexes built with stored=False)."""
     if text is None:
-        stored = searcher.reader.get_doc(doc)
+        stored = searcher.reader.get_doc(doc, columns=[field])
         text = stored.get(field)
     if text is None:
         return None

@@ -207,7 +207,9 @@ class IndexReader:
         self._cache_cap = postings_cache
         self._norms: dict[str, np.ndarray] = {}
         self._doc_lens: dict[str, np.ndarray] = {}
-        self._docs_parts: list[tuple[int, str]] | None = None
+        self._docs_parts: list | None = None
+        self._doc_rg_cache: OrderedDict = OrderedDict()
+        self.docs_bytes_read: int = 0  # compressed bytes fetched for docs
 
     # ---- schema ---------------------------------------------------------
 
@@ -239,7 +241,9 @@ class IndexReader:
         fc = self.manifest["config"]["fields"].get(field)
         if not fc or not fc.get("term_vector"):
             return None
-        blob = self.get_doc(doc_id).get(f"tv_{field}")
+        blob = self.get_doc(doc_id, columns=[f"tv_{field}"]).get(
+            f"tv_{field}"
+        )
         if blob is None:
             return None
         from ..codec.termvector import decode_term_vector
@@ -501,22 +505,96 @@ class IndexReader:
             self._doc_lens[field] = self._load_docs_column(f"len_{field}")
         return self._doc_lens[field]
 
-    def get_doc(self, doc_id: int) -> dict:
+    # ---- stored-doc access: projected, row-group-pruned, LRU-cached ----
+    #
+    # The reference's FieldsReader seeks directly to one doc's stored
+    # fields via the .fdx offset index (c/src/index.c fr_get_doc); the
+    # parquet analogue is: locate the part by first doc_id, locate the
+    # row group by per-row-group doc_id min statistics, read ONLY that
+    # row group with ONLY the requested columns, and keep a small LRU of
+    # decoded row-group tables so a highlight-N-hits page doesn't re-read
+    # the same file N times.
+
+    _DOC_RG_LRU = 32
+
+    def _docs_index(self):
+        """[(first_doc_id, path, rg_firsts, ParquetFile)] per non-empty
+        docs part, from footer metadata + column statistics only."""
         if self._docs_parts is None:
             docs_dir = fs_join(self._root, "docs")
             parts = []
-            for name in fs_listdir(self._fs, docs_dir):
-                if name.endswith(".parquet"):
-                    path = fs_join(docs_dir, name)
-                    first = open_parquet(self._fs, path).read(
-                        columns=["doc_id"]
-                    ).column("doc_id")[0].as_py()
-                    parts.append((first, path))
+            for name in sorted(fs_listdir(self._fs, docs_dir)):
+                if not name.endswith(".parquet"):
+                    continue
+                path = fs_join(docs_dir, name)
+                pf = open_parquet(self._fs, path)
+                md = pf.metadata
+                if md.num_rows == 0:
+                    continue  # tolerate empty parts (fully purged)
+                idx = pf.schema_arrow.names.index("doc_id")
+                firsts = []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        firsts = None
+                        break
+                    firsts.append(int(st.min))
+                if firsts is None:  # stats missing: one cheap id read
+                    ids = pf.read(columns=["doc_id"]).column("doc_id")
+                    off = 0
+                    firsts = []
+                    for rg in range(md.num_row_groups):
+                        firsts.append(int(ids[off].as_py()))
+                        off += md.row_group(rg).num_rows
+                parts.append((firsts[0], path, firsts, pf))
             self._docs_parts = parts
-        bases = [b for b, _ in self._docs_parts]
+        return self._docs_parts
+
+    def _read_row_group(self, path, pf, rg: int,
+                        columns: list[str] | None) -> "pq.ParquetFile":
+        key = (path, rg, tuple(columns) if columns else None)
+        cache = self._doc_rg_cache
+        t = cache.get(key)
+        if t is None:
+            t = pf.read_row_group(rg, columns=columns)
+            md = pf.metadata.row_group(rg)
+            names = pf.schema_arrow.names
+            want = set(columns) if columns else None
+            for ci in range(md.num_columns):
+                col = md.column(ci)
+                if want is None or col.path_in_schema in want:
+                    self.docs_bytes_read += col.total_compressed_size
+            cache[key] = t
+            if len(cache) > self._DOC_RG_LRU:
+                cache.pop(next(iter(cache)))
+        else:
+            cache.move_to_end(key)
+        return t
+
+    def get_doc(self, doc_id: int,
+                columns: list[str] | None = None) -> dict:
+        parts = self._docs_index()
+        bases = [b for b, _, _, _ in parts]
         pi = bisect.bisect_right(bases, doc_id) - 1
-        _, path = self._docs_parts[pi]
-        t = pq.read_table(path, filesystem=self._fs)
+        _, path, rg_firsts, pf = parts[pi]
+        rg = bisect.bisect_right(rg_firsts, doc_id) - 1
+        cols = (
+            None if columns is None
+            else (["doc_id"] + [c for c in columns if c != "doc_id"])
+        )
+        if cols is not None:
+            have = set(pf.schema_arrow.names)
+            cols = [c for c in cols if c in have]
+        t = self._read_row_group(path, pf, rg, cols)
         ids = t.column("doc_id").to_numpy()
         row = int(np.searchsorted(ids, doc_id))
         return {c: t.column(c)[row].as_py() for c in t.column_names}
+
+    def get_docs(self, doc_ids, columns: list[str] | None = None
+                 ) -> dict[int, dict]:
+        """Bulk stored-doc fetch: ids grouped by (part, row group) so
+        each needed row group is read exactly once."""
+        out: dict[int, dict] = {}
+        for did in sorted(set(int(d) for d in doc_ids)):
+            out[did] = self.get_doc(did, columns=columns)
+        return out

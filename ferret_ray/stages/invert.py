@@ -506,6 +506,9 @@ class InvertFragment:
             docs_table,
             fs_join(self.root, docs_rel),
             compression="zstd",
+            # bounded row groups => get_doc fetches small doc slices, not
+            # the whole part (FieldsReader-style point access)
+            row_group_size=cfg.docs_row_group_size,
             filesystem=self.fs,
         )
         metrics = {

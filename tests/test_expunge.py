@@ -95,3 +95,72 @@ def test_expunge_matches_fresh_build(ray_session, tmp_path):
     from ferret_ray.pipelines.deletes import load_deleted
 
     assert load_deleted(purged) == set()
+
+
+def test_expunge_fully_tombstoned_part(ray_session, tmp_path):
+    """Deleting every doc of one docs part must not leave a zero-row
+    parquet file behind (get_doc indexes parts by first doc_id and
+    would crash on an empty part)."""
+    import os
+
+    from ferret_ray.pipelines.build import build_index
+    from ferret_ray.pipelines.deletes import delete_docs
+    from ferret_ray.pipelines.expunge import expunge_deletes
+    from ferret_ray.schema import source_code_config
+    from ferret_ray.search.reader import IndexReader
+    from ferret_ray.sources.corpus import generate_corpus
+
+    tmp = str(tmp_path)
+    corpus = os.path.join(tmp, "c.parquet")
+    generate_corpus(corpus, 300, rows_per_fragment=100)
+    cfg = source_code_config(num_shards=2)
+    full = os.path.join(tmp, "full")
+    build_index(corpus, full, cfg)
+
+    # tombstone the ENTIRE first fragment (docs 0..99) + a few others
+    delete_docs(full, list(range(100)) + [150, 299])
+    purged = os.path.join(tmp, "purged")
+    m = expunge_deletes(full, purged)
+    assert m["num_docs"] == 198
+
+    r = IndexReader(purged)
+    # every surviving doc is reachable, including across the part gap
+    for did in (0, 97, 99, 197):
+        doc = r.get_doc(did)
+        assert doc["doc_id"] == did
+    # no zero-row parts on disk
+    for n in os.listdir(os.path.join(purged, "docs")):
+        t = pq.read_table(os.path.join(purged, "docs", n))
+        assert t.num_rows > 0
+
+
+def test_expunge_fingerprint_distinguishes_sets(ray_session, tmp_path):
+    """Two delete sets with identical (count, min, max) must produce
+    different purge fingerprints — resumed checkpoints keyed on the fp
+    must never reuse files purged with the wrong set."""
+    import os
+
+    from ferret_ray.pipelines.build import build_index
+    from ferret_ray.pipelines.deletes import clear_deletes, delete_docs
+    from ferret_ray.pipelines.expunge import expunge_deletes
+    from ferret_ray.schema import source_code_config
+    from ferret_ray.search.reader import IndexReader
+    from ferret_ray.sources.corpus import generate_corpus
+
+    tmp = str(tmp_path)
+    corpus = os.path.join(tmp, "c.parquet")
+    generate_corpus(corpus, 50, rows_per_fragment=50)
+    cfg = source_code_config(num_shards=2)
+    full = os.path.join(tmp, "full")
+    build_index(corpus, full, cfg)
+
+    dest = os.path.join(tmp, "purged")
+    delete_docs(full, [0, 5, 9])
+    m1 = expunge_deletes(full, dest)
+    clear_deletes(full)
+    delete_docs(full, [0, 6, 9])  # same count/min/max, different set
+    m2 = expunge_deletes(full, dest)
+    assert m1["fingerprint"] != m2["fingerprint"]
+    # the second purge really removed doc 6 (old id), kept old id 5
+    r = IndexReader(dest)
+    assert r.num_docs == 47
