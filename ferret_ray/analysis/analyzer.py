@@ -132,6 +132,23 @@ def hyphen_filter(stream: TokenStream) -> Iterator[Token]:
             yield tk
 
 
+# Process-global memo state, keyed by analyzer config.  Ray reuses worker
+# processes across tasks (and map_batches task-pool UDFs deserialize a
+# FRESH instance per task), so instance-level caches reset every task and
+# every build pays the vocabulary warm-up again.  Sharing at module level
+# keeps the region memo + batch vocab warm for the worker's lifetime —
+# the steady-state throughput a long-running cluster actually sees.
+_SHARED_STATE: dict[tuple, dict] = {}
+
+
+def _shared_state(key: tuple) -> dict:
+    st = _SHARED_STATE.get(key)
+    if st is None:
+        st = {}
+        _SHARED_STATE[key] = st
+    return st
+
+
 class Analyzer:
     """A configurable tokenizer+filter chain, picklable for Ray tasks."""
 
@@ -148,6 +165,15 @@ class Analyzer:
         self.stop_words = stop_words
         self.hyphen = hyphen
         self.stem = stem
+
+    def _cache_key(self) -> tuple:
+        return (
+            type(self.tokenizer).__name__,
+            self.lowercase,
+            self.stop_words,
+            self.hyphen,
+            self.stem,
+        )
 
     def token_stream(self, text: str) -> Iterator[Token]:
         stream: Iterable[Token] = self.tokenizer(text)
@@ -217,7 +243,10 @@ class Analyzer:
         turns the per-token regex + filter chain into one dict hit."""
         cache: dict[str, tuple[tuple, int]] = getattr(
             self, "_region_cache", None
-        ) or self.__dict__.setdefault("_region_cache", {})
+        ) or self.__dict__.setdefault(
+            "_region_cache",
+            _shared_state(self._cache_key()).setdefault("region", {}),
+        )
         process = self._process_region
         terms: list[str] = []
         positions: list[int] = []
@@ -291,14 +320,16 @@ class Analyzer:
         # PERSISTENT per-process vocab tables: each distinct region is
         # expanded exactly once per worker lifetime; repeat batches do
         # one dict hit per unique region and pure numpy gathers after
-        bv = getattr(self, "_batch_vocab", None)
+        shared = _shared_state(self._cache_key())
+        bv = getattr(self, "_batch_vocab", None) or shared.get("vocab")
         if bv is None or bv["n_tok"][0] > 5_000_000:  # bound memory
             bv = {
                 "row": {}, "term_ids": {}, "terms": [],
                 "k": [], "adv": [], "tok_off": [0],
                 "tids": [], "pref": [], "np": None, "n_tok": [0],
             }
-            self.__dict__["_batch_vocab"] = bv
+            shared["vocab"] = bv
+        self.__dict__["_batch_vocab"] = bv
         rget = bv["row"].get
         process = self._process_region
         rows = np.empty(len(uniq), dtype=np.int64)

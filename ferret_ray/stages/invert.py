@@ -76,6 +76,17 @@ def term_shard(field_num: int, term: str, num_shards: int) -> int:
     )
 
 
+# (field_num, term) -> raw crc32, shared for the worker process lifetime
+# (Ray task pools deserialize a fresh UDF per task; module state persists)
+_CRC_CACHE: dict[tuple[int, str], int] = {}
+
+
+def _crc_cache_bounded() -> dict:
+    if len(_CRC_CACHE) > 4_000_000:  # ~0.5 GB ceiling per worker
+        _CRC_CACHE.clear()
+    return _CRC_CACHE
+
+
 def _invert_texts(
     analyzer: Analyzer,
     texts: list[str | None],
@@ -254,7 +265,9 @@ def _encode_field_postings(
     salt_base = (doc_base // cfg.salt_doc_range) * num_shards
     nt = t_starts.size
 
-    # term -> shard hash, memoized across fragments (code vocab repeats)
+    # term -> RAW crc32, memoized process-wide (code vocab repeats across
+    # fragments AND tasks); the num_shards mod is one vectorized op so the
+    # cache stays valid across configs
     crc = zlib.crc32
     id2term = term_dict.to_pylist()
     crc_arr = np.empty(len(id2term), dtype=np.int64)
@@ -263,11 +276,10 @@ def _encode_field_postings(
         ck = (field_num, term)
         v = cget(ck)
         if v is None:
-            v = crc(
-                term.encode("utf-8", "surrogatepass"), field_num
-            ) % num_shards
+            v = crc(term.encode("utf-8", "surrogatepass"), field_num)
             crc_cache[ck] = v
         crc_arr[tid] = v
+    crc_arr %= num_shards
     first_tids = u_tid[t_starts]
 
     # blob columns: zero-copy from_buffers views over the shared buffers
@@ -330,9 +342,6 @@ class InvertFragment:
         self.fs, self.root = resolve_fs(index_dir)
         self.input_fp = input_fp
         self._analyzers: dict[str, Analyzer] | None = None
-        # (field, term) -> term-hash, shared across this worker's
-        # fragments (code vocabularies repeat heavily)
-        self._crc_cache: dict = {}
 
     def _get_analyzers(self) -> dict[str, Analyzer]:
         if self._analyzers is None:
@@ -411,7 +420,7 @@ class InvertFragment:
                 total_tokens += int(tids.size)
                 ft = _encode_field_postings(
                     field_names.index(fname), term_dict, tids, docs, poss,
-                    doc_base, cfg, fc.positions, self._crc_cache,
+                    doc_base, cfg, fc.positions, _crc_cache_bounded(),
                 )
                 if ft is not None:
                     field_tables.append(ft)
