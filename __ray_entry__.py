@@ -204,6 +204,51 @@ def q_token_stats(sf_dir: str) -> pd.DataFrame:
     )
 
 
+MB_PREFIX = "Écoles Straße Ñandú Москва 北京 ΣΙΣΥΦΟΣ"
+
+
+def q_mb_token_stats(sf_dir: str) -> pd.DataFrame:
+    """mb/utf8 StandardTokenizer over a non-ASCII column: every doc gets
+    a deterministic accented/Cyrillic/CJK prefix, then the REAL utf8
+    standard-analyzer batch path (Arrow split + memoized chain) counts
+    tokens and distinct terms per doc.  On this corpus (plain words, no
+    URLs/hyphens/stops disabled) the analyzer's output equals Unicode
+    alnum runs, so DuckDB's ``[\\pL\\pN]+`` regex is an exact oracle —
+    including the mb lowercase (É->é, Σ->σ, А->а)."""
+    import pyarrow as pa
+
+    from ferret_ray.analysis.analyzer import standard_analyzer
+
+    def mb_stats(batch: pa.Table) -> pa.Table:
+        a = standard_analyzer(stop_words=None)
+        texts = [
+            MB_PREFIX + " " + (t or "")
+            for t in batch.column("text").to_pylist()
+        ]
+        tids, _poss, lens, vocab = a.batch_terms_positions(texts, 10**9)
+        docs = np.repeat(
+            np.arange(len(texts), dtype=np.int64), lens.astype(np.int64)
+        )
+        pair = docs * (len(vocab) + 1) + tids
+        n_unique = np.bincount(
+            (np.unique(pair) // (len(vocab) + 1)), minlength=len(texts)
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(lens.astype("int64")),
+                "n_unique": pa.array(n_unique.astype("int64")),
+            }
+        )
+
+    return (
+        _docs_ds(sf_dir)
+        .map_batches(mb_stats, batch_format="pyarrow")
+        .to_pandas()
+        .astype("int64")
+    )
+
+
 def q_sort_by_field(sf_dir: str) -> pd.DataFrame:
     """Sort/SortField (c/src/sort.c): top 15 by integer field desc —
     distributed per-block top-k + tiny driver merge (never loads the
@@ -552,6 +597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_search": q_range_search,
         "term_df_top20": q_term_df_top20,
         "token_stats": q_token_stats,
+        "mb_token_stats": q_mb_token_stats,
         "sort_by_field": q_sort_by_field,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -637,6 +683,16 @@ def oracle_sql() -> dict[str, str]:
                    len({tokens}) AS n_tokens,
                    len(list_distinct({tokens})) AS n_unique,
                    length(text) AS n_chars
+            FROM documents
+        """,
+        "mb_token_stats": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(
+                       lower('{MB_PREFIX} ' || text),
+                       '[\\pL\\pN]+')) AS n_tokens,
+                   len(list_distinct(regexp_extract_all(
+                       lower('{MB_PREFIX} ' || text),
+                       '[\\pL\\pN]+'))) AS n_unique
             FROM documents
         """,
         "sort_by_field": """

@@ -41,9 +41,13 @@ _ASCII_LOWER = str.maketrans(
 
 
 def lowercase_filter(stream: TokenStream) -> Iterator[Token]:
-    """ASCII tolower per byte (c/src/analysis.c:1376-1395)."""
+    """Lowercase filter.  ``str.lower()`` covers both reference
+    variants: the mb filter is towlower per char
+    (c/src/analysis.c:1343-1374), and on the pure-ASCII tokens the
+    ASCII variant (c/src/analysis.c:1376-1395) can emit, the two
+    agree."""
     for tk in stream:
-        yield tk._replace(text=tk.text.translate(_ASCII_LOWER))
+        yield tk._replace(text=tk.text.lower())
 
 
 def stop_filter(
@@ -169,6 +173,7 @@ class Analyzer:
     def _cache_key(self) -> tuple:
         return (
             type(self.tokenizer).__name__,
+            getattr(self.tokenizer, "mode", ""),
             self.lowercase,
             self.stop_words,
             self.hyphen,
@@ -212,7 +217,8 @@ class Analyzer:
             _stem = None
         pairs: list[tuple[str, int]] = []
         gap = 0
-        for t, _s, _e in tokenize_raw(region):
+        mode = getattr(self.tokenizer, "mode", "utf8")
+        for t, _s, _e in tokenize_raw(region, mode):
             if lowercase:
                 t = t.lower()
             if stop is not None and t in stop:
@@ -303,7 +309,9 @@ class Analyzer:
         arr = pa.array(
             ["" if t is None else t for t in texts], type=pa.string()
         )
-        lists = pc.split_pattern_regex(arr, '[\\s()<>;"]+')
+        from .tokenizer import ARROW_SEPARATOR_PATTERN
+
+        lists = pc.split_pattern_regex(arr, ARROW_SEPARATOR_PATTERN)
         if isinstance(lists, pa.ChunkedArray):
             lists = lists.combine_chunks()
         flat = lists.flatten()

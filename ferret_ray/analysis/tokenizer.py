@@ -44,49 +44,97 @@ class Token(NamedTuple):
 
 MAX_WORD_LEN = 254  # FRT_MAX_WORD_SIZE(255) - trailing NUL
 
-# --- rule regexes, in declaration (priority) order -------------------------
-_ATEXT = r"[A-Za-z0-9!#$%&'*+\-/=?^_`{|}~]"
-_DOT_ATOM = rf"{_ATEXT}+(?:\.{_ATEXT}+)*"
-# RFC2822-ish (c/src/email.rl): dot_atom@ (dot_atom | domain_literal)
-_EMAIL = rf"{_DOT_ATOM}@(?:{_DOT_ATOM}|\[[^\]]*\])"
-
-_TOKEN = r"[A-Za-z][A-Za-z0-9]*"
-# url.rl: uword=[_alnum] dword=[-_alnum] dalnum=[-alnum] urlc=[alnum.,/_\-@:]
-_PROTO_HOST = r"[\-_A-Za-z0-9]+(?:\.[_A-Za-z0-9][\-_A-Za-z0-9]*)+"
-_URL_PROTO = rf"(?:https?|ftp|file):/+{_PROTO_HOST}(?::\d+)?/?"
-_URL_ANYPROTO = r"[A-Za-z0-9]+:/+[A-Za-z0-9.,/_\-@:]+"
-_BARE_SUB = r"(?:[A-Za-z0-9](?:[\-A-Za-z0-9]*[A-Za-z0-9])?\.)+"
-_TLDS = r"(?:com|edu|biz|gov|int|info|mil|net|org|[A-Za-z]{2})"
-_URL_BARE = rf"{_BARE_SUB}{_TLDS}(?::\d+)?/?"
-
-_RULES: list[tuple[str, re.Pattern[str]]] = [
-    # kind, anchored pattern — priority order of c/src/scanner.in:10-37
-    ("email", re.compile(_EMAIL)),
-    ("token", re.compile(_TOKEN)),
-    ("poss1", re.compile(_TOKEN + r"'")),            # trunc=1
-    ("poss2", re.compile(_TOKEN + r"'[sS]")),        # trunc=2
-    ("contraction", re.compile(r"[A-Za-z]+'[A-Za-z]+")),
-    ("compound", re.compile(r"[A-Za-z0-9]+(?:[-_][A-Za-z0-9]+)*")),
-    ("company", re.compile(rf"{_TOKEN}[&@](?:{_TOKEN})?")),
-    ("url_proto", re.compile(_URL_PROTO)),
-    ("url_any", re.compile(_URL_ANYPROTO)),
-    ("url_bare", re.compile(_URL_BARE)),
-    ("acronym", re.compile(r"(?:[A-Za-z]\.)+[A-Za-z]")),
-    ("number", re.compile(r"[-+]?\d+(?:\.\d+)?")),
-]
-
-# Characters that can begin some rule (atext ∪ digits); everything else in a
-# region is a one-char separator (c/src/scanner.in:36-40).
-_START = re.compile(r"[A-Za-z0-9!#$%&'*+\-/=?^_`{|}~]")
-
 # Region separator split: chars that cannot occur inside any token.
 _REGION = re.compile(r"[^\s()<>;\"]+")
 
-# Whole-region fast paths (cover ~all of real text and source code).
-_SIMPLE_REGION = re.compile(r"[A-Za-z0-9]+(?:[-_][A-Za-z0-9]+)*[.,]?")
-_NUMBER_REGION = re.compile(r"[-+]?\d+(?:\.\d+)?[.,]?")
+# Python's ``\s`` (Unicode) as an explicit class, so the Arrow/RE2 batch
+# split (analyzer.batch_terms_positions) sees EXACTLY the same separator
+# set as the Python region split above — RE2's ``\s`` is ASCII-only.
+_WS_CHARS = (
+    "\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f \x85\xa0\u1680"
+    + "".join(chr(c) for c in range(0x2000, 0x200B))
+    + "\u2028\u2029\u202f\u205f\u3000"
+)
+ARROW_SEPARATOR_PATTERN = "[" + re.escape(_WS_CHARS) + '()<>;"' + "]+"
 
 _PROTO_PREFIX = re.compile(r"(?:https?|ftp|file):/+")
+
+
+class _RuleSet:
+    """StandardTokenizer rule table for one alphabet.
+
+    The reference builds three scanners from one grammar
+    (c/src/scanner.in) by binding frt_alpha/frt_alnum/frt_digit to the
+    ASCII classes (c/src/scanner.rl:21-23) or the Unicode 5.1 tables
+    (c/src/scanner_mb.rl:24-26, scanner_utf8.rl:22-24 via
+    uchar-utf8.rl).  Only those three classes vary: the email atext and
+    URL alphabets stay ASCII in every variant (c/src/email.rl,
+    c/src/url.rl use the Ragel builtins).  Python ``\\w``-based classes
+    approximate the Unicode tables."""
+
+    def __init__(self, uni: bool):
+        if uni:
+            alpha, alnum, digit = r"[^\W\d_]", r"[^\W_]", r"\d"
+        else:
+            alpha, alnum, digit = "[A-Za-z]", "[A-Za-z0-9]", "[0-9]"
+        # --- rule regexes, declaration (priority) order ----------------
+        atext = r"[A-Za-z0-9!#$%&'*+\-/=?^_`{|}~]"
+        dot_atom = rf"{atext}+(?:\.{atext}+)*"
+        # RFC2822-ish (c/src/email.rl): dot_atom@ (dot_atom | dom_literal)
+        email = rf"{dot_atom}@(?:{dot_atom}|\[[^\]]*\])"
+        token = rf"{alpha}{alnum}*"
+        # url.rl: uword=[_alnum] dword=[-_alnum] dalnum=[-alnum]
+        # urlc=[alnum.,/_\-@:]
+        proto_host = r"[\-_A-Za-z0-9]+(?:\.[_A-Za-z0-9][\-_A-Za-z0-9]*)+"
+        url_proto = rf"(?:https?|ftp|file):/+{proto_host}(?::[0-9]+)?/?"
+        url_any = r"[A-Za-z0-9]+:/+[A-Za-z0-9.,/_\-@:]+"
+        bare_sub = r"(?:[A-Za-z0-9](?:[\-A-Za-z0-9]*[A-Za-z0-9])?\.)+"
+        tlds = r"(?:com|edu|biz|gov|int|info|mil|net|org|[A-Za-z]{2})"
+        url_bare = rf"{bare_sub}{tlds}(?::[0-9]+)?/?"
+
+        self.rules: list[tuple[str, re.Pattern[str]]] = [
+            # kind, anchored pattern — priority of c/src/scanner.in:10-37
+            ("email", re.compile(email)),
+            ("token", re.compile(token)),
+            ("poss1", re.compile(token + r"'")),          # trunc=1
+            ("poss2", re.compile(token + r"'[sS]")),      # trunc=2
+            ("contraction", re.compile(rf"{alpha}+'{alpha}+")),
+            ("compound", re.compile(rf"{alnum}+(?:[-_]{alnum}+)*")),
+            ("company", re.compile(rf"{token}[&@](?:{token})?")),
+            ("url_proto", re.compile(url_proto)),
+            ("url_any", re.compile(url_any)),
+            ("url_bare", re.compile(url_bare)),
+            ("acronym", re.compile(rf"(?:{alpha}\.)+{alpha}")),
+            ("number", re.compile(rf"[-+]?{digit}+(?:\.{digit}+)?")),
+        ]
+        # chars that can begin some rule (atext ∪ alpha ∪ digits);
+        # everything else in a region is a one-char separator
+        # (c/src/scanner.in:36-40)
+        self.start = re.compile(
+            rf"[!#$%&'*+\-/=?^_`{{|}}~]|{alnum}" if uni
+            else atext
+        )
+        # whole-region fast paths (cover ~all real text and source code)
+        self.simple_region = re.compile(
+            rf"{alnum}+(?:[-_]{alnum}+)*[.,]?"
+        )
+        self.number_region = re.compile(
+            rf"[-+]?{digit}+(?:\.{digit}+)?[.,]?"
+        )
+        # first-char dispatch: rules that can match given the start char
+        self.alpha_rules = [r for r in self.rules if r[0] != "number"]
+        self.digit_rules = [
+            r for r in self.rules
+            if r[0] in ("email", "compound", "url_any", "url_bare",
+                        "number")
+        ]
+        self.sign_rules = [
+            r for r in self.rules if r[0] in ("email", "number")
+        ]
+        self.punct_rules = [r for r in self.rules if r[0] == "email"]
+
+
+_RULESETS = {"ascii": _RuleSet(False), "utf8": _RuleSet(True)}
 
 
 def _finish(kind: str, text: str) -> str:
@@ -106,37 +154,29 @@ def _finish(kind: str, text: str) -> str:
     return text[:MAX_WORD_LEN]
 
 
-# first-char dispatch: which rules can possibly match given the start char
-_ALPHA_RULES = [r for r in _RULES if r[0] != "number"]
-_DIGIT_RULES = [
-    r for r in _RULES
-    if r[0] in ("email", "compound", "url_any", "url_bare", "number")
-]
-_SIGN_RULES = [r for r in _RULES if r[0] in ("email", "number")]
-_PUNCT_RULES = [r for r in _RULES if r[0] == "email"]
-
-
-def _rules_for(ch: str):
+def _rules_for(rs: _RuleSet, ch: str):
     if ch.isdigit():
-        return _DIGIT_RULES
+        return rs.digit_rules
     if ch.isalpha():
-        return _ALPHA_RULES
+        return rs.alpha_rules
     if ch in "+-":
-        return _SIGN_RULES
-    return _PUNCT_RULES
+        return rs.sign_rules
+    return rs.punct_rules
 
 
-def _scan_region(text: str, pos: int, end: int) -> Iterator[tuple[str, int, int]]:
+def _scan_region(
+    text: str, pos: int, end: int, rs: _RuleSet
+) -> Iterator[tuple[str, int, int]]:
     """Longest-match rule loop inside text[pos:end]."""
     while pos < end:
-        m0 = _START.search(text, pos, end)
+        m0 = rs.start.search(text, pos, end)
         if m0 is None:
             return
         pos = m0.start()
         best_len = 0
         best_kind = None
         best_m = None
-        for kind, pat in _rules_for(text[pos]):
+        for kind, pat in _rules_for(rs, text[pos]):
             m = pat.match(text, pos, end)
             if m is not None:
                 ln = m.end() - pos
@@ -149,10 +189,18 @@ def _scan_region(text: str, pos: int, end: int) -> Iterator[tuple[str, int, int]
         pos = best_m.end()
 
 
-def tokenize_raw(text: str) -> Iterator[tuple[str, int, int]]:
-    """Yield (text, start, end) triples, StandardTokenizer semantics."""
-    simple = _SIMPLE_REGION
-    number = _NUMBER_REGION
+def tokenize_raw(
+    text: str, mode: str = "utf8"
+) -> Iterator[tuple[str, int, int]]:
+    """Yield (text, start, end) triples, StandardTokenizer semantics.
+
+    ``mode`` picks the alphabet: "utf8" = the reference's default
+    mb/utf8 scanner (Unicode letters/digits), "ascii" = the plain
+    ASCII scanner.  Offsets are CODEPOINT indices (the C reference
+    reports byte offsets; tests convert)."""
+    rs = _RULESETS[mode]
+    simple = rs.simple_region
+    number = rs.number_region
     for rm in _REGION.finditer(text):
         start, end = rm.start(), rm.end()
         # fast path 1: plain word / identifier / hyphenated compound,
@@ -177,17 +225,19 @@ def tokenize_raw(text: str) -> Iterator[tuple[str, int, int]]:
                 continue
             yield g[:MAX_WORD_LEN], start, end
             continue
-        yield from _scan_region(text, start, end)
+        yield from _scan_region(text, start, end, rs)
 
 
-def tokenize(text: str) -> Iterator[Token]:
+def tokenize(text: str, mode: str = "utf8") -> Iterator[Token]:
     """Yield Ferret-StandardTokenizer tokens with (start, end) offsets."""
-    for t, s, e in tokenize_raw(text):
+    for t, s, e in tokenize_raw(text, mode):
         yield Token(t, s, e)
 
 
 class WhitespaceTokenizer:
-    """c/src/analysis.c:396-430 — split on whitespace runs."""
+    """whitespace/mb_whitespace tokenizer (c/src/analysis.c:396-430) —
+    split on whitespace runs.  Python ``\\S`` is Unicode-aware, so the
+    one implementation covers both reference variants."""
 
     _re = re.compile(r"\S+")
 
@@ -197,12 +247,20 @@ class WhitespaceTokenizer:
 
 
 class LetterTokenizer:
-    """c/src/analysis.c:470-500 — maximal alpha runs."""
+    """letter/mb_letter tokenizer (c/src/analysis.c:470-500) — maximal
+    alpha runs; ``mode="utf8"`` (default) = Unicode letters
+    (mb_letter_tokenizer_new), ``"ascii"`` = [A-Za-z]."""
 
-    _re = re.compile(r"[A-Za-z]+")
+    _res = {
+        "ascii": re.compile(r"[A-Za-z]+"),
+        "utf8": re.compile(r"[^\W\d_]+"),
+    }
+
+    def __init__(self, mode: str = "utf8"):
+        self.mode = mode
 
     def __call__(self, text: str) -> Iterator[Token]:
-        for m in self._re.finditer(text):
+        for m in self._res[self.mode].finditer(text):
             yield Token(m.group()[:MAX_WORD_LEN], m.start(), m.end())
 
 
@@ -218,10 +276,19 @@ class AlnumTokenizer:
 
 
 class StandardTokenizer:
-    """Callable wrapper around :func:`tokenize`."""
+    """Callable wrapper around :func:`tokenize`.
+
+    ``mode="utf8"`` (default) is the reference's mb/utf8 standard
+    scanner (frt_std_scan_utf8, c/src/scanner_utf8.rl) — the default
+    analyzer of the Ruby binding tokenizes non-ASCII words.
+    ``mode="ascii"`` is the plain scanner (c/src/scanner.rl).  On
+    pure-ASCII text the two are identical."""
+
+    def __init__(self, mode: str = "utf8"):
+        self.mode = mode
 
     def __call__(self, text: str) -> Iterator[Token]:
-        return tokenize(text)
+        return tokenize(text, self.mode)
 
 
 class NonTokenizer:

@@ -33,7 +33,8 @@ def _tokens(text: str) -> list[str]:
 
 
 def _shingle_hashes(tokens: list[str], k: int = 3) -> np.ndarray:
-    """Stable 64-bit hashes of token k-grams."""
+    """Stable 64-bit hashes of token k-grams (scalar reference kernel;
+    the batch stages use the bit-identical vectorized path below)."""
     if len(tokens) < k:
         grams = [" ".join(tokens)] if tokens else []
     else:
@@ -48,6 +49,186 @@ def _shingle_hashes(tokens: list[str], k: int = 3) -> np.ndarray:
         b = g.encode()
         out[i] = (zlib.crc32(b) << 32) | zlib.crc32(b[::-1])
     return out
+
+
+# --------------------------------------------------------------------------
+# vectorized signature kernels (the textstats recipe: one Arrow split per
+# column, numpy segment reductions, zero per-row string work)
+# --------------------------------------------------------------------------
+
+def _crc32_table() -> np.ndarray:
+    poly = np.uint32(0xEDB88320)
+    t = np.arange(256, dtype=np.uint32)
+    for _ in range(8):
+        t = np.where(t & 1, (t >> np.uint32(1)) ^ poly,
+                     t >> np.uint32(1))
+    return t
+
+
+_CRC32_TABLE = _crc32_table()
+
+
+def _string_matrix(arr) -> tuple[np.ndarray, np.ndarray]:
+    """(G, L) uint8 padded byte matrix + per-row byte lengths of an
+    Arrow string array — one gather, no per-row Python."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset: arr.offset + len(arr) + 1
+    ]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    lens = np.diff(off)
+    L = int(lens.max()) if lens.size else 0
+    idx = off[:-1, None] + np.arange(max(L, 1), dtype=np.int32)[None, :]
+    np.clip(idx, 0, max(data.size - 1, 0), out=idx)
+    mat = data[idx] if data.size else np.zeros(
+        (len(arr), max(L, 1)), dtype=np.uint8
+    )
+    return mat, lens.astype(np.int64)
+
+
+def _crc32_cols(mat: np.ndarray, lens_desc: np.ndarray) -> np.ndarray:
+    """Exact zlib.crc32 of each row, column-at-a-time.  Rows MUST be
+    sorted by length descending: the active set for byte j is then a
+    contiguous prefix, so every step is slice arithmetic (no boolean
+    gathers)."""
+    n, L = mat.shape
+    crc = np.full(n, 0xFFFFFFFF, dtype=np.uint32)
+    tbl = _CRC32_TABLE
+    # rows with len > j, per column (lens sorted descending)
+    cnt = np.searchsorted(-lens_desc, -np.arange(1, L + 1),
+                          side="right")
+    for j in range(L):
+        c = cnt[j]
+        if c == 0:
+            break
+        head = crc[:c]
+        crc[:c] = (head >> np.uint32(8)) ^ tbl[
+            (head ^ mat[:c, j]) & np.uint32(0xFF)
+        ]
+    return crc ^ np.uint32(0xFFFFFFFF)
+
+
+def _hash64_batch(arr) -> np.ndarray:
+    """Vectorized ``(crc32(b) << 32) | crc32(b[::-1])`` per string —
+    bit-identical to the scalar kernels (tokens/grams are ASCII, so the
+    codepoint reversal in the scalar path IS the byte reversal)."""
+    mat, lens = _string_matrix(arr)
+    order = np.argsort(-lens, kind="stable")
+    mat = np.ascontiguousarray(mat[order])
+    lens_d = lens[order]
+    fwd = _crc32_cols(mat, lens_d).astype(np.uint64)
+    ridx = (
+        lens_d[:, None].astype(np.int32)
+        - 1
+        - np.arange(mat.shape[1], dtype=np.int32)[None, :]
+    )
+    np.clip(ridx, 0, None, out=ridx)
+    rmat = np.take_along_axis(mat, ridx, axis=1)
+    rev = _crc32_cols(rmat, lens_d).astype(np.uint64)
+    out = np.empty(len(lens), dtype=np.uint64)
+    out[order] = (fwd << np.uint64(32)) | rev
+    return out
+
+
+def _flat_tokens_np(texts):
+    """One Arrow RE2 split of lower(text) -> (flat StringArray, seg ids,
+    per-doc counts) — identical to ``_TOKEN_RE.findall`` per doc."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    lo = pc.utf8_lower(texts)
+    lists = pc.split_pattern_regex(lo, "[^a-z0-9]+")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = lists.flatten()
+    off = lists.offsets.to_numpy()
+    seg = np.repeat(np.arange(len(lists), dtype=np.int64), np.diff(off))
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(keep))
+    seg = seg[keep]
+    counts = np.bincount(seg, minlength=len(lists)).astype(np.int64)
+    return flat, seg, counts
+
+
+def _gram_hashes_batch(
+    texts, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-doc token k-gram hashes for a whole column at once.
+
+    Returns (gram hashes, per-gram doc ids, per-doc gram counts) with
+    the exact semantics of :func:`_shingle_hashes` per doc: docs with
+    1..k-1 tokens get ONE gram of all their tokens; docs with 0 tokens
+    get one hash of 0.  Gram strings are built with ONE Arrow
+    ``binary_join_element_wise`` (C++ concat) and hashed with the
+    vectorized crc kernel — no per-gram Python."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    flat, seg, counts = _flat_tokens_np(texts)
+    n_docs = len(counts)
+    n_tok = len(flat)
+    parts: list[np.ndarray] = []
+    segs: list[np.ndarray] = []
+
+    # full k-grams: token position t starts a gram iff t+k-1 is in the
+    # same doc
+    if n_tok >= k:
+        ok = seg[: n_tok - k + 1] == seg[k - 1:]
+        starts = np.flatnonzero(ok)
+        if starts.size:
+            cols = [flat.take(pa.array(starts + j)) for j in range(k)]
+            grams = pc.binary_join_element_wise(*cols, " ")
+            # hash only the UNIQUE grams (natural text repeats them
+            # ~10x; the dictionary pass costs ~10% when it does not pay)
+            d = grams.dictionary_encode()
+            uh = _hash64_batch(d.dictionary)
+            parts.append(uh[d.indices.to_numpy().astype(np.int64)])
+            segs.append(seg[starts])
+
+    # short docs (0 < count < k): one gram of all their tokens
+    short = np.flatnonzero((counts > 0) & (counts < k))
+    if short.size:
+        doc_off = np.concatenate(([0], np.cumsum(counts)))
+        sh_cols = []
+        # max k-1 columns; absent tokens joined as "" then trimmed is
+        # WRONG (join adds separators), so group short docs by length
+        for ln in range(1, k):
+            docs_ln = short[counts[short] == ln]
+            if not docs_ln.size:
+                continue
+            cols = [
+                flat.take(pa.array(doc_off[docs_ln] + j))
+                for j in range(ln)
+            ]
+            grams = (
+                cols[0] if ln == 1
+                else pc.binary_join_element_wise(*cols, " ")
+            )
+            sh_cols.append((_hash64_batch(grams), docs_ln))
+        for h, d in sh_cols:
+            parts.append(h)
+            segs.append(d)
+
+    # empty docs: hash 0 (scalar path returns [0])
+    empty = np.flatnonzero(counts == 0)
+    if empty.size:
+        parts.append(np.zeros(empty.size, dtype=np.uint64))
+        segs.append(empty)
+
+    if parts:
+        gh = np.concatenate(parts)
+        gseg = np.concatenate(segs)
+        order = np.argsort(gseg, kind="stable")
+        gh = gh[order]
+        gseg = gseg[order]
+    else:
+        gh = np.empty(0, dtype=np.uint64)
+        gseg = np.empty(0, dtype=np.int64)
+    gcounts = np.bincount(gseg, minlength=n_docs).astype(np.int64)
+    return gh, gseg, gcounts
 
 
 class MinHasher:
@@ -102,28 +283,59 @@ def minhash_signature_ds(
     rows_per_band = num_perm // bands
 
     class Signer:
+        """Batch-vectorized signer (round-2 verdict #3): one Arrow split
+        + join per column, vectorized crc gram hashes, then per-doc
+        minima via ``np.minimum.reduceat`` — bit-identical to the old
+        per-doc loop, no per-row Python."""
+
         def __init__(self):
             self.mh = MinHasher(num_perm)
 
         def __call__(self, batch):
-            ids = batch[id_col]
-            out = {"doc_id": [], "band": [], "bucket": []}
-            for i, text in enumerate(batch[text_col]):
-                sig = self.mh.signature(
-                    _shingle_hashes(_tokens(str(text)), shingle_k)
+            import pyarrow as pa
+
+            ids = np.asarray(batch[id_col], dtype=np.int64)
+            texts = batch[text_col]
+            if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+                texts = pa.array(
+                    [str(t) for t in texts], type=pa.string()
                 )
-                for b in range(bands):
-                    chunk = sig[b * rows_per_band: (b + 1) * rows_per_band]
-                    bucket = int(
-                        np.bitwise_xor.reduce(
-                            chunk * np.uint64(0x9E3779B97F4A7C15)
-                        )
-                        >> np.uint64(1)
-                    )
-                    out["doc_id"].append(int(ids[i]))
-                    out["band"].append(b)
-                    out["bucket"].append(bucket)
-            return out
+            n_docs = ids.size
+            if not n_docs:
+                return {
+                    "doc_id": np.empty(0, dtype=np.int64),
+                    "band": np.empty(0, dtype=np.int64),
+                    "bucket": np.empty(0, dtype=np.int64),
+                }
+            gh, gseg, gcounts = _gram_hashes_batch(texts, shingle_k)
+            doc_starts = np.concatenate(
+                ([0], np.cumsum(gcounts)[:-1])
+            )
+            # (P, n_docs) signature matrix, one 1-D reduceat per perm
+            # (2-D axis=1 reduceat measured ~70x slower)
+            a, b = self.mh.a, self.mh.b
+            sig = np.empty((num_perm, n_docs), dtype=np.uint64)
+            buf = np.empty_like(gh)
+            for p in range(num_perm):
+                np.multiply(a[p], gh, out=buf)
+                buf += b[p]
+                sig[p] = np.minimum.reduceat(buf, doc_starts)
+            # band buckets: xor-fold each band's rows (same op order as
+            # the scalar path)
+            mixed = sig * np.uint64(0x9E3779B97F4A7C15)
+            out_doc = np.repeat(ids, bands)
+            out_band = np.tile(np.arange(bands, dtype=np.int64), n_docs)
+            buckets = np.empty((bands, n_docs), dtype=np.uint64)
+            for bi in range(bands):
+                buckets[bi] = np.bitwise_xor.reduce(
+                    mixed[bi * rows_per_band: (bi + 1) * rows_per_band],
+                    axis=0,
+                ) >> np.uint64(1)
+            return {
+                "doc_id": out_doc,
+                "band": out_band,
+                "bucket": buckets.T.reshape(-1).astype(np.int64),
+            }
 
     return ds.map_batches(Signer, concurrency=concurrency or (1, 512))
 
@@ -322,6 +534,8 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
 
 
 def simhash64(tokens: Iterable[str]) -> int:
+    """Scalar reference simhash (the batch stage below is bit-identical
+    and vectorized — round-2 verdict #2 fix)."""
     acc = np.zeros(64, dtype=np.int64)
     import zlib
 
@@ -334,6 +548,37 @@ def simhash64(tokens: Iterable[str]) -> int:
     for i in range(64):
         if acc[i] > 0:
             out |= 1 << i
+    return out
+
+
+def simhash64_batch(texts) -> np.ndarray:
+    """uint64 simhash per doc for a whole column: hash the UNIQUE token
+    vocab once (vectorized crc), unpack it to a (V, 64) ±1 matrix, then
+    one ``np.add.reduceat`` over the token stream per doc."""
+    flat, seg, counts = _flat_tokens_np(texts)
+    n_docs = len(counts)
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if not len(flat):
+        return out
+    dcodes = flat.dictionary_encode()
+    codes = dcodes.indices.to_numpy().astype(np.int64)
+    vocab_h = _hash64_batch(dcodes.dictionary)
+    vbits = (
+        (vocab_h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+        & np.uint64(1)
+    ).astype(np.int64)  # (V, 64)
+    doc_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    nz = counts > 0
+    starts_nz = doc_starts[nz]
+    n_tok_nz = counts[nz]
+    # acc_b = sum(±1) = 2*ones_b - n_tokens  =>  bit set iff
+    # 2*ones_b > n_tokens; one 1-D reduceat per bit (2-D reduceat is
+    # pathologically slow)
+    acc = np.zeros(int(nz.sum()), dtype=np.uint64)
+    for b in range(64):
+        ones = np.add.reduceat(vbits[:, b][codes], starts_nz)
+        acc |= (2 * ones > n_tok_nz).astype(np.uint64) << np.uint64(b)
+    out[nz] = acc
     return out
 
 
@@ -352,16 +597,24 @@ def simhash_dedup(
     import logging
 
     def sign(batch):
-        out = {"doc_id": [], "band": [], "bucket": [], "sim": []}
-        for i, text in enumerate(batch[text_col]):
-            h = simhash64(_tokens(str(text)))
-            h_signed = h - (1 << 64) if h >= (1 << 63) else h  # int64-safe
-            for b in range(4):
-                out["doc_id"].append(int(batch[id_col][i]))
-                out["band"].append(b)
-                out["bucket"].append((h >> (16 * b)) & 0xFFFF)
-                out["sim"].append(h_signed)
-        return out
+        import pyarrow as pa
+
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        texts = batch[text_col]
+        if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+            texts = pa.array([str(t) for t in texts], type=pa.string())
+        h = simhash64_batch(texts)                      # (n,) uint64
+        h_signed = h.view(np.int64)                     # int64-safe
+        n = ids.size
+        shifts = np.uint64(16) * np.arange(4, dtype=np.uint64)
+        return {
+            "doc_id": np.repeat(ids, 4),
+            "band": np.tile(np.arange(4, dtype=np.int64), n),
+            "bucket": (
+                (h[:, None] >> shifts[None, :]) & np.uint64(0xFFFF)
+            ).reshape(-1).astype(np.int64),
+            "sim": np.repeat(h_signed, 4),
+        }
 
     sig = ds.map_batches(sign)
 

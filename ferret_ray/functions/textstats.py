@@ -207,9 +207,28 @@ def fingerprint64(text: str, k: int = 5, window: int = 8) -> int:
     return int(np.bitwise_xor.reduce(np.unique(mins)))
 
 
-def fingerprints(batch) -> dict:
+def fingerprints(batch, k: int = 5, window: int = 8) -> dict:
+    """Batch-vectorized winnowing fingerprints (round-2 verdict #4):
+    gram hashing is the shared vectorized crc kernel (one Arrow join +
+    column-wise crc per batch); only the tiny per-doc sliding-window
+    minima remain numpy-per-doc.  Bit-identical to
+    :func:`fingerprint64` per row."""
+    from .dedup import _gram_hashes_batch
+
     texts = _texts_col(batch)
+    gh, _gseg, gcounts = _gram_hashes_batch(texts, k)
+    doc_off = np.concatenate(([0], np.cumsum(gcounts)))
+    # empty docs got one 0-hash gram from the shared kernel, but the
+    # scalar fingerprint is 0 for them either way (xor of [0])
+    out = np.empty(len(gcounts), dtype=np.uint64)
+    for di in range(len(gcounts)):
+        hs = gh[doc_off[di]: doc_off[di + 1]]
+        if hs.size <= window:
+            out[di] = np.bitwise_xor.reduce(hs) if hs.size else 0
+        else:
+            sw = np.lib.stride_tricks.sliding_window_view(hs, window)
+            out[di] = np.bitwise_xor.reduce(np.unique(sw.min(axis=1)))
     return {
         "doc_id": _ids_col(batch),
-        "fingerprint": [fingerprint64(t.as_py()) for t in texts],
+        "fingerprint": [int(x) for x in out],
     }

@@ -1,0 +1,95 @@
+"""Bit-identity of the vectorized signature kernels (round-2 verdict
+items #3/#4) against the scalar reference implementations: crc gram
+hashes, minhash signatures, simhash, winnowing fingerprints."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ferret_ray.functions.dedup import (
+    MinHasher,
+    _gram_hashes_batch,
+    _hash64_batch,
+    _shingle_hashes,
+    _tokens,
+    simhash64,
+    simhash64_batch,
+)
+from ferret_ray.functions.textstats import fingerprint64, fingerprints
+
+WORDS = [
+    "alpha", "beta", "gamma", "delta", "x1", "y22", "zzz", "data",
+    "table", "merge", "the", "q", "0", "longtokenxyz123",
+]
+
+
+def _texts(seed: int, n: int = 120) -> list[str]:
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n):
+        ln = int(rng.integers(0, 40))
+        if ln == 0:
+            out.append("" if i % 2 else "  ,.;  ")
+        else:
+            out.append(" ".join(rng.choice(WORDS, size=ln)))
+    out += ["one two", "single", "", "UPPER Case MIX 42"]
+    return out
+
+
+def test_hash64_batch_exact():
+    import zlib
+
+    strs = ["", "a", "ab cd", "zzz 123 q", "x" * 300, "0 0 0"]
+    hb = _hash64_batch(pa.array(strs, type=pa.string()))
+    for i, w in enumerate(strs):
+        b = w.encode()
+        assert hb[i] == ((zlib.crc32(b) << 32) | zlib.crc32(b[::-1]))
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("k", [3, 5])
+def test_gram_hashes_match_scalar(seed, k):
+    texts = _texts(seed)
+    arr = pa.array(texts, type=pa.string())
+    gh, gseg, gcounts = _gram_hashes_batch(arr, k)
+    off = np.concatenate(([0], np.cumsum(gcounts)))
+    for di, t in enumerate(texts):
+        exp = _shingle_hashes(_tokens(t), k)
+        got = gh[off[di]: off[di + 1]]
+        assert np.array_equal(got, exp), (di, t)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_minhash_signature_matches_scalar(seed):
+    texts = _texts(seed)
+    arr = pa.array(texts, type=pa.string())
+    mh = MinHasher(64)
+    gh, _gseg, gcounts = _gram_hashes_batch(arr, 3)
+    starts = np.concatenate(([0], np.cumsum(gcounts)[:-1]))
+    sig = np.empty((64, len(texts)), dtype=np.uint64)
+    buf = np.empty_like(gh)
+    for p in range(64):
+        np.multiply(mh.a[p], gh, out=buf)
+        buf += mh.b[p]
+        sig[p] = np.minimum.reduceat(buf, starts)
+    for di, t in enumerate(texts):
+        exp = mh.signature(_shingle_hashes(_tokens(t), 3))
+        assert np.array_equal(sig[:, di], exp), (di, t)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_simhash_batch_matches_scalar(seed):
+    texts = _texts(seed)
+    sb = simhash64_batch(pa.array(texts, type=pa.string()))
+    for di, t in enumerate(texts):
+        assert int(sb[di]) == simhash64(_tokens(t)), (di, t)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_fingerprints_batch_matches_scalar(seed):
+    texts = _texts(seed)
+    fp = fingerprints(
+        {"doc_id": np.arange(len(texts)), "text": texts}
+    )
+    for di, t in enumerate(texts):
+        assert fp["fingerprint"][di] == fingerprint64(t), (di, t)
