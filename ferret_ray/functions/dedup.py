@@ -433,52 +433,122 @@ def minhash_lsh_dedup(
         )
     cand_pairs.sort()
 
-    # candidate texts — the broadcast small side (need-set filter)
+    # exact-Jaccard verify as a DISTRIBUTED join (round-2 verdict #4):
+    # candidate TEXTS never reach the driver.  Only the (small) id
+    # need-set is broadcast; each matching doc is shingle-hashed once
+    # map-side, then two pair-scale groupbys route shingle sets to
+    # their pairs — the hash-partitioned pair-text join.
     need = sorted({i for p in cand_pairs for i in p})
     verified: list[tuple[int, int]] = []
     if need:
-        need_set = frozenset(need)
+        import pyarrow as pa
+        import ray.data
 
-        def pick(batch):
-            sel = [
-                (int(i), str(t))
-                for i, t in zip(batch[id_col], batch[text_col])
-                if int(i) in need_set
+        need_arr = np.array(need, dtype=np.int64)  # ids only — small
+
+        def pick_shingles(batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_numpy().astype(np.int64)
+            sel = np.flatnonzero(np.isin(ids, need_arr))
+            texts = batch.column(text_col).take(pa.array(sel))
+            if not isinstance(texts, pa.Array):
+                texts = texts.combine_chunks()
+            gh, _seg, gcounts = _gram_hashes_batch(texts, shingle_k)
+            off = np.concatenate(([0], np.cumsum(gcounts)))
+            blobs = [
+                np.unique(gh[off[i]: off[i + 1]]).tobytes()
+                for i in range(len(sel))
             ]
-            return {
-                "doc_id": [x[0] for x in sel],
-                "text": [x[1] for x in sel],
-            }
+            n = len(sel)
+            return pa.table(
+                {
+                    "id": pa.array(ids[sel], type=pa.int64()),
+                    "pair_id": pa.array([-1] * n, type=pa.int64()),
+                    "side": pa.array([-1] * n, type=pa.int8()),
+                    "a": pa.array([-1] * n, type=pa.int64()),
+                    "b": pa.array([-1] * n, type=pa.int64()),
+                    "sh": pa.array(blobs, type=pa.large_binary()),
+                }
+            )
 
-        picked = ds.map_batches(pick).take_all()  # |candidates| rows only
-        texts_ref = ray.put(
-            {int(r["doc_id"]): r["text"] for r in picked}
+        cand_sh = ds.map_batches(pick_shingles, batch_format="pyarrow")
+
+        pid = np.arange(len(cand_pairs), dtype=np.int64)
+        pa_arr = np.array([p[0] for p in cand_pairs], dtype=np.int64)
+        pb_arr = np.array([p[1] for p in cand_pairs], dtype=np.int64)
+        pair_rows = ray.data.from_arrow(
+            pa.table(
+                {
+                    "id": pa.array(np.concatenate((pa_arr, pb_arr))),
+                    "pair_id": pa.array(np.concatenate((pid, pid))),
+                    "side": pa.array(
+                        np.repeat(
+                            np.array([0, 1], dtype=np.int8),
+                            len(cand_pairs),
+                        )
+                    ),
+                    "a": pa.array(np.concatenate((pa_arr, pa_arr))),
+                    "b": pa.array(np.concatenate((pb_arr, pb_arr))),
+                    "sh": pa.array(
+                        [b""] * (2 * len(cand_pairs)),
+                        type=pa.large_binary(),
+                    ),
+                }
+            )
         )
 
-        class Verifier:
-            """Jaccard verify per pair; texts fetched once per actor."""
+        _empty_sh = np.zeros(1, dtype=np.uint64).tobytes()
 
-            def __init__(self):
-                self.texts = ray.get(texts_ref)
+        def attach_text(group):
+            import pandas as pd
 
-            def __call__(self, batch):
-                texts = self.texts
-                out_a, out_b = [], []
-                for a, b in zip(batch["a"], batch["b"]):
-                    a, b = int(a), int(b)
-                    if a < 0:
-                        continue
-                    if ngram_jaccard(
-                        texts.get(a, ""), texts.get(b, ""), shingle_k
-                    ) >= jaccard_threshold:
-                        out_a.append(a)
-                        out_b.append(b)
-                return {"a": out_a, "b": out_b}
+            doc = group[group["side"] < 0]
+            # a missing doc behaves like empty text (shingle set {0}),
+            # matching the scalar path's texts.get(id, "")
+            sh = doc["sh"].iloc[0] if len(doc) else _empty_sh
+            pairs = group[group["side"] >= 0]
+            return pd.DataFrame(
+                {
+                    "pair_id": pairs["pair_id"],
+                    "side": pairs["side"],
+                    "a": pairs["a"],
+                    "b": pairs["b"],
+                    "sh": [sh] * len(pairs),
+                }
+            )
 
-        ver_rows = pair_ds.map_batches(
-            Verifier, concurrency=concurrency or (1, 512)
-        ).take_all()  # verified pairs: still the small side
-        verified = sorted((int(r["a"]), int(r["b"])) for r in ver_rows)
+        def verify_pair(group):
+            import pandas as pd
+
+            sets = {}
+            for _, r in group.iterrows():
+                sets[int(r["side"])] = np.frombuffer(
+                    r["sh"], dtype=np.uint64
+                )
+            sa = sets.get(0, np.zeros(1, dtype=np.uint64))
+            sb = sets.get(1, np.zeros(1, dtype=np.uint64))
+            inter = np.intersect1d(sa, sb).size
+            union = sa.size + sb.size - inter
+            j = inter / union if union else 1.0
+            if j >= jaccard_threshold:
+                return pd.DataFrame(
+                    {
+                        "a": [int(group["a"].iloc[0])],
+                        "b": [int(group["b"].iloc[0])],
+                    }
+                )
+            return pd.DataFrame({"a": [], "b": []})
+
+        ver_rows = (
+            cand_sh.union(pair_rows)
+            .groupby("id")
+            .map_groups(attach_text)
+            .groupby("pair_id")
+            .map_groups(verify_pair)
+            .take_all()
+        )  # verified pairs: still the small side
+        verified = sorted(
+            (int(r["a"]), int(r["b"])) for r in ver_rows
+        )
 
     # union-find on verified pairs only (small); DROP set = every id whose
     # representative is a smaller id — strictly smaller than the pairs set

@@ -69,15 +69,19 @@ def test_minhash_no_corpus_materialization(dup_ds, monkeypatch):
     real_to_pandas = ray.data.Dataset.to_pandas
     real_take_all = ray.data.Dataset.take_all
     sizes = []
+    collected_cols: set[str] = set()
 
     def spy_to_pandas(self, *a, **k):
         out = real_to_pandas(self, *a, **k)
         sizes.append(len(out))
+        collected_cols.update(map(str, out.columns))
         return out
 
     def spy_take_all(self, *a, **k):
         out = real_take_all(self, *a, **k)
         sizes.append(len(out))
+        for r in out[:1]:
+            collected_cols.update(map(str, r.keys()))
         return out
 
     monkeypatch.setattr(ray.data.Dataset, "to_pandas", spy_to_pandas)
@@ -90,6 +94,11 @@ def test_minhash_no_corpus_materialization(dup_ds, monkeypatch):
     assert max(sizes) < limit, (
         f"driver materialized {max(sizes)} rows (corpus={n_docs}): "
         "dedup must only collect candidate pairs/texts"
+    )
+    # round-2 verdict #4: the verify join is distributed — candidate
+    # TEXTS (or their shingle blobs) never reach the driver
+    assert "text" not in collected_cols and "sh" not in collected_cols, (
+        f"driver collected payload columns: {sorted(collected_cols)}"
     )
     # the survivors dataset itself still streams: consuming it is the
     # caller's choice
