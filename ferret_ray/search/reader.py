@@ -210,6 +210,23 @@ class IndexReader:
         self._docs_parts: list | None = None
         self._doc_rg_cache: OrderedDict = OrderedDict()
         self.docs_bytes_read: int = 0  # compressed bytes fetched for docs
+        # the dictionary is immutable for this reader's generation, so
+        # df lookups and multi-term expansions cache safely (the serving
+        # analogue of the reference's cached filters, c/src/filter.c)
+        self._df_cache: OrderedDict[tuple[int, str], int] = OrderedDict()
+        self._expand_cache: OrderedDict[tuple, list] = OrderedDict()
+
+    def expansion(self, key: tuple, build) -> list:
+        """Memoized term expansion (prefix/wildcard/fuzzy rewrites)."""
+        hit = self._expand_cache.get(key)
+        if hit is not None:
+            self._expand_cache.move_to_end(key)
+            return hit
+        val = build()
+        self._expand_cache[key] = val
+        if len(self._expand_cache) > 64:
+            self._expand_cache.popitem(last=False)
+        return val
 
     # ---- schema ---------------------------------------------------------
 
@@ -280,7 +297,16 @@ class IndexReader:
         fn = self.field_num(field)
         if fn < 0:
             return 0
-        return sum(int(sh.df[i]) for sh, i in self._term_rows(fn, term))
+        key = (fn, term)
+        hit = self._df_cache.get(key)
+        if hit is not None:
+            self._df_cache.move_to_end(key)
+            return hit
+        df = sum(int(sh.df[i]) for sh, i in self._term_rows(fn, term))
+        self._df_cache[key] = df
+        if len(self._df_cache) > 200_000:  # ints — a few MB ceiling
+            self._df_cache.popitem(last=False)
+        return df
 
     def postings(self, field: str, term: str) -> Postings | None:
         fn = self.field_num(field)

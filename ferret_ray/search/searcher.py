@@ -156,24 +156,49 @@ def _sniff_sort_type(vals) -> str:
 # rewrite (c/src/q_prefix.c:36-60, q_wildcard.c:81-130, q_phrase.c rewrite)
 # --------------------------------------------------------------------------
 
+def _expansion(reader, key, build):
+    exp = getattr(reader, "expansion", None)  # MultiReader: no memo
+    return exp(key, build) if exp is not None else build()
+
+
 def rewrite(query: Query, reader: IndexReader) -> Query:
+    # prefix/wildcard/fuzzy expansions are pure functions of the
+    # immutable dictionary — memoized on the reader (tail-latency fix:
+    # an 11k-term dictionary scan costs once per reader, not per query)
     if isinstance(query, PrefixQuery):
+        def _expand_prefix():
+            mtq = MultiTermQuery(query.field, max_terms=query.max_terms)
+            for t in reader.terms_with_prefix(query.field, query.prefix):
+                mtq.add_term(t)
+            return mtq.boosted_terms
+
         mtq = MultiTermQuery(query.field, max_terms=query.max_terms)
         mtq.boost = query.boost
-        for t in reader.terms_with_prefix(query.field, query.prefix):
-            mtq.add_term(t)
+        mtq.boosted_terms = _expansion(
+            reader,
+            ("prefix", query.field, query.prefix, query.max_terms),
+            _expand_prefix,
+        )
         return mtq
     if isinstance(query, WildcardQuery):
         pat = query.pattern
+
+        def _expand_wild():
+            mtq = MultiTermQuery(query.field, max_terms=query.max_terms)
+            # prefix-optimized dictionary scan like the reference
+            # (q_wildcard.c:81-130): literal prefix bounds the bisect
+            lit = pat.split("*", 1)[0].split("?", 1)[0]
+            for t in reader.terms_matching(
+                query.field, lambda s: wildcard_match(pat, s), prefix=lit
+            ):
+                mtq.add_term(t)
+            return mtq.boosted_terms
+
         mtq = MultiTermQuery(query.field, max_terms=query.max_terms)
         mtq.boost = query.boost
-        # prefix-optimized dictionary scan like the reference
-        # (q_wildcard.c:81-130): literal prefix bounds the bisect range
-        lit = pat.split("*", 1)[0].split("?", 1)[0]
-        for t in reader.terms_matching(
-            query.field, lambda s: wildcard_match(pat, s), prefix=lit
-        ):
-            mtq.add_term(t)
+        mtq.boosted_terms = _expansion(reader, 
+            ("wild", query.field, pat, query.max_terms), _expand_wild
+        )
         return mtq
     if isinstance(query, FuzzyQuery):
         # fuzq_rewrite (c/src/q_fuzzy.c:180-228)
@@ -183,19 +208,31 @@ def rewrite(query: Query, reader: IndexReader) -> Query:
         pre_len = query.pre_len
         if pre_len >= len(term):
             return TermQuery(query.field, term, query.boost)
+
+        def _expand_fuzzy():
+            mtq = MultiTermQuery(
+                query.field, max_terms=query.max_terms,
+                min_boost=query.min_sim,
+            )
+            prefix = term[:pre_len]
+            suffix = term[pre_len:]
+            cands = reader.terms_with_prefix(
+                query.field, prefix if pre_len > 0 else ""
+            )
+            for t in cands:
+                mtq.add_term(t, fuzzy_score(suffix, t[pre_len:], pre_len))
+            return mtq.boosted_terms
+
         mtq = MultiTermQuery(
             query.field, max_terms=query.max_terms,
             min_boost=query.min_sim,
         )
         mtq.boost = query.boost
-        prefix = term[:pre_len]
-        suffix = term[pre_len:]
-        if pre_len > 0:
-            cands = reader.terms_with_prefix(query.field, prefix)
-        else:
-            cands = reader.terms_with_prefix(query.field, "")
-        for t in cands:
-            mtq.add_term(t, fuzzy_score(suffix, t[pre_len:], pre_len))
+        mtq.boosted_terms = _expansion(reader, 
+            ("fuzzy", query.field, term, pre_len, query.min_sim,
+             query.max_terms),
+            _expand_fuzzy,
+        )
         return mtq
     if isinstance(query, PhraseQuery) and len(query.positions) == 1:
         terms = query.positions[0].terms
@@ -323,6 +360,11 @@ class Searcher:
         self._deleted = (
             np.array(sorted(deleted), dtype=np.int64) if deleted else None
         )
+        # (field, terms) -> (docs, pre-norm accumulator); deletes are
+        # masked AFTER scoring, so tombstones never invalidate this
+        from collections import OrderedDict as _OD
+
+        self._mtq_cache: "dict" = _OD()
 
     def num_docs(self) -> int:
         n = self.reader.max_doc()
@@ -471,6 +513,19 @@ class Searcher:
         q: MultiTermQuery = w.query
         if self.reader.field_num(q.field) < 0 or not q.terms:
             return None
+        # the (docs, accumulated tf*boost) pair is independent of query
+        # boost/normalization — memoize it per expansion (the dictionary
+        # and postings are immutable for this reader)
+        ckey = (q.field, self.bm25 is not None,
+                tuple((t, float(b)) for t, b in q.terms))
+        cached = self._mtq_cache.get(ckey)
+        if cached is not None:
+            self._mtq_cache.move_to_end(ckey)
+            all_docs, acc = cached
+            scores = (acc * F32(w.value)) * self._norm_decode(
+                q.field, all_docs
+            )
+            return ScoredDocs(all_docs, scores.astype(np.float32))
         # bulk dictionary merge-join for large expansions (prefix /
         # wildcard / fuzzy rewrites): one pass per shard slice instead
         # of a per-term bisect
@@ -503,6 +558,9 @@ class Searcher:
         )
         acc = np.zeros(all_docs.size, dtype=np.float32)
         np.add.at(acc, np.searchsorted(all_docs, docs_cat), vals_cat)
+        self._mtq_cache[ckey] = (all_docs, acc)
+        if len(self._mtq_cache) > 8:
+            self._mtq_cache.popitem(last=False)
         scores = (acc * w.value) * self._norm_decode(q.field, all_docs)
         return ScoredDocs(all_docs, scores.astype(np.float32))
 
