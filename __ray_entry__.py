@@ -382,7 +382,11 @@ def q_fingerprints(sf_dir: str) -> pd.DataFrame:
 
 
 def q_tfidf_top10(sf_dir: str) -> pd.DataFrame:
-    """Ferret-scored top-10 (rows-only check; float32 scoring)."""
+    """Ferret-default TF-IDF top-10 rank order (oracle-checked: the SQL
+    side reproduces tf*idf^2*qnorm*coord*norm in float64 with the
+    engine's float8 norm quantization injected as a VALUES lookup —
+    encode_norm is deterministic, so decoded norm is a pure function of
+    the token count)."""
     from ferret_ray.search.query import BooleanQuery, TermQuery
 
     _, _, searcher = _index_for(sf_dir)
@@ -393,8 +397,7 @@ def q_tfidf_top10(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "rank": np.arange(len(td.hits), dtype="int64"),
-            "doc_id": [h.doc for h in td.hits],
-            "score": [h.score for h in td.hits],
+            "doc_id": pd.Series([h.doc for h in td.hits], dtype="int64"),
         }
     )
 
@@ -514,8 +517,8 @@ def q_wand_topk(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "rank": np.arange(len(res.hits), dtype="int64"),
-            "doc_id": [d for d, _ in res.hits],
-            "score": [s for _, s in res.hits],
+            "doc_id": pd.Series([d for d, _ in res.hits],
+                                dtype="int64"),
         }
     )
 
@@ -619,6 +622,86 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wand_topk": q_wand_topk,
         "highlight": q_highlight,
     }
+
+
+def _tfidf_oracle_sql(terms: list[str], coord: bool,
+                      max_n: int = 1024) -> str:
+    """Float64 SQL reproduction of the Ferret-default TF-IDF rank
+    order: score = coord * qnorm * norm(n) * sum(sqrt(tf)*idf^2).  The
+    engine's float8 norm quantization (encode_norm -> NORM_TABLE) is
+    deterministic per token count, injected as a VALUES lookup."""
+    from ferret_ray.codec.norms import NORM_TABLE, encode_norms
+    from ferret_ray.search.similarity import length_norm
+
+    vals = ",".join(
+        "({},{!r})".format(
+            n,
+            float(
+                NORM_TABLE[
+                    int(
+                        encode_norms(
+                            np.array([length_norm(n)], dtype=np.float32)
+                        )[0]
+                    )
+                ]
+            ),
+        )
+        for n in range(max_n + 1)
+    )
+    k = len(terms)
+    tfs = ",\n           ".join(
+        f"len(list_filter({_TOKENS}, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    dfs = ",\n           ".join(
+        f"(SELECT count(*) FROM s WHERE tf{i} > 0) AS df{i}"
+        for i in range(k)
+    )
+    idfs = ",\n           ".join(
+        f"ln(nd / (df{i} + 1.0)) + 1 AS idf{i}" for i in range(k)
+    )
+    ssq = " + ".join(f"idf{i}*idf{i}" for i in range(k))
+    summ = "\n            + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN sqrt(tf{i})*idf{i}*idf{i} "
+        f"ELSE 0 END)"
+        for i in range(k)
+    )
+    some = " OR ".join(f"tf{i} > 0" for i in range(k))
+    coord_f = (
+        "* (" + " + ".join(f"(tf{i} > 0)::INT" for i in range(k))
+        + f") / {k}.0"
+        if coord
+        else ""
+    )
+    return f"""
+        WITH s AS (
+          SELECT doc_id, len({_TOKENS}) AS n,
+           {tfs}
+          FROM documents
+        ),
+        c AS (
+          SELECT (SELECT count(*) FROM documents) AS nd,
+           {dfs}
+        ),
+        w AS (
+          SELECT nd,
+           {idfs}
+          FROM c
+        ),
+        q AS (SELECT *, 1.0 / sqrt({ssq}) AS qnorm FROM w),
+        nrm(n, nv) AS (VALUES {vals})
+        SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1)
+                   AS rank,
+               doc_id
+        FROM (
+          SELECT s.doc_id,
+                 ({summ}) * qnorm * nv {coord_f} AS score
+          FROM s, q, nrm
+          WHERE s.n = nrm.n AND ({some})
+        )
+        ORDER BY score DESC, doc_id ASC
+        LIMIT 10
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -786,6 +869,16 @@ def oracle_sql() -> dict[str, str]:
                         hpos, h -> h > t AND h - t - 1 <= 3)) > 0
                   )) > 0
         """,
+        # Ferret-default TF-IDF rank order (float64 SQL with the
+        # engine's float8 norm quantization joined in); ranks compared
+        "tfidf_top10": _tfidf_oracle_sql(
+            ["spark", "table", "hash"], coord=True
+        ),
+        # WAND top-k == exhaustive coord-less TF-IDF top-k by
+        # construction (the assert inside q_wand_topk pins equality)
+        "wand_topk": _tfidf_oracle_sql(
+            ["spark", "table", "hash", "dup"], coord=False
+        ),
         # BM25 rank order in float64 SQL (engine scores are float32 with
         # identical rank order; only ranks are compared)
         "bm25_top10": f"""

@@ -73,6 +73,8 @@ def build_index(
 
     t_start = time.time()
     fragments, input_fp = list_fragments(input_paths)
+    if cfg.dynamic:
+        cfg = cfg.with_discovered(_input_schemas(fragments))
     cfg_fp = _config_fingerprint(cfg)
     build_fp = f"{input_fp}:{cfg_fp}"
 
@@ -179,6 +181,19 @@ def build_index(
     }
     write_manifest(index_dir, manifest)
     return manifest
+
+
+def _input_schemas(fragments: list[dict]) -> list:
+    """Arrow schema per distinct input file (footer metadata only)."""
+    from ..state.fs import open_parquet, resolve_fs
+
+    seen: dict[str, object] = {}
+    for f in fragments:
+        p = f["path"]
+        if p not in seen:
+            fs, inner = resolve_fs(p)
+            seen[p] = open_parquet(fs, inner).schema_arrow
+    return list(seen.values())
 
 
 def _group_fragments(

@@ -85,6 +85,15 @@ class IndexConfig:
     # point access for get_doc/highlight (FieldsReader .fdx analogue).
     # Smaller = finer fetches for doc display, larger = better scans.
     docs_row_group_size: int = 1024
+    # dynamic FieldInfos (frt_fis_get_or_add_field, c/include/index.h:160
+    # + fis_new defaults): fields present in the input schemas but not
+    # declared are added at build time with a copy of ``default_field``
+    # (string columns; indexed+stored) or as stored-only (other types).
+    # Discovery is a driver-side metadata pass over the parquet footers,
+    # so field numbering stays deterministic; the manifest records the
+    # union, and add_indexes/lifecycle remap per delta.
+    dynamic: bool = False
+    default_field: FieldConfig | None = None
 
     @property
     def resolved_merge_buckets(self) -> int:
@@ -117,11 +126,52 @@ class IndexConfig:
             "similarity": self.similarity,
             "merge_buckets": self.merge_buckets,
             "docs_row_group_size": self.docs_row_group_size,
+            "dynamic": self.dynamic,
         }
 
     @property
     def indexed_fields(self) -> list[str]:
         return [n for n, fc in self.fields.items() if fc.indexed]
+
+    def with_discovered(self, schemas: list) -> "IndexConfig":
+        """Extend a dynamic config with fields found in input schemas.
+
+        New names are appended AFTER the declared fields in sorted order
+        — field numbers are a pure function of (declared config, input
+        schema union), deterministic at any parallelism."""
+        import copy
+
+        import pyarrow as pa
+
+        new = copy.deepcopy(self)
+        known = set(new.fields) | set(new.id_columns)
+        if new.boost_column:
+            known.add(new.boost_column)
+        found: dict[str, Any] = {}
+        for sch in schemas:
+            for f in sch:
+                if f.name not in known and f.name not in found:
+                    found[f.name] = f.type
+        base = self.default_field or FieldConfig()
+        for name in sorted(found):
+            t = found[name]
+            is_texty = (
+                pa.types.is_string(t)
+                or pa.types.is_large_string(t)
+                or (
+                    (pa.types.is_list(t) or pa.types.is_large_list(t))
+                    and pa.types.is_string(t.value_type)
+                )
+            )
+            new.fields[name] = (
+                copy.deepcopy(base)
+                if is_texty
+                else FieldConfig(
+                    indexed=False, stored=True, positions=False,
+                    norms=False,
+                )
+            )
+        return new
 
 
 def analyzer_for(spec: str | Analyzer) -> Analyzer:

@@ -471,6 +471,25 @@ class InvertFragment:
                     boost = (F32(fc.boost) * doc_boosts) * ln
                     docs_cols[f"norm_{fname}"] = encode_norms(boost)
 
+            # fields declared (or discovered) but absent from THIS input
+            # file still get their norm/len columns (zeros) so the docs
+            # parts share one logical schema — heterogeneous inputs
+            # (dynamic FieldInfos) stay scorable/sortable across parts
+            for fname, fc in cfg.fields.items():
+                if fname in table.column_names:
+                    continue
+                if fc.stored and fname not in docs_cols:
+                    # untyped nulls: concat promotes to the real type
+                    # when another fragment in the group carries it
+                    docs_cols[fname] = pa.nulls(n_rows)
+                if not fc.indexed:
+                    continue
+                docs_cols[f"len_{fname}"] = np.zeros(n_rows,
+                                                     dtype=np.int32)
+                if fc.norms:
+                    docs_cols[f"norm_{fname}"] = encode_norms(
+                        np.zeros(n_rows, dtype=np.float32)
+                    )
             seg_tables.append(
                 pa.concat_tables(field_tables)
                 if field_tables
