@@ -82,6 +82,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     inv_cpus = os.environ.get("RAY_GRAFT_INVERT_CPUS")
     if inv_cpus:
         cfg.invert_num_cpus = float(inv_cpus)
+    mrg_cpus = os.environ.get("RAY_GRAFT_MERGE_CPUS")
+    if mrg_cpus:
+        cfg.merge_num_cpus = float(mrg_cpus)
     # Best-of-N trials IN THIS process (default 3): the first build pays
     # one-time warm-up the steady-state metric should exclude (worker
     # first-touch page faults, cold analyzer vocab) — a production
@@ -198,7 +201,12 @@ def run_scaling(sf_dir: str, lo: int, hi: int, trials: int = 1) -> dict:
         for _ in range(trials):
             env = dict(os.environ)
             env["RAY_GRAFT_CPUS"] = str(n)
+            # per-node bandwidth emulation at BOTH levels (identical
+            # protocol): stage concurrency = cpus/2 for the two
+            # bandwidth-bound stages, so the small "cluster" cannot
+            # free-ride the whole shared box's memory bus
             env.setdefault("RAY_GRAFT_INVERT_CPUS", "2")
+            env.setdefault("RAY_GRAFT_MERGE_CPUS", "2")
             env.setdefault("RAY_GRAFT_BUILD_TRIALS", "3")
             env.pop("RAY_ADDRESS", None)
             res = subprocess.run(

@@ -204,10 +204,10 @@ class Analyzer:
 
         A region is a maximal run of non-separator characters, so its
         token output is context-free: the result is a tuple of
-        ``(term, pos_inc)`` pairs (pos_inc folds in gaps from stop words
-        dropped earlier in the region) plus the trailing stop-word gap to
-        carry into the next region.  This is what makes per-region
-        memoization exact."""
+        ``(term, pos_inc, start, end)`` tuples (offsets relative to the
+        region; pos_inc folds in gaps from stop words dropped earlier in
+        the region) plus the trailing stop-word gap to carry into the
+        next region.  This is what makes per-region memoization exact."""
         lowercase = self.lowercase
         stop = self.stop_words
         hyphen = self.hyphen
@@ -215,10 +215,10 @@ class Analyzer:
             from .stemmer import stem as _stem
         else:
             _stem = None
-        pairs: list[tuple[str, int]] = []
+        pairs: list[tuple[str, int, int, int]] = []
         gap = 0
         mode = getattr(self.tokenizer, "mode", "utf8")
-        for t, _s, _e in tokenize_raw(region, mode):
+        for t, s, e in tokenize_raw(region, mode):
             if lowercase:
                 t = t.lower()
             if stop is not None and t in stop:
@@ -228,15 +228,25 @@ class Analyzer:
             gap = 0
             if hyphen and "-" in t and _is_splittable(t):
                 concat = t.replace("-", "")
-                pairs.append((_stem(concat) if _stem else concat, pinc))
+                pairs.append(
+                    (_stem(concat) if _stem else concat, pinc, s, e)
+                )
                 first = True
+                off = 0
                 for part in t.split("-"):
+                    ps = s + off
                     pairs.append(
-                        (_stem(part) if _stem else part, 0 if first else 1)
+                        (
+                            _stem(part) if _stem else part,
+                            0 if first else 1,
+                            ps,
+                            ps + len(part),
+                        )
                     )
+                    off += len(part) + 1
                     first = False
             else:
-                pairs.append((_stem(t) if _stem else t, pinc))
+                pairs.append((_stem(t) if _stem else t, pinc, s, e))
         return tuple(pairs), gap
 
     def _terms_positions_std(
@@ -271,7 +281,7 @@ class Analyzer:
                         cache.clear()
                     cache[region] = v
             pairs, tgap = v
-            for t, pinc in pairs:
+            for t, pinc, _s, _e in pairs:
                 pos += pinc + gap
                 gap = 0
                 append_t(t)
@@ -281,6 +291,376 @@ class Analyzer:
                     return terms, positions
             gap += tgap
         return terms, positions
+
+    def terms_positions_offsets(
+        self, text: str, max_field_length: int = 10_000
+    ) -> list[tuple[str, int, int, int]]:
+        """(term, position, start, end) per token — the memoized-region
+        fast path for stored term vectors (fw_add_postings input).
+        Offsets are codepoint indices into ``text``.  StandardTokenizer
+        chains only; callers fall back to :meth:`token_stream`."""
+        cache: dict[str, tuple[tuple, int]] = getattr(
+            self, "_region_cache", None
+        ) or self.__dict__.setdefault(
+            "_region_cache",
+            _shared_state(self._cache_key()).setdefault("region", {}),
+        )
+        process = self._process_region
+        get = cache.get
+        out: list[tuple[str, int, int, int]] = []
+        append = out.append
+        pos = -1
+        gap = 0
+        n = 0
+        for rm in _REGION.finditer(text):
+            region = rm.group()
+            base = rm.start()
+            v = get(region)
+            if v is None:
+                v = process(region)
+                if len(region) <= 64:
+                    if len(cache) >= 1_000_000:
+                        cache.clear()
+                    cache[region] = v
+            pairs, tgap = v
+            for t, pinc, s, e in pairs:
+                pos += pinc + gap
+                gap = 0
+                append((t, max(pos, 0), base + s, base + e))
+                n += 1
+                if n > max_field_length:
+                    return out
+            gap += tgap
+        return out
+
+    def term_vector_blob(
+        self, text: str, max_field_length: int = 10_000
+    ) -> bytes:
+        """Encoded term vector (codec.termvector layout) via per-region
+        blob caching: within a region every delta (pos_inc, start, len)
+        is context-free, so tokens 2..n of each region encode ONCE per
+        unique region; per doc only the region-boundary deltas are
+        written.  Byte-identical to
+        ``encode_term_vector(terms_positions_offsets(text))``."""
+        from ..codec.termvector import _vint, encode_term_vector
+
+        parts: list[bytes] = []
+        append = parts.append
+        count = 0
+        pos = -1
+        prev_enc_pos = 0
+        prev_start = 0
+        gap = 0
+        entry = self._tv_entry
+        for rm in _REGION.finditer(text):
+            head1, pinc1, rs1, tail, n, last_pos_rel, last_rs, tgap = (
+                entry(rm.group())
+            )
+            if n:
+                if count + n > max_field_length + 1:
+                    # rare giant doc: exact truncation via the slow path
+                    return encode_term_vector(
+                        self.terms_positions_offsets(
+                            text, max_field_length
+                        )
+                    )
+                base = rm.start()
+                pos_first = pos + pinc1 + gap
+                gap = 0
+                head = bytearray(head1)
+                _vint(head, max(pos_first, 0) - prev_enc_pos)
+                s_first = base + rs1
+                _vint(head, s_first - prev_start)
+                append(bytes(head))
+                append(tail)  # first token's length vint + tokens 2..n
+                pos = pos_first + last_pos_rel
+                prev_enc_pos = max(pos, 0)
+                prev_start = base + last_rs
+                count += n
+            gap += tgap
+        out = bytearray()
+        _vint(out, count)
+        return bytes(out) + b"".join(parts)
+
+    def _tv_entry(self, region: str):
+        """Per-unique-region term-vector entry (cached): pre-encoded
+        head term piece, fully pre-encoded tail (tokens 2..n — every
+        delta is region-internal), and the boundary scalars."""
+        from ..codec.termvector import _vint
+
+        shared = _shared_state(self._cache_key())
+        tvc = shared.setdefault("tv", {})
+        e = tvc.get(region)
+        if e is not None:
+            return e
+        cache = shared.setdefault("region", {})
+        v = cache.get(region)
+        if v is None:
+            v = self._process_region(region)
+            if len(region) <= 64:
+                if len(cache) >= 1_000_000:
+                    cache.clear()
+                cache[region] = v
+        pairs, tgap = v
+        if pairs:
+            t1, pinc1, rs1, re1 = pairs[0]
+            tb1 = t1.encode("utf-8", "surrogatepass")
+            head = bytearray()
+            _vint(head, len(tb1))
+            head += tb1
+            tail = bytearray()
+            _vint(tail, re1 - rs1)  # first token's length vint
+            last_pos_rel = 0
+            prev_rs = rs1
+            for t, pinc, rs, re in pairs[1:]:
+                tb = t.encode("utf-8", "surrogatepass")
+                _vint(tail, len(tb))
+                tail += tb
+                _vint(tail, pinc)
+                _vint(tail, rs - prev_rs)
+                _vint(tail, re - rs)
+                last_pos_rel += pinc
+                prev_rs = rs
+            e = (bytes(head), pinc1, rs1, bytes(tail), len(pairs),
+                 last_pos_rel, prev_rs, tgap)
+        else:
+            e = (b"", 0, 0, b"", 0, 0, 0, tgap)
+        if len(tvc) >= 500_000:
+            tvc.clear()
+        tvc[region] = e
+        return e
+
+    def batch_term_vectors(
+        self, texts: list, max_field_length: int = 10_000
+    ) -> list[bytes]:
+        """Encoded term vectors for a whole column (verdict #10).
+
+        Offsets are recovered WITHOUT per-char Python via the double
+        Arrow split: splitting on separators yields the region pieces,
+        splitting on regions yields the separator pieces; codepoint
+        lengths of both reconstruct every region's start offset.  Each
+        UNIQUE region encodes once (:meth:`_tv_entry`); per doc only the
+        region-boundary deltas (position inc, start delta) are computed
+        — as numpy arrays — and the final blobs are assembled with
+        vectorized vint encoding + buffer scatters.  Byte-identical to
+        ``encode_term_vector(terms_positions_offsets(text))`` per row.
+        """
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from ..codec.termvector import encode_term_vector
+        from ..codec.vint import vint_byte_len, vint_encode
+        from .tokenizer import (
+            ARROW_REGION_PATTERN,
+            ARROW_SEPARATOR_PATTERN,
+        )
+
+        n_docs = len(texts)
+        arr = pa.array(
+            ["" if t is None else t for t in texts], type=pa.string()
+        )
+        regs = pc.split_pattern_regex(arr, ARROW_SEPARATOR_PATTERN)
+        seps = pc.split_pattern_regex(arr, ARROW_REGION_PATTERN)
+        if isinstance(regs, pa.ChunkedArray):
+            regs = regs.combine_chunks()
+        if isinstance(seps, pa.ChunkedArray):
+            seps = seps.combine_chunks()
+        r_off = regs.offsets.to_numpy().astype(np.int64)
+        s_off = seps.offsets.to_numpy().astype(np.int64)
+        r_flat = regs.flatten()
+        s_flat = seps.flatten()
+        r_len = pc.utf8_length(r_flat).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        s_len = pc.utf8_length(s_flat).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        # exclusive prefix sums, reset per doc at use sites
+        csum_r = np.concatenate(([0], np.cumsum(r_len)))
+        csum_s = np.concatenate(([0], np.cumsum(s_len)))
+
+        # region piece -> doc, local index
+        n_r = np.diff(r_off)
+        reg_doc = np.repeat(np.arange(n_docs, dtype=np.int64), n_r)
+        local_k = (
+            np.arange(r_len.size, dtype=np.int64) - r_off[reg_doc]
+        )
+        # case A (text starts with a region char): first sep piece empty
+        first_sep_empty = np.zeros(n_docs, dtype=np.int64)
+        ns = np.diff(s_off)
+        has_sep = ns > 0
+        first_sep_empty[has_sep] = (
+            s_len[s_off[:-1][has_sep]] == 0
+        ).astype(np.int64)
+        # start offset of region piece g within its doc
+        sep_idx = s_off[reg_doc] + local_k + first_sep_empty[reg_doc]
+        np.clip(sep_idx, 0, s_len.size, out=sep_idx)
+        reg_start = (
+            (csum_r[np.arange(r_len.size)] - csum_r[r_off[reg_doc]])
+            + (csum_s[sep_idx] - csum_s[s_off[reg_doc]])
+        )
+
+        # keep only nonempty region pieces, in (doc, local) order
+        keep = r_len > 0
+        kept = np.flatnonzero(keep)
+        k_doc = reg_doc[kept]
+        k_start = reg_start[kept]
+        k_flat = r_flat.filter(pa.array(keep))
+
+        # unique-region entries
+        d = k_flat.dictionary_encode()
+        codes = d.indices.to_numpy().astype(np.int64)
+        uniq = d.dictionary.to_pylist()
+        tvc = _shared_state(self._cache_key()).setdefault("tv", {})
+        tget = tvc.get
+        mk = self._tv_entry
+        ent = [tget(r) or mk(r) for r in uniq]
+        pinc1_u = np.array([e[1] for e in ent], dtype=np.int64)
+        rs1_u = np.array([e[2] for e in ent], dtype=np.int64)
+        n_u = np.array([e[4] for e in ent], dtype=np.int64)
+        lpr_u = np.array([e[5] for e in ent], dtype=np.int64)
+        lrs_u = np.array([e[6] for e in ent], dtype=np.int64)
+        tgap_u = np.array([e[7] for e in ent], dtype=np.int64)
+        head_len_u = np.array([len(e[0]) for e in ent], dtype=np.int64)
+        tail_len_u = np.array([len(e[3]) for e in ent], dtype=np.int64)
+        # per-unique byte pools: head/tail bytes concatenated ONCE per
+        # batch; per-region copies are numpy buffer-to-buffer scatters
+        uh_buf = np.frombuffer(
+            b"".join(e[0] for e in ent), dtype=np.uint8
+        )
+        uh_off = np.concatenate(([0], np.cumsum(head_len_u)[:-1]))
+        ut_buf = np.frombuffer(
+            b"".join(e[3] for e in ent), dtype=np.uint8
+        )
+        ut_off = np.concatenate(([0], np.cumsum(tail_len_u)[:-1]))
+
+        g_n = n_u[codes]
+        g_tgap = tgap_u[codes]
+
+        # gap pending before each EMITTING region: sum of tgaps since
+        # the previous emitting region (doc-reset exclusive cumsum)
+        m = codes.size
+        z = np.concatenate(([0], np.cumsum(g_tgap)))  # global excl
+        doc_first = np.ones(m, dtype=bool)
+        if m:
+            doc_first[1:] = k_doc[1:] != k_doc[:-1]
+        emit = g_n > 0
+        e_idx = np.flatnonzero(emit)
+        if not e_idx.size:
+            return [b"\x00"] * n_docs
+        e_doc = k_doc[e_idx]
+        e_first = np.ones(e_idx.size, dtype=bool)
+        e_first[1:] = e_doc[1:] != e_doc[:-1]
+        prev_e = np.empty(e_idx.size, dtype=np.int64)
+        prev_e[1:] = e_idx[:-1]
+        prev_e[0] = 0
+        doc_start_region = np.zeros(m, dtype=np.int64)
+        ds_per_region = np.flatnonzero(doc_first)
+        doc_start_of = np.repeat(
+            ds_per_region,
+            np.diff(np.concatenate((ds_per_region, [m]))),
+        )
+        base_z = np.where(
+            e_first, z[doc_start_of[e_idx]], z[prev_e]
+        )
+        gap = z[e_idx] - base_z
+
+        # boundary deltas per emitting region
+        e_pinc1 = pinc1_u[codes[e_idx]]
+        e_rs1 = rs1_u[codes[e_idx]]
+        e_lrs = lrs_u[codes[e_idx]]
+        e_start = k_start[e_idx]
+        pd = e_pinc1 + gap
+        pd[e_first] -= 1  # pos starts at -1 per doc
+        abs_start = e_start + e_rs1
+        prev_last_start = np.empty(e_idx.size, dtype=np.int64)
+        prev_last_start[1:] = e_start[:-1] + e_lrs[:-1]
+        prev_last_start[0] = 0
+        prev_last_start[e_first] = 0
+        sd = abs_start - prev_last_start
+
+        # per-doc token counts + cap fallback
+        counts = np.bincount(e_doc, weights=g_n[e_idx],
+                             minlength=n_docs).astype(np.int64)
+        over = counts > max_field_length + 1
+
+        # vectorized vint streams
+        pd_buf = vint_encode(pd)
+        pd_len = vint_byte_len(pd)
+        sd_buf = vint_encode(sd)
+        sd_len = vint_byte_len(sd)
+        cnt_buf = vint_encode(counts)
+        cnt_len = vint_byte_len(counts)
+
+        e_head_len = head_len_u[codes[e_idx]]
+        e_tail_len = tail_len_u[codes[e_idx]]
+        # region blob = head | pd | sd | tail(len1 + tokens 2..n)
+        reg_blob_len = e_head_len + pd_len + sd_len + e_tail_len
+        # doc blob = count vint + its regions' blobs
+        doc_body_len = np.bincount(
+            e_doc, weights=reg_blob_len, minlength=n_docs
+        ).astype(np.int64)
+        doc_total = cnt_len + doc_body_len
+        doc_off = np.concatenate(([0], np.cumsum(doc_total)))
+        out = np.zeros(int(doc_off[-1]), dtype=np.uint8)
+
+        def _within(lens: np.ndarray) -> np.ndarray:
+            total = int(lens.sum())
+            return np.arange(total, dtype=np.int64) - np.repeat(
+                np.concatenate(([0], np.cumsum(lens)[:-1])), lens
+            )
+
+        def _scatter(starts: np.ndarray, lens: np.ndarray,
+                     data: bytes) -> None:
+            if not len(data):
+                return
+            tgt = np.repeat(starts, lens) + _within(lens)
+            out[tgt] = np.frombuffer(data, dtype=np.uint8)
+
+        def _scatter_from(starts_out: np.ndarray, lens: np.ndarray,
+                          src: np.ndarray,
+                          starts_src: np.ndarray) -> None:
+            if not src.size:
+                return
+            w = _within(lens)
+            out[np.repeat(starts_out, lens) + w] = src[
+                np.repeat(starts_src, lens) + w
+            ]
+
+        # count prefixes at each doc start
+        _scatter(doc_off[:-1], cnt_len, cnt_buf)
+        # region piece offsets: doc start + cnt + prior regions in doc
+        csum_blob = np.concatenate(([0], np.cumsum(reg_blob_len)))
+        doc_first_e = np.repeat(
+            np.flatnonzero(e_first),
+            np.diff(np.concatenate((np.flatnonzero(e_first),
+                                    [e_idx.size]))),
+        )
+        reg_pos_in_doc = csum_blob[:-1] - csum_blob[doc_first_e]
+        reg_tgt = doc_off[e_doc] + cnt_len[e_doc] + reg_pos_in_doc
+        e_codes = codes[e_idx]
+        _scatter_from(reg_tgt, e_head_len, uh_buf, uh_off[e_codes])
+        _scatter(reg_tgt + e_head_len, pd_len, pd_buf)
+        _scatter(reg_tgt + e_head_len + pd_len, sd_len, sd_buf)
+        _scatter_from(
+            reg_tgt + e_head_len + pd_len + sd_len, e_tail_len,
+            ut_buf, ut_off[e_codes],
+        )
+
+        raw = out.tobytes()
+        res = [
+            raw[doc_off[i]: doc_off[i + 1]] for i in range(n_docs)
+        ]
+        if over.any():
+            for i in np.flatnonzero(over):
+                res[i] = encode_term_vector(
+                    self.terms_positions_offsets(
+                        "" if texts[i] is None else texts[i],
+                        max_field_length,
+                    )
+                )
+        return res
 
     def batch_terms_positions(
         self, texts: list, max_field_length: int = 10_000
@@ -347,7 +727,7 @@ class Analyzer:
             if r is None:
                 pairs, tgap = process(region)
                 run = 0
-                for t, pinc in pairs:
+                for t, pinc, _s, _e in pairs:
                     tid = bv["term_ids"].get(t)
                     if tid is None:
                         tid = len(bv["term_ids"])

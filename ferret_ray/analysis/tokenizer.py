@@ -56,6 +56,10 @@ _WS_CHARS = (
     + "\u2028\u2029\u202f\u205f\u3000"
 )
 ARROW_SEPARATOR_PATTERN = "[" + re.escape(_WS_CHARS) + '()<>;"' + "]+"
+# complement class: maximal region runs (for offset recovery via the
+# double split — split on separators gives regions, split on regions
+# gives separators; codepoint lengths of both reconstruct offsets)
+ARROW_REGION_PATTERN = "[^" + re.escape(_WS_CHARS) + '()<>;"' + "]+"
 
 _PROTO_PREFIX = re.compile(r"(?:https?|ftp|file):/+")
 

@@ -431,8 +431,38 @@ class InvertFragment:
                     from ..codec.termvector import encode_term_vector
 
                     an = analyzers[fname]
-                    tvs = []
-                    for text in texts:
+                    from ..analysis.tokenizer import StandardTokenizer
+
+                    fast_tpo = (
+                        an.terms_positions_offsets
+                        if isinstance(an.tokenizer, StandardTokenizer)
+                        else None
+                    )
+                    if fast_tpo is not None and all(
+                        t is None or isinstance(t, str) for t in texts
+                    ):
+                        # whole-column batch path (verdict #10): Arrow
+                        # double-split offsets + per-unique-region
+                        # pre-encoded blobs + numpy scatter assembly
+                        tvs = an.batch_term_vectors(
+                            texts, fc.max_field_length
+                        )
+                        texts_iter = []
+                    else:
+                        tvs = []
+                        texts_iter = texts
+                    for text in texts_iter:
+                        if fast_tpo is not None and isinstance(
+                            text, str
+                        ):
+                            # single-value fast path: region-cached
+                            # pre-encoded blobs (verdict #10)
+                            tvs.append(
+                                an.term_vector_blob(
+                                    text, fc.max_field_length
+                                )
+                            )
+                            continue
                         toks: list[tuple[str, int, int, int]] = []
                         vals = (
                             [v for v in text if v]
@@ -444,14 +474,27 @@ class InvertFragment:
                         off = 0  # offsets shift by value len + 1
                         for v in vals:
                             v = str(v)
-                            for tk in an.token_stream(v):
-                                pos += tk.pos_inc
-                                toks.append(
-                                    (tk.text, max(pos, 0),
-                                     off + tk.start, off + tk.end)
-                                )
-                                if len(toks) > fc.max_field_length:
-                                    break
+                            if fast_tpo is not None:
+                                # memoized-region fast path (verdict
+                                # #10); positions continue across values
+                                for t, p, s, e in fast_tpo(
+                                    v, fc.max_field_length - len(toks)
+                                ):
+                                    toks.append(
+                                        (t, pos + 1 + p, off + s,
+                                         off + e)
+                                    )
+                                if toks:
+                                    pos = toks[-1][1]
+                            else:
+                                for tk in an.token_stream(v):
+                                    pos += tk.pos_inc
+                                    toks.append(
+                                        (tk.text, max(pos, 0),
+                                         off + tk.start, off + tk.end)
+                                    )
+                                    if len(toks) > fc.max_field_length:
+                                        break
                             off += len(v) + 1
                             if len(toks) > fc.max_field_length:
                                 break

@@ -83,3 +83,34 @@ def test_tv_highlight_matches_reference_golden(tv_index):
     got = highlight(s, q, 0, "field", ws, excerpt_length=10,
                     num_excerpts=2)
     assert got == ["...are <b>one</b>...", "...this; <b>one</b>..."]
+
+
+def test_batch_term_vectors_equal_sequential():
+    """The whole-column batch tv path (Arrow double-split offsets +
+    per-unique-region blobs) is byte-identical to the sequential
+    token_stream encoding."""
+    import numpy as np
+
+    from ferret_ray.codec.termvector import encode_term_vector
+    from ferret_ray.schema import analyzer_for
+
+    an = analyzer_for("standard")
+
+    def sequential(text):
+        toks = []
+        pos = -1
+        for tk in an.token_stream(text):
+            pos += tk.pos_inc
+            toks.append((tk.text, max(pos, 0), tk.start, tk.end))
+        return encode_term_vector(toks)
+
+    rng = np.random.default_rng(3)
+    words = ["alpha", "the", "e-mail", "T.N.T.", "x1", "((y))",
+             "http://www.foo.com/a/", "won't", "-52", "Écoles"]
+    texts = [
+        " ".join(rng.choice(words, size=int(rng.integers(0, 15))))
+        for _ in range(60)
+    ] + ["", None, "   ", " lead", "trail ", "a  b   c", "the the"]
+    got = an.batch_term_vectors(texts)
+    for i, t in enumerate(texts):
+        assert got[i] == sequential(t or ""), (i, repr(t))
