@@ -361,6 +361,17 @@ def q_ann_ivf_top10(sf_dir: str) -> pd.DataFrame:
     ).astype("int64")
 
 
+def q_embedding_dedup(sf_dir: str) -> pd.DataFrame:
+    """Exact embedding-cosine near-dup removal (block-pair matmuls; a
+    row drops iff a smaller id is >= 0.45 cosine-similar)."""
+    from ferret_ray.functions.ann import embedding_dedup
+
+    df = embedding_dedup(_emb_ds(sf_dir), threshold=0.45).to_pandas()
+    return df.astype({"vec_id": "int64"}).sort_values(
+        "vec_id"
+    ).reset_index(drop=True)
+
+
 def q_lang_id(sf_dir: str) -> pd.DataFrame:
     from ferret_ray.functions.textstats import lang_id
 
@@ -608,6 +619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_top10": q_ann_top10,
         "ann_lsh_top10": q_ann_lsh_top10,
         "ann_ivf_top10": q_ann_ivf_top10,
+        "embedding_dedup": q_embedding_dedup,
         "lang_id": q_lang_id,
         "quality": q_quality,
         "fingerprints": q_fingerprints,
@@ -802,6 +814,16 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(
                 embedding, (SELECT qe FROM q)) DESC, vec_id ASC
             LIMIT 10
+        """,
+        "embedding_dedup": """
+            SELECT vec_id FROM embeddings e
+            WHERE NOT EXISTS (
+                SELECT 1 FROM embeddings a
+                WHERE a.vec_id < e.vec_id
+                  AND list_cosine_similarity(a.embedding, e.embedding)
+                      >= 0.45
+            )
+            ORDER BY vec_id
         """,
         "group_by_events": """
             SELECT event_type, count(*) AS n FROM events

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -227,3 +228,94 @@ def lsh_topk(
 
     filtered = ds.map_batches(bucket_filter, batch_format="pyarrow")
     return brute_force_topk(filtered, query, k, vec_col, id_col)
+
+
+def embedding_dedup(
+    ds,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_size: int = 8192,
+    concurrency=None,
+):
+    """Exact embedding-cosine near-duplicate removal: a row is dropped
+    iff some row with a SMALLER id has cosine similarity >= threshold.
+
+    Distributed as block-pair matmuls: the normalized embedding blocks
+    stream into the object store once (the driver holds only refs), and
+    one task per (i, j<=i) block pair computes a B x B cosine tile —
+    O(n^2/B^2) tasks, never an n x n matrix anywhere.  The dropped-id
+    set (bounded by the duplicate count) is the only driver-side
+    collection; survivors stream through a broadcast filter.  Scale
+    path beyond ~10^6 vectors: pre-bucket with :class:`LSHIndex` or
+    :func:`ivf_topk` cluster assignment and run block pairs per bucket
+    (recall < 1, like the ANN variants).  Math in float64 so the
+    threshold boundary agrees with the SQL oracle."""
+    import ray
+    import ray.data
+
+    refs = []
+    for batch in ds.select_columns([id_col, vec_col]).iter_batches(
+        batch_size=block_size, batch_format="pyarrow"
+    ):
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        m = _normalize(
+            _vecs_np(batch.column(vec_col)).astype(np.float64)
+        )
+        refs.append((ray.put(ids), ray.put(m)))
+    nb = len(refs)
+    pair_rows = [
+        {"i": i, "j": j} for i in range(nb) for j in range(i + 1)
+    ]
+    thr = float(threshold)
+
+    def tile(batch) -> dict:
+        import ray as _ray
+
+        dropped: list[int] = []
+        for i, j in zip(batch["i"], batch["j"]):
+            ida, ma = (_ray.get(r) for r in refs[int(i)])
+            idb, mb = (_ray.get(r) for r in refs[int(j)])
+            c = ma @ mb.T
+            pi, qj = np.nonzero(c >= thr)
+            if pi.size:
+                a_ids = ida[pi]
+                b_ids = idb[qj]
+                ne = a_ids != b_ids
+                dropped.extend(
+                    np.maximum(a_ids[ne], b_ids[ne]).tolist()
+                )
+        return {"dropped": np.array(sorted(set(dropped)),
+                                    dtype=np.int64)}
+
+    drop_rows = (
+        ray.data.from_items(pair_rows)
+        .map_batches(tile, batch_size=1)
+        .take_all()
+    )  # O(duplicates) rows only
+    drop = frozenset(
+        int(d) for r in drop_rows for d in np.atleast_1d(r["dropped"])
+    )
+    drop_ref = ray.put(drop)
+
+    class Keep:
+        def __init__(self):
+            self.drop = ray.get(drop_ref)
+
+        def __call__(self, batch):
+            ids = batch.column(id_col)
+            if not self.drop:
+                return batch.select([id_col])
+            mask = pc.invert(
+                pc.is_in(
+                    ids,
+                    value_set=pa.array(sorted(self.drop),
+                                       type=ids.type),
+                )
+            )
+            return batch.select([id_col]).filter(mask)
+
+    return ds.map_batches(
+        Keep, batch_format="pyarrow",
+        concurrency=concurrency or (1, 512),
+    )

@@ -44,3 +44,25 @@ def test_ivf_recall_reasonable(emb):
     # the query's own vector is always found (it lives in the top probe)
     got = ivf_topk(ds, vecs[0], k=1, n_clusters=16, nprobe=1)[0]
     assert got and got[0][1] == 0
+
+
+def test_embedding_dedup_drops_near_dups(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ferret_ray.functions.ann import embedding_dedup
+
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((40, 16)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(40)]
+    # near-dups of vec 3 and 7 (tiny noise), plus an exact copy of 0
+    for j, src in enumerate([3, 7, 0]):
+        v = base[src] + (0.001 * rng.standard_normal(16)).astype(np.float32)
+        rows.append({"vec_id": 40 + j, "embedding": v.tolist()})
+    ds = ray.data.from_items(rows)
+    out = embedding_dedup(ds, threshold=0.95).to_pandas()
+    keep = set(out["vec_id"])
+    assert {40, 41, 42} & keep == set()   # all dups dropped
+    assert {0, 3, 7} <= keep              # originals survive
+    assert len(keep) == 40
