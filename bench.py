@@ -85,6 +85,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     mrg_cpus = os.environ.get("RAY_GRAFT_MERGE_CPUS")
     if mrg_cpus:
         cfg.merge_num_cpus = float(mrg_cpus)
+    fpt = os.environ.get("RAY_GRAFT_FRAGS_PER_TASK")
+    if fpt:
+        cfg.fragments_per_task = int(fpt)
+    mb = os.environ.get("RAY_GRAFT_MERGE_BUCKETS")
+    if mb:
+        cfg.merge_buckets = int(mb)
     # Best-of-N trials IN THIS process (default 3): the first build pays
     # one-time warm-up the steady-state metric should exclude (worker
     # first-touch page faults, cold analyzer vocab) — a production

@@ -55,7 +55,12 @@ SEGMENT_SCHEMA = pa.schema(
         ("df", pa.int64()),
         ("tf_sum", pa.int64()),
         ("max_tf", pa.int64()),
-        ("docs_enc", pa.large_binary()),
+        # docs stream MINUS its first VInt: the first doc is carried as
+        # the integer ``doc_first`` column, so the merge can re-delta
+        # runs by encoding n_rows tiny VInts + one Arrow element-wise
+        # join instead of a per-byte splice gather (the splice was the
+        # merge phase's memory-bandwidth hot spot)
+        ("docs_rest_enc", pa.large_binary()),
         ("freqs_enc", pa.large_binary()),
         ("prx_enc", pa.large_binary()),
         ("prx_lens_enc", pa.large_binary()),
@@ -234,9 +239,13 @@ def _encode_field_postings(
     deltas[0] = abs_docs[0]
     np.subtract(abs_docs[1:], abs_docs[:-1], out=deltas[1:])
     deltas[t_starts] = abs_docs[t_starts]
-    docs_buf = vint_encode(deltas)
+    # encode every delta EXCEPT each term's first (that value is the
+    # doc_first column); per-term slices of the rest-buffer stay
+    # contiguous so the blob column is a zero-copy view
     docs_lens = vint_byte_len(deltas)
-    docs_off = np.concatenate(([0], np.cumsum(docs_lens)))
+    rest_lens = np.add.reduceat(docs_lens, t_starts) - docs_lens[t_starts]
+    docs_rest_buf = vint_encode(np.delete(deltas, t_starts))
+    rest_off = np.concatenate(([0], np.cumsum(rest_lens)))
 
     freqs_buf = vint_encode(freqs)
     freqs_off = np.concatenate(([0], np.cumsum(vint_byte_len(freqs))))
@@ -284,9 +293,7 @@ def _encode_field_postings(
 
     # blob columns: zero-copy from_buffers views over the shared buffers
     # (per-term slices are contiguous by construction)
-    docs_enc = _bin_from_slices(
-        docs_buf, docs_off[np.append(t_starts, m)]
-    )
+    docs_rest_enc = _bin_from_slices(docs_rest_buf, rest_off)
     freqs_enc = _bin_from_slices(
         freqs_buf, freqs_off[np.append(t_starts, m)]
     )
@@ -317,7 +324,7 @@ def _encode_field_postings(
             "df": pa.array(t_ends - t_starts, type=pa.int64()),
             "tf_sum": pa.array(tf_sums, type=pa.int64()),
             "max_tf": pa.array(max_tfs, type=pa.int64()),
-            "docs_enc": docs_enc,
+            "docs_rest_enc": docs_rest_enc,
             "freqs_enc": freqs_enc,
             "prx_enc": prx_enc,
             "prx_lens_enc": plens_enc,

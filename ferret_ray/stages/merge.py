@@ -17,11 +17,15 @@ one independent task per bucket; memory per task is bounded by one
 prefix before merging.
 
 The vectorized core (:class:`_MergedGroups`) never turns posting blobs
-into Python objects — rows are permuted and group-merged by numpy
-gathers over the raw Arrow offset/data buffers, doc deltas are
-re-encoded in one global VInt pass, and only terms long enough to need
-skip entries (df > 16) take a per-term path, mirroring how the reference
-only writes skip data every SKIP_INTERVAL docs.
+into Python objects — rows are permuted by Arrow C++ ``take`` and
+group-merged by offset arithmetic over the raw Arrow buffers.  Segment
+rows store the docs stream WITHOUT its first VInt (``docs_rest_enc`` +
+the ``doc_first`` integer column), so re-deltaing a merged run costs one
+tiny VInt encode per row plus one Arrow element-wise join — about two
+linear passes of memory traffic, where a byte-splice gather would cost
+~30 (that gather was the merge's scaling bottleneck).  Only terms long
+enough to need skip entries (df > 16) take a per-term path, mirroring
+how the reference only writes skip data every SKIP_INTERVAL docs.
 
 Rows are sorted by (field, term): the shard parquet IS the term dictionary
 (its dictionary/zstd encoding plays the role of the front-coded .tis
@@ -166,11 +170,13 @@ class _MergedGroups:
     """Vectorized merge of fragment rows sharing (shard_salt, field, term).
 
     Sorts rows by (salt, field, term, doc_base) and merges each run
-    WITHOUT decoding postings: freqs/prx/prx_lens are byte-concatenated,
-    and for doc deltas only the FIRST VInt of each non-leading row is
-    rewritten (its value is the row's absolute first doc, carried in the
-    ``doc_first`` column) to the delta from the previous row's
-    ``doc_last`` — a pure byte splice, one gather pass."""
+    WITHOUT decoding postings: freqs/prx/prx_lens/docs-rest are
+    byte-concatenated (Arrow ``take`` + offset arithmetic), and each
+    row's first doc delta — absent from the stored rest-stream, its
+    value lives in the ``doc_first`` column — is re-encoded as one tiny
+    VInt (absolute for run leaders, delta from the previous row's
+    ``doc_last`` for members) and stitched on with one Arrow
+    element-wise join."""
 
     def __init__(self, batch: pa.Table):
         n_rows = batch.num_rows
@@ -224,54 +230,33 @@ class _MergedGroups:
         self._t_starts = t_starts
         self._t_ends = t_ends
 
-        # --- docs: splice first VInt of each non-leading row -------------
-        # stored first delta == absolute first doc (invariant from the
-        # invert stage, preserved by this merge)
+        # --- docs: rest streams pass through like freqs ------------------
+        # segment rows carry ``docs_rest_enc`` (stream minus its first
+        # VInt); the first delta of every row is re-encoded here from the
+        # doc_first/doc_last columns — n_rows tiny VInts + one Arrow
+        # element-wise join, instead of the per-byte splice gather that
+        # used to dominate the merge phase's memory bandwidth
         first_delta = s_first.copy()
         nonstart = ~row_new
         first_delta[nonstart] = (
             s_first[nonstart] - np.roll(s_last, 1)[nonstart]
         )
-        new_first_buf = np.frombuffer(
-            vint_encode(first_delta), dtype=np.uint8
+        self._first_delta = first_delta
+        self._row_new = row_new
+        order_arr = pa.array(order)
+        dcol = batch.column("docs_rest_enc")
+        self._docs_rest_taken = pc.take(
+            dcol.combine_chunks()
+            if isinstance(dcol, pa.ChunkedArray) else dcol,
+            order_arr,
         )
-        lenA = vint_byte_len(first_delta)
-        new_first_off = np.empty(n_rows + 1, dtype=np.int64)
-        new_first_off[0] = 0
-        np.cumsum(lenA, out=new_first_off[1:])
-        old_first_len = vint_byte_len(s_first)
-
-        d_off, d_data = _bin_bufs(batch.column("docs_enc"))
-        row_lens = (d_off[1:] - d_off[:-1])[order]
-        lenB = row_lens - old_first_len
-        # interleaved 2n-segment gather over concat(new_first, old data)
-        src = np.concatenate((new_first_buf, d_data))
-        starts2 = np.empty(2 * n_rows, dtype=np.int64)
-        lens2 = np.empty(2 * n_rows, dtype=np.int64)
-        starts2[0::2] = new_first_off[:-1]
-        starts2[1::2] = (
-            d_off[:-1][order] + old_first_len + new_first_buf.size
-        )
-        lens2[0::2] = lenA
-        lens2[1::2] = lenB
-        out_off2 = np.empty(2 * n_rows + 1, dtype=np.int64)
-        out_off2[0] = 0
-        np.cumsum(lens2, out=out_off2[1:])
-        total = int(out_off2[-1])
-        spliced = src[_segmented_gather_idx(starts2, lens2, total)]
-        row_byte_off = out_off2[0::2]  # every row's start (2k-th segment)
-        self._docs_row_off = row_byte_off
-        self._docs_data = spliced
-        self.docs_enc = _bin_from_group_offsets(
-            row_byte_off, spliced, t_starts, t_ends
-        )
+        self._docs_full: tuple | None = None
 
         # --- freqs / prx / prx_lens: pure byte concatenation -------------
         # row permutation via Arrow C++ take (no per-byte index arrays),
         # then group merge by offset arithmetic alone
         merged = {}
         self._gathered = {}
-        order_arr = pa.array(order)
         for name in ("freqs_enc", "prx_enc", "prx_lens_enc"):
             col = batch.column(name)
             taken = pc.take(
@@ -285,11 +270,52 @@ class _MergedGroups:
         self.freqs_enc = merged["freqs_enc"]
         self.prx_enc = merged["prx_enc"]
         self.prx_lens_enc = merged["prx_lens_enc"]
+        self._docs_enc_cache: pa.LargeBinaryArray | None = None
+
+    def _first_vint_arr(self, include_leading: bool) -> pa.LargeBinaryArray:
+        """Per-row first-delta VInt bytes as a large_binary array (empty
+        for run-leading rows unless ``include_leading``: a run's stream
+        starts with its absolute first doc, a member row's with the delta
+        from the previous row's doc_last)."""
+        fd = self._first_delta
+        lens = vint_byte_len(fd)
+        if include_leading:
+            buf = vint_encode(fd)
+        else:
+            lens = np.where(self._row_new, 0, lens)
+            buf = vint_encode(fd[~self._row_new])
+        off = np.empty(lens.size + 1, dtype=np.int64)
+        off[0] = 0
+        np.cumsum(lens, out=off[1:])
+        return pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), lens.size,
+            [None, pa.py_buffer(off), pa.py_buffer(buf)],
+        )
+
+    def _full_docs(self) -> tuple[np.ndarray, np.ndarray]:
+        """(row byte offsets, data) of the full per-row docs streams."""
+        if self._docs_full is None:
+            joined = pc.binary_join_element_wise(
+                self._first_vint_arr(True), self._docs_rest_taken,
+                pa.scalar(b"", type=pa.large_binary()),
+            )
+            self._docs_full = _bin_bufs(joined)
+        return self._docs_full
+
+    @property
+    def docs_enc(self) -> pa.LargeBinaryArray:
+        if self._docs_enc_cache is None:
+            go, gd = self._full_docs()
+            self._docs_enc_cache = _bin_from_group_offsets(
+                go, gd, self._t_starts, self._t_ends
+            )
+        return self._docs_enc_cache
 
     def run_docs_bytes(self, k: int) -> bytes:
-        a = self._docs_row_off[self._t_starts[k]]
-        b = self._docs_row_off[self._t_ends[k]]
-        return self._docs_data[a:b].tobytes()
+        go, gd = self._full_docs()
+        a = go[self._t_starts[k]]
+        b = go[self._t_ends[k]]
+        return gd[a:b].tobytes()
 
     def run_bytes(self, name: str, k: int) -> bytes:
         go, gd = self._gathered[name]
@@ -298,6 +324,17 @@ class _MergedGroups:
         return gd[a:b].tobytes()
 
     def fragment_table(self, schema: pa.Schema) -> pa.Table:
+        # rest-of-run stream: leading rows contribute only their rest
+        # (the run's first doc lives in doc_first), members contribute
+        # delta VInt + rest
+        joined = pc.binary_join_element_wise(
+            self._first_vint_arr(False), self._docs_rest_taken,
+            pa.scalar(b"", type=pa.large_binary()),
+        )
+        go, gd = _bin_bufs(joined)
+        docs_rest = _bin_from_group_offsets(
+            go, gd, self._t_starts, self._t_ends
+        )
         return pa.table(
             {
                 "field": pa.array(self.field.astype(np.int32),
@@ -310,7 +347,7 @@ class _MergedGroups:
                 "df": pa.array(self.df, type=pa.int64()),
                 "tf_sum": pa.array(self.tf_sum, type=pa.int64()),
                 "max_tf": pa.array(self.max_tf, type=pa.int64()),
-                "docs_enc": self.docs_enc,
+                "docs_rest_enc": docs_rest,
                 "freqs_enc": self.freqs_enc,
                 "prx_enc": self.prx_enc,
                 "prx_lens_enc": self.prx_lens_enc,
@@ -372,39 +409,29 @@ def write_bucketed_segments(
     return rels
 
 
-def _splice_first_vint(
-    col, old_first: np.ndarray, new_first: np.ndarray
+def _strip_first_vint(
+    col, firsts: np.ndarray
 ) -> pa.LargeBinaryArray:
-    """Rewrite the FIRST VInt of every row of a binary column from
-    ``old_first`` to ``new_first`` (vectorized byte splice) — the doc-base
-    remap of the reference's ``sm_append_postings``
-    (c/src/index.c:5922-5974) without decoding the stream."""
-    n = len(old_first)
+    """Drop the FIRST VInt (known to encode ``firsts``) from every row of
+    a binary column — turns a shard row's full docs stream back into the
+    segment format's rest-stream.  Replaces the doc-base byte splice of
+    the reference's ``sm_append_postings`` (c/src/index.c:5922-5974):
+    with the first doc carried as an integer column, rebasing needs no
+    byte rewrite at all."""
+    n = len(firsts)
     o, d = _bin_bufs(col)
-    old_len = vint_byte_len(old_first)
-    new_buf = np.frombuffer(vint_encode(new_first), dtype=np.uint8)
-    lenA = vint_byte_len(new_first)
-    new_off = np.empty(n + 1, dtype=np.int64)
-    new_off[0] = 0
-    np.cumsum(lenA, out=new_off[1:])
-    row_lens = o[1:] - o[:-1]
-    lenB = row_lens - old_len
-    src = np.concatenate((new_buf, d))
-    starts2 = np.empty(2 * n, dtype=np.int64)
-    lens2 = np.empty(2 * n, dtype=np.int64)
-    starts2[0::2] = new_off[:-1]
-    starts2[1::2] = o[:-1] + old_len + new_buf.size
-    lens2[0::2] = lenA
-    lens2[1::2] = lenB
-    out_off2 = np.empty(2 * n + 1, dtype=np.int64)
-    out_off2[0] = 0
-    np.cumsum(lens2, out=out_off2[1:])
-    total = int(out_off2[-1])
-    spliced = src[_segmented_gather_idx(starts2, lens2, total)]
+    flen = vint_byte_len(firsts)
+    starts = o[:-1] + flen
+    lens = (o[1:] - o[:-1]) - flen
+    out_off = np.empty(n + 1, dtype=np.int64)
+    out_off[0] = 0
+    np.cumsum(lens, out=out_off[1:])
+    total = int(out_off[-1])
+    stripped = d[_segmented_gather_idx(starts, lens, total)]
     return pa.LargeBinaryArray.from_buffers(
         pa.large_binary(), n,
-        [None, pa.py_buffer(out_off2[0::2].copy().tobytes()),
-         pa.py_buffer(spliced.tobytes())],
+        [None, pa.py_buffer(out_off.tobytes()),
+         pa.py_buffer(stripped.tobytes())],
     )
 
 
@@ -421,8 +448,10 @@ def rebase_shard_rows(
     numbers remapped — the ``add_indexes``/``iw_add_readers`` doc-base +
     field-number remap (c/src/index.c:6530-6810), Ray-side.
 
-    Only the first VInt of each docs_enc row changes (absolute first doc
-    -> shifted); freqs/prx blobs pass through untouched."""
+    The docid shift touches no posting bytes: the segment format carries
+    the first doc as the ``doc_first`` integer column, so only that
+    column moves; the rest-stream (deltas after the first) is
+    shift-invariant and passes through untouched along with freqs/prx."""
     from .invert import term_shard
 
     n = shard_table.num_rows
@@ -431,13 +460,7 @@ def rebase_shard_rows(
     old_fields = shard_table.column("field").to_numpy()
     new_fields = field_map[old_fields]
     new_first = doc_min + offset
-    docs_enc = (
-        _splice_first_vint(
-            shard_table.column("docs_enc"), doc_min, new_first
-        )
-        if offset
-        else shard_table.column("docs_enc").combine_chunks()
-    )
+    docs_rest = _strip_first_vint(shard_table.column("docs_enc"), doc_min)
     terms = shard_table.column("term").to_pylist()
     cache = crc_cache if crc_cache is not None else {}
     num_shards = cfg.num_shards
@@ -470,7 +493,7 @@ def rebase_shard_rows(
                 shard_table.column("max_tf").to_numpy().astype(np.int64),
                 type=pa.int64(),
             ),
-            "docs_enc": docs_enc,
+            "docs_rest_enc": docs_rest,
             "freqs_enc": shard_table.column("freqs_enc"),
             "prx_enc": shard_table.column("prx_enc"),
             "prx_lens_enc": shard_table.column("prx_lens_enc"),
