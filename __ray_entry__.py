@@ -290,6 +290,18 @@ def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": keep}).astype("int64")
 
 
+def q_ngram_jaccard_dedup(sf_dir: str) -> pd.DataFrame:
+    """Exact n-gram-Jaccard near-dup removal (distributed set-similarity
+    join; x drops iff some smaller id is >= 0.8 Jaccard-similar)."""
+    from ferret_ray.functions.dedup import ngram_jaccard_dedup
+
+    _, survivors = ngram_jaccard_dedup(
+        _docs_ds(sf_dir), jaccard_threshold=0.8
+    )
+    keep = sorted(int(r["doc_id"]) for r in survivors.take_all())
+    return pd.DataFrame({"doc_id": keep}).astype("int64")
+
+
 def q_simhash_pairs(sf_dir: str) -> pd.DataFrame:
     from ferret_ray.functions.dedup import simhash_dedup
 
@@ -615,6 +627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_by_field": q_sort_by_field,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "simhash_pairs": q_simhash_pairs,
         "ann_top10": q_ann_top10,
         "ann_lsh_top10": q_ann_lsh_top10,
@@ -800,6 +813,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "ngram_jaccard_dedup": f"""
+            WITH g AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, len({tokens}) - 1),
+                           i -> {tokens}[i] || ' ' || {tokens}[i + 1]
+                                || ' ' || {tokens}[i + 2]))) AS gram
+                FROM documents
+            ), sz AS (
+                SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
+            ), p AS (
+                SELECT x.doc_id AS ida, y.doc_id AS idb,
+                       count(*) AS inter
+                FROM g x JOIN g y
+                  ON x.gram = y.gram AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            ), dups AS (
+                SELECT DISTINCT p.idb AS doc_id
+                FROM p
+                JOIN sz sa ON sa.doc_id = p.ida
+                JOIN sz sb ON sb.doc_id = p.idb
+                WHERE CAST(p.inter AS DOUBLE)
+                      / (sa.n + sb.n - p.inter) >= 0.8
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM dups)
         """,
         "ann_top10": """
             WITH q AS (

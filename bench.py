@@ -238,6 +238,11 @@ def run_scaling(sf_dir: str, lo: int, hi: int, trials: int = 1) -> dict:
             f"docs_per_sec_cpus{lo}": thr_lo,
             f"docs_per_sec_cpus{hi}": thr_hi,
         },
+        # per-trial evidence (each level = one fresh process running
+        # best-of-3 builds in-process)
+        "trials_lo": out[lo].get("build_trials"),
+        "trials_hi": out[hi].get("build_trials"),
+        "num_docs": out[lo].get("num_docs"),
         "sf": out[lo]["sf"],
         "num_cpus": hi,
         "cpus_lo": lo,

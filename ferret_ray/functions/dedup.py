@@ -594,6 +594,184 @@ def minhash_lsh_dedup(
     return verified, survivors
 
 
+def ngram_jaccard_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.8,
+    max_gram_group: int = 4096,
+    concurrency=None,
+):
+    """EXACT n-gram-Jaccard near-dup removal as a distributed
+    set-similarity join (no sketching; the LSH-free sibling of
+    :func:`minhash_lsh_dedup`).  Returns ``(dropped_ids, survivors_ds)``.
+
+    Drop rule (matches the SQL oracle, no survivor chaining): ``x`` is
+    dropped iff SOME ``y < x`` has ``J(x, y) >= jaccard_threshold``.
+
+    Shape at corpus scale — every wide op is pair- or gram-sized, the
+    text/id columns never reach the driver:
+
+      1. per-doc DISTINCT k-gram hashes (the vectorized batch kernel)
+         exploded to ``(gram, id, set_size)`` rows   (map_batches)
+      2. ``groupby(gram)`` -> within-group candidate pairs, ids sorted;
+         degenerate mega-grams (shared boilerplate) are capped at
+         ``max_gram_group`` ids with the lost pair count REPORTED
+      3. ``groupby(a, b)`` -> pair count == |A ∩ B|; the set sizes ride
+         along, so ``J = inter / (|A| + |B| - inter)`` needs no join
+         back to the corpus
+      4. dup ids (small: one per dropped doc) -> broadcast anti-filter.
+
+    Docs with fewer than ``shingle_k`` tokens use one whole-doc gram
+    (hash 0 when empty) like the minhash signer — the SQL oracle simply
+    has no grams for them, so keep test corpora above that floor."""
+    import logging
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Max, Sum
+
+    def explode(batch):
+        import pyarrow as pa
+
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        if not ids.size:
+            return {
+                "gram": np.empty(0, dtype=np.int64),
+                "id": np.empty(0, dtype=np.int64),
+                "sz": np.empty(0, dtype=np.int64),
+            }
+        texts = batch[text_col]
+        if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+            texts = pa.array([str(t) for t in texts], type=pa.string())
+        gh, gseg, _counts = _gram_hashes_batch(texts, shingle_k)
+        # distinct per doc: (doc, hash) sort, keep first occurrences
+        order = np.lexsort((gh, gseg))
+        gh = gh[order]
+        gseg = gseg[order]
+        first = np.empty(gh.size, dtype=bool)
+        if gh.size:
+            first[0] = True
+            first[1:] = (gseg[1:] != gseg[:-1]) | (gh[1:] != gh[:-1])
+        gh = gh[first]
+        gseg = gseg[first]
+        sizes = np.bincount(gseg, minlength=ids.size).astype(np.int64)
+        return {
+            "gram": gh.view(np.int64),
+            "id": ids[gseg],
+            "sz": sizes[gseg],
+        }
+
+    def pairs_of(group):
+        ids = np.asarray(group["id"], dtype=np.int64)
+        szs = np.asarray(group["sz"], dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        szs = szs[order]
+        n = ids.size
+        dropped = 0
+        if n > max_gram_group:
+            cap = max_gram_group
+            dropped = n * (n - 1) // 2 - cap * (cap - 1) // 2
+            ids = ids[:cap]
+            szs = szs[:cap]
+            n = cap
+        iu, ju = np.triu_indices(n, k=1)
+        out = {
+            "a": ids[iu],
+            "b": ids[ju],
+            "sza": szs[iu],
+            "szb": szs[ju],
+            "dropped": np.zeros(iu.size, dtype=np.int64),
+        }
+        if dropped:
+            # carrier row for the truncation metric (a == b == -1)
+            for kk, v in (("a", -1), ("b", -1), ("sza", 0), ("szb", 0),
+                          ("dropped", dropped)):
+                out[kk] = np.append(out[kk], v)
+        return out
+
+    pair_stats = (
+        ds.map_batches(explode)
+        .groupby("gram")
+        .map_groups(pairs_of)
+        .groupby(["a", "b"])
+        .aggregate(Count(), Max("sza"), Max("szb"), Sum("dropped"))
+    )
+
+    def dup_rows(batch: "pa.Table"):
+        import pyarrow as pa
+
+        a = batch.column("a").to_numpy()
+        b = batch.column("b").to_numpy()
+        inter = batch.column("count()").to_numpy().astype(np.float64)
+        sza = batch.column("max(sza)").to_numpy().astype(np.float64)
+        szb = batch.column("max(szb)").to_numpy().astype(np.float64)
+        dropped = batch.column("sum(dropped)").to_numpy()
+        union = sza + szb - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            j = np.where(union > 0, inter / union, 1.0)
+        dup = (a >= 0) & (j >= jaccard_threshold)
+        carrier = a < 0
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate((b[dup], np.full(int(carrier.sum()),
+                                                    -1, dtype=np.int64))),
+                    type=pa.int64(),
+                ),
+                "dropped": pa.array(
+                    np.concatenate(
+                        (np.zeros(int(dup.sum()), dtype=np.int64),
+                         dropped[carrier])
+                    ),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    # dup ids + truncation carriers: small by construction (one row per
+    # dropped doc), the only thing the driver ever holds
+    rows = pair_stats.map_batches(
+        dup_rows, batch_format="pyarrow"
+    ).take_all()
+    drop = sorted({int(r["doc_id"]) for r in rows if r["doc_id"] >= 0})
+    dropped_total = sum(int(r["dropped"]) for r in rows if r["doc_id"] < 0)
+    if dropped_total:
+        logging.getLogger("ferret_ray.dedup").warning(
+            "ngram_jaccard_dedup: %d candidate pairs dropped in "
+            "over-full gram groups (>%d ids); raise max_gram_group to "
+            "recover exactness", dropped_total, max_gram_group,
+        )
+    drop_ref = ray.put(frozenset(drop))
+
+    class KeepFilter:
+        def __init__(self):
+            self.drop = ray.get(drop_ref)
+
+        def __call__(self, batch):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            ids = batch.column(id_col)
+            if not self.drop:
+                return batch.select([id_col])
+            mask = pc.invert(
+                pc.is_in(
+                    ids, value_set=pa.array(sorted(self.drop),
+                                            type=ids.type)
+                )
+            )
+            return batch.select([id_col]).filter(mask)
+
+    survivors = ds.map_batches(
+        KeepFilter, batch_format="pyarrow",
+        concurrency=concurrency or (1, 512),
+    )
+    return drop, survivors
+
+
 def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
     sa = set(map(int, _shingle_hashes(_tokens(a), k)))
     sb = set(map(int, _shingle_hashes(_tokens(b), k)))

@@ -114,7 +114,12 @@ def _purge_shard_table(
 
 class _PurgeTask:
     def __init__(self, src: str, dest: str, fp: str,
-                 deleted: list[int], docs_rg_size: int = 1024):
+                 deleted: list[int], docs_rg_size: int = 1024,
+                 docs_codec: dict[str, str] | None = None):
+        # per-field STORE_COMPRESS overrides from the manifest config —
+        # purged docs parts must keep the source index's codecs so the
+        # byte-identity-with-fresh-build invariant holds
+        self.docs_codec = docs_codec or {}
         self.src = src
         self.dest = dest
         self.fp = fp
@@ -171,8 +176,13 @@ class _PurgeTask:
                 # that never saw those docs (reader indexes parts by
                 # first doc_id, so zero-row files must not exist)
                 fs_makedirs(dfs, fs_join(droot, "docs"))
+                comp = (
+                    {c: self.docs_codec.get(c, "zstd")
+                     for c in new.column_names}
+                    if self.docs_codec else "zstd"
+                )
                 pq.write_table(
-                    new, fs_join(droot, rel), compression="zstd",
+                    new, fs_join(droot, rel), compression=comp,
                     row_group_size=self.docs_rg_size, filesystem=dfs,
                 )
                 for c in new.column_names:
@@ -230,6 +240,11 @@ def expunge_deletes(
         _PurgeTask(
             src_dir, dest_dir, fp, deleted,
             docs_rg_size=m["config"].get("docs_row_group_size", 1024),
+            docs_codec={
+                n: f["store_compression"]
+                for n, f in m["config"].get("fields", {}).items()
+                if f.get("stored") and f.get("store_compression")
+            },
         ),
         batch_size=4,
         concurrency=concurrency,

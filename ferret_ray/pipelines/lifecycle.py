@@ -130,7 +130,8 @@ class _RebaseTask:
             dfs, droot = resolve_fs(self.dest_dir)
             fs_makedirs(dfs, fs_join(droot, "docs"))
             pq.write_table(
-                t, fs_join(droot, rels[0]), compression="zstd",
+                t, fs_join(droot, rels[0]),
+                compression=self.cfg.docs_compression(t.column_names),
                 filesystem=dfs,
             )
         write_checkpoint(self.dest_dir, "rebase", key, self.fp, rels, {})

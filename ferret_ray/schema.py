@@ -29,6 +29,11 @@ class FieldConfig:
     # store per-doc term vectors (positions + offsets) in the docs table
     # (TERM_VECTOR_WITH_POSITIONS_OFFSETS, c/include/index.h:544-566)
     term_vector: bool = False
+    # per-field stored-value codec — the STORE_COMPRESS flag analogue
+    # (c/include/index.h:77).  None = the index default (zstd); "none"
+    # disables compression for this field's docs-table column (already-
+    # compressed payloads, e.g. binary media), or pin "lz4"/"gzip"/...
+    store_compression: str | None = None
 
 
 @dataclass
@@ -95,6 +100,21 @@ class IndexConfig:
     dynamic: bool = False
     default_field: FieldConfig | None = None
 
+    def docs_compression(self, column_names) -> "str | dict[str, str]":
+        """Parquet codec spec for one docs-table part.
+
+        Honors per-field ``store_compression`` (STORE_COMPRESS analogue);
+        when any field overrides, the spec must enumerate EVERY column
+        (pyarrow leaves unlisted columns uncompressed)."""
+        overrides = {
+            n: fc.store_compression
+            for n, fc in self.fields.items()
+            if fc.stored and fc.store_compression
+        }
+        if not overrides:
+            return "zstd"
+        return {c: overrides.get(c, "zstd") for c in column_names}
+
     @property
     def resolved_merge_buckets(self) -> int:
         """merge_buckets clamped so every bucket holds >=1 term hash."""
@@ -114,6 +134,7 @@ class IndexConfig:
                     else "custom",
                     "max_field_length": fc.max_field_length,
                     "term_vector": fc.term_vector,
+                    "store_compression": fc.store_compression,
                 }
                 for name, fc in self.fields.items()
             },

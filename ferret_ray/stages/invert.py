@@ -583,7 +583,7 @@ class InvertFragment:
         pq.write_table(
             docs_table,
             fs_join(self.root, docs_rel),
-            compression="zstd",
+            compression=cfg.docs_compression(docs_table.column_names),
             # bounded row groups => get_doc fetches small doc slices, not
             # the whole part (FieldsReader-style point access)
             row_group_size=cfg.docs_row_group_size,

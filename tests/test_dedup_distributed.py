@@ -124,3 +124,54 @@ def test_bucket_cap_is_reported(ray_session, caplog):
     # the kept ids still collapse the (capped) group to doc 0
     keep = sorted(int(r["doc_id"]) for r in survivors.take_all())
     assert 0 in keep and 1 not in keep
+
+
+def test_ngram_jaccard_dedup_exact(dup_ds):
+    """Survivors match brute-force all-pairs Jaccard with the
+    drop-iff-any-smaller-id-similar rule (the SQL-oracle semantics)."""
+    from ferret_ray.functions.dedup import (
+        _shingle_hashes,
+        _tokens,
+        ngram_jaccard_dedup,
+    )
+
+    ds, df = dup_ds
+    drop, surv = ngram_jaccard_dedup(ds, jaccard_threshold=0.8)
+    got = sorted(int(r["doc_id"]) for r in surv.take_all())
+
+    sets = {
+        int(i): set(map(int, _shingle_hashes(_tokens(t), 3)))
+        for i, t in zip(df["doc_id"], df["text"])
+    }
+    ids = sorted(sets)
+    expect_drop = set()
+    for i, b in enumerate(ids):
+        for a in ids[:i]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - inter
+            if union and inter / union >= 0.8:
+                expect_drop.add(b)
+                break
+    assert sorted(drop) == sorted(expect_drop)
+    assert got == [i for i in ids if i not in expect_drop]
+    assert len(expect_drop) > 0  # the corpus does contain near-dups
+
+
+def test_ngram_gram_cap_is_reported(ray_session, caplog):
+    import logging
+
+    import ray.data
+
+    from ferret_ray.functions.dedup import ngram_jaccard_dedup
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(30),
+            # one shared trigram ("common gram here") across all docs
+            "text": [f"common gram here tail{i} x{i} y{i}" for i in range(30)],
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    with caplog.at_level(logging.WARNING, logger="ferret_ray.dedup"):
+        ngram_jaccard_dedup(ds, jaccard_threshold=0.99, max_gram_group=4)
+    assert any("candidate pairs dropped" in r.message for r in caplog.records)
