@@ -579,21 +579,10 @@ class BucketMerger:
 
         n = j - i
         df = mg.df[i:j]
-        # skip + block-max only where postings are long enough: decode just
-        # those runs (the reference likewise only writes skip data every
-        # SKIP_INTERVAL docs)
-        skip_col: list[bytes] = [b""] * n
-        bmax_col: list[bytes] = [b""] * n
-        for k0 in np.flatnonzero(df > SKIP_INTERVAL):
-            k = int(k0) + i
-            deltas_k = vint_decode(mg.run_docs_bytes(k))
-            docs_k = np.cumsum(deltas_k)
-            freqs_k = vint_decode(mg.run_bytes("freqs_enc", k))
-            blens_k = vint_byte_len(deltas_k)
-            skip_col[int(k0)], bmax_col[int(k0)] = _skip_blockmax(
-                docs_k, freqs_k, blens_k,
-                mg.run_bytes("prx_lens_enc", k),
-            )
+        # skip + block-max only where postings are long enough (the
+        # reference likewise only writes skip data every SKIP_INTERVAL
+        # docs) — batched over the whole slice, no per-term Python
+        skip_col, bmax_col = _skip_blockmax_cols(mg, i, j)
 
         table = pa.table(
             {
@@ -610,9 +599,8 @@ class BucketMerger:
                 "freqs_enc": mg.freqs_enc.slice(i, n),
                 "prx_enc": mg.prx_enc.slice(i, n),
                 "prx_lens_enc": mg.prx_lens_enc.slice(i, n),
-                "skip_enc": pa.array(skip_col, type=pa.large_binary()),
-                "block_max_tf": pa.array(bmax_col,
-                                         type=pa.large_binary()),
+                "skip_enc": skip_col,
+                "block_max_tf": bmax_col,
             },
             schema=SHARD_SCHEMA,
         )
@@ -631,6 +619,134 @@ class BucketMerger:
             {"num_terms": n, "num_postings": total_postings},
         )
         return _metrics(shard_salt, n, total_postings, size, False)
+
+
+def _skip_blockmax_cols(
+    mg: "_MergedGroups", i: int, j: int
+) -> tuple[pa.LargeBinaryArray, pa.LargeBinaryArray]:
+    """skip_enc + block_max_tf columns for runs [i, j) in ONE batch.
+
+    Element-exact to :func:`_skip_blockmax` per run, but all qualifying
+    runs (df > SKIP_INTERVAL) are decoded with one `vint_decode` per
+    stream, cumsummed segmented, and re-encoded with one `vint_encode`
+    per column — the per-term loop was the last Python hot spot of the
+    merge task."""
+    df = mg.df[i:j]
+    n = j - i
+
+    def _empty_cols():
+        zo = np.zeros(n + 1, dtype=np.int64)
+        e = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), n,
+            [None, pa.py_buffer(zo.tobytes()), pa.py_buffer(b"")],
+        )
+        return e, e
+
+    sel0 = np.flatnonzero(df > SKIP_INTERVAL)  # local run indices
+    if not sel0.size:
+        return _empty_cols()
+    sel = sel0 + i
+    counts = df[sel0]
+    m = int(counts.sum())
+    seg_starts = np.concatenate(([0], np.cumsum(counts[:-1])))
+
+    def _run_bytes_batch(go, gd):
+        a = go[mg._t_starts[sel]]
+        b = go[mg._t_ends[sel]]
+        lens = b - a
+        return gd[_segmented_gather_idx(a, lens, int(lens.sum()))], lens
+
+    go, gd = mg._full_docs()
+    docs_bytes, _ = _run_bytes_batch(go, gd)
+    deltas = vint_decode(docs_bytes)
+    fo, fd = mg._gathered["freqs_enc"]
+    freqs_bytes, _ = _run_bytes_batch(fo, fd)
+    freqs = vint_decode(freqs_bytes)
+    po, pd_ = mg._gathered["prx_lens_enc"]
+    plens_bytes, plens_blens = _run_bytes_batch(po, pd_)
+    dec_plens = vint_decode(plens_bytes)
+
+    # per-value prx lens: runs without positions (0 stored bytes)
+    # contribute zeros, mirroring the scalar `plens.size == n` check
+    plens = np.zeros(m, dtype=np.int64)
+    if dec_plens.size:
+        has_pos = plens_blens > 0
+        pos_counts = counts[has_pos]
+        pos_bases = seg_starts[has_pos]
+        idx = (
+            np.arange(int(pos_counts.sum()), dtype=np.int64)
+            - np.repeat(
+                np.concatenate(([0], np.cumsum(pos_counts[:-1]))),
+                pos_counts,
+            )
+            + np.repeat(pos_bases, pos_counts)
+        )
+        plens[idx] = dec_plens
+
+    # segmented cumsums (global cumsum minus the segment's prefix)
+    rep_seg = np.repeat(np.arange(sel0.size, dtype=np.int64), counts)
+    docs_cs = np.cumsum(deltas)
+    docs_abs = docs_cs - np.repeat(
+        docs_cs[seg_starts] - deltas[seg_starts], counts
+    )
+    b_ = vint_byte_len(deltas) + vint_byte_len(freqs)
+    frq_cs = np.cumsum(b_)
+    frq_cum = frq_cs - np.repeat(frq_cs[seg_starts] - b_[seg_starts],
+                                 counts)
+    prx_cs = np.cumsum(plens)
+    prx_cum = prx_cs - np.repeat(prx_cs[seg_starts] - plens[seg_starts],
+                                 counts)
+
+    # skip points: local position % SKIP_INTERVAL == SKIP_INTERVAL-1
+    local = np.arange(m, dtype=np.int64) - seg_starts[rep_seg]
+    pts = np.flatnonzero((local % SKIP_INTERVAL) == SKIP_INTERVAL - 1)
+    pts_per_seg = counts // SKIP_INTERVAL  # >= 1 (df > SKIP_INTERVAL)
+    pt_starts = np.concatenate(([0], np.cumsum(pts_per_seg[:-1])))
+
+    def _seg_diff(vals_at_pts):
+        out = vals_at_pts.copy()
+        out[1:] -= vals_at_pts[:-1]
+        out[pt_starts] = vals_at_pts[pt_starts]  # first pt diffs vs 0
+        return out
+
+    sd = _seg_diff(docs_abs[pts])
+    sf = _seg_diff(frq_cum[pts])
+    sp = _seg_diff(prx_cum[pts])
+    tri = np.empty(pts.size * 3, dtype=np.int64)
+    tri[0::3], tri[1::3], tri[2::3] = sd, sf, sp
+    tri_buf = vint_encode(tri)
+    tri_lens = vint_byte_len(tri)
+    skip_lens_sel = np.add.reduceat(tri_lens, pt_starts * 3)
+
+    # block maxima: one reduceat at all 16-aligned block starts
+    blocks_per_seg = (counts + SKIP_INTERVAL - 1) // SKIP_INTERVAL
+    nb = int(blocks_per_seg.sum())
+    blk_starts = (
+        np.arange(nb, dtype=np.int64)
+        - np.repeat(
+            np.concatenate(([0], np.cumsum(blocks_per_seg[:-1]))),
+            blocks_per_seg,
+        )
+    ) * SKIP_INTERVAL + np.repeat(seg_starts, blocks_per_seg)
+    bmax = np.maximum.reduceat(freqs, blk_starts)
+    bmax_buf = vint_encode(bmax)
+    bmax_lens = vint_byte_len(bmax)
+    bmax_seg_starts = np.concatenate(([0],
+                                      np.cumsum(blocks_per_seg[:-1])))
+    bmax_lens_sel = np.add.reduceat(bmax_lens, bmax_seg_starts)
+
+    def _col(buf: bytes, lens_sel: np.ndarray) -> pa.LargeBinaryArray:
+        lens_full = np.zeros(n, dtype=np.int64)
+        lens_full[sel0] = lens_sel
+        off = np.empty(n + 1, dtype=np.int64)
+        off[0] = 0
+        np.cumsum(lens_full, out=off[1:])
+        return pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), n,
+            [None, pa.py_buffer(off.tobytes()), pa.py_buffer(buf)],
+        )
+
+    return _col(tri_buf, skip_lens_sel), _col(bmax_buf, bmax_lens_sel)
 
 
 def _skip_blockmax(
