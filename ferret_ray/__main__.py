@@ -8,10 +8,11 @@
     python -m ferret_ray terms   <index_dir> [--field f] [--prefix p] \
         [--limit 20]          # term browser (df-ranked or prefix scan)
     python -m ferret_ray doc     <index_dir> <doc_id>   # stored fields
+    python -m ferret_ray serve   <index_dir> [--port 8765]  # web UI
 
 ``terms``/``doc`` are the CLI equivalents of the reference's
 ferret-browser views (ruby/lib/ferret/browser.rb: term list + document
-view) — same data, no web server.
+view); ``serve`` is the web UI itself (ferret_ray/browser.py).
 """
 
 from __future__ import annotations
@@ -50,6 +51,11 @@ def main(argv=None):
     dc = sub.add_parser("doc")
     dc.add_argument("index_dir")
     dc.add_argument("doc_id", type=int)
+
+    sv = sub.add_parser("serve")  # ferret-browser web UI
+    sv.add_argument("index_dir")
+    sv.add_argument("--port", type=int, default=8765)
+    sv.add_argument("--field", default=None)
 
     args = ap.parse_args(argv)
     import ray
@@ -100,6 +106,7 @@ def main(argv=None):
                 }, indent=2,
             ))
         elif args.cmd == "terms":
+            from .browser import top_terms
             from .search.reader import IndexReader
 
             reader = IndexReader(args.index_dir)
@@ -108,30 +115,15 @@ def main(argv=None):
                 else [f for f in reader.field_names
                       if reader.is_indexed(f)]
             )
-            out = {}
-            for f in fields:
-                fn = reader.field_num(f)
-                rows = []
-                for ss in reader._shard_salts:
-                    sh = reader._shard_for(ss)
-                    import numpy as _np
-
-                    a = int(_np.searchsorted(sh.fields, fn, "left"))
-                    b = int(_np.searchsorted(sh.fields, fn, "right"))
-                    terms = sh.terms_slice(a, b)
-                    dfs = sh.df[a:b]
-                    for t, d in zip(terms, dfs):
-                        if t.startswith(args.prefix):
-                            rows.append((t, int(d)))
-                # aggregate df across salt ranges, rank by df desc
-                agg: dict[str, int] = {}
-                for t, d in rows:
-                    agg[t] = agg.get(t, 0) + d
-                top = sorted(
-                    agg.items(), key=lambda kv: (-kv[1], kv[0])
-                )[: args.limit]
-                out[f] = [{"term": t, "df": d} for t, d in top]
+            out = {
+                f: top_terms(reader, f, args.prefix, args.limit)
+                for f in fields
+            }
             print(json.dumps(out, indent=2))
+        elif args.cmd == "serve":
+            from .browser import serve
+
+            serve(args.index_dir, args.port, args.field)
         elif args.cmd == "doc":
             from .search.reader import IndexReader
 
