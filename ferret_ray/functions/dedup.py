@@ -89,13 +89,22 @@ def _string_matrix(arr) -> tuple[np.ndarray, np.ndarray]:
     return mat, lens.astype(np.int64)
 
 
-def _crc32_cols(mat: np.ndarray, lens_desc: np.ndarray) -> np.ndarray:
+def _crc32_cols(
+    mat: np.ndarray,
+    lens_desc: np.ndarray,
+    init: np.ndarray | None = None,
+) -> np.ndarray:
     """Exact zlib.crc32 of each row, column-at-a-time.  Rows MUST be
     sorted by length descending: the active set for byte j is then a
     contiguous prefix, so every step is slice arithmetic (no boolean
-    gathers)."""
+    gathers).  ``init`` gives per-row starting values, matching
+    ``zlib.crc32(b, init[i])`` (zlib xors the start value with ~0
+    before processing)."""
     n, L = mat.shape
-    crc = np.full(n, 0xFFFFFFFF, dtype=np.uint32)
+    if init is None:
+        crc = np.full(n, 0xFFFFFFFF, dtype=np.uint32)
+    else:
+        crc = init.astype(np.uint32) ^ np.uint32(0xFFFFFFFF)
     tbl = _CRC32_TABLE
     # rows with len > j, per column (lens sorted descending)
     cnt = np.searchsorted(-lens_desc, -np.arange(1, L + 1),
@@ -109,6 +118,21 @@ def _crc32_cols(mat: np.ndarray, lens_desc: np.ndarray) -> np.ndarray:
             (head ^ mat[:c, j]) & np.uint32(0xFF)
         ]
     return crc ^ np.uint32(0xFFFFFFFF)
+
+
+def crc32_batch(arr, init: np.ndarray | None = None) -> np.ndarray:
+    """Vectorized ``zlib.crc32(s.encode(), init[i])`` over an Arrow
+    string array — used by the merge's ``rebase_shard_rows`` to recompute
+    term-shard hashes (init = field number) without a per-row loop."""
+    mat, lens = _string_matrix(arr)
+    order = np.argsort(-lens, kind="stable")
+    crc = _crc32_cols(
+        np.ascontiguousarray(mat[order]), lens[order],
+        None if init is None else init[order],
+    )
+    out = np.empty(len(lens), dtype=np.uint32)
+    out[order] = crc
+    return out
 
 
 def _hash64_batch(arr) -> np.ndarray:

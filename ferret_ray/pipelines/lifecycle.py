@@ -87,7 +87,6 @@ class _RebaseTask:
         self.fp = fp
         self.cfg = cfg
         self.field_names = field_names
-        self._crc_cache: dict = {}
 
     def __call__(self, batch: dict) -> dict:
         outs = []
@@ -116,7 +115,7 @@ class _RebaseTask:
         if kind == "shard":
             seg = rebase_shard_rows(
                 t, offset, np.asarray(field_map_l, dtype=np.int64),
-                self.field_names, self.cfg, self._crc_cache,
+                self.field_names, self.cfg,
             )
             rels = write_bucketed_segments(seg, self.dest_dir, tag,
                                            self.cfg)

@@ -441,7 +441,6 @@ def rebase_shard_rows(
     field_map: np.ndarray,
     field_names: list[str],
     cfg,
-    crc_cache: dict | None = None,
 ) -> pa.Table:
     """Turn one source index's shard rows back into SEGMENT_SCHEMA
     fragment rows with every docid shifted by ``offset`` and field
@@ -452,28 +451,21 @@ def rebase_shard_rows(
     the first doc as the ``doc_first`` integer column, so only that
     column moves; the rest-stream (deltas after the first) is
     shift-invariant and passes through untouched along with freqs/prx."""
-    from .invert import term_shard
+    from ..functions.dedup import crc32_batch
 
-    n = shard_table.num_rows
     doc_min = shard_table.column("doc_min").to_numpy()
     doc_max = shard_table.column("doc_max").to_numpy()
     old_fields = shard_table.column("field").to_numpy()
     new_fields = field_map[old_fields]
     new_first = doc_min + offset
     docs_rest = _strip_first_vint(shard_table.column("docs_enc"), doc_min)
-    terms = shard_table.column("term").to_pylist()
-    cache = crc_cache if crc_cache is not None else {}
-    num_shards = cfg.num_shards
-    salts = np.empty(n, dtype=np.int64)
-    for i in range(n):
-        fn = int(new_fields[i])
-        ck = (fn, terms[i])
-        h = cache.get(ck)
-        if h is None:
-            h = term_shard(fn, terms[i], num_shards)
-            cache[ck] = h
-        salts[i] = h
-    salts += (new_first // cfg.salt_doc_range) * num_shards
+    # term_shard(field, term) = crc32(term_bytes, field) % num_shards,
+    # batched: shard rows are unique (field, term) pairs so there is
+    # nothing to memoize — one column-sweep crc over the dictionary
+    crcs = crc32_batch(shard_table.column("term"), new_fields)
+    salts = (crcs.astype(np.int64) % cfg.num_shards) + (
+        new_first // cfg.salt_doc_range
+    ) * cfg.num_shards
     from .invert import SEGMENT_SCHEMA
 
     return pa.table(

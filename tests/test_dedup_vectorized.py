@@ -93,3 +93,29 @@ def test_fingerprints_batch_matches_scalar(seed):
     )
     for di, t in enumerate(texts):
         assert fp["fingerprint"][di] == fingerprint64(t), (di, t)
+
+
+def test_crc32_batch_with_init():
+    """crc32_batch == zlib.crc32(b, init) exactly — the rebase path's
+    term-shard hash (init = field number), incl. empty and utf-8 rows."""
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from ferret_ray.functions.dedup import crc32_batch
+
+    rng = np.random.default_rng(0)
+    words = [
+        "".join(chr(c) for c in rng.integers(97, 123, rng.integers(0, 30)))
+        for _ in range(300)
+    ] + ["", "a", "naïve-ütf8-слово", "x" * 300]
+    inits = rng.integers(0, 50, size=len(words)).astype(np.int64)
+    arr = pa.array(words, type=pa.string())
+    exp = np.array(
+        [zlib.crc32(w.encode(), int(i)) for w, i in zip(words, inits)],
+        dtype=np.uint32,
+    )
+    assert (crc32_batch(arr, inits) == exp).all()
+    exp0 = np.array([zlib.crc32(w.encode()) for w in words], dtype=np.uint32)
+    assert (crc32_batch(arr) == exp0).all()
