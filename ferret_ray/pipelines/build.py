@@ -75,6 +75,19 @@ def build_index(
     fragments, input_fp = list_fragments(input_paths)
     if cfg.dynamic:
         cfg = cfg.with_discovered(_input_schemas(fragments))
+    if cfg.merge_buckets is None:
+        # deterministic (function of the input inventory), resolved
+        # BEFORE fingerprinting so the manifest records the integer
+        from dataclasses import replace
+
+        from ..schema import auto_merge_buckets
+
+        cfg = replace(
+            cfg,
+            merge_buckets=auto_merge_buckets(
+                sum(f["num_rows"] for f in fragments)
+            ),
+        )
     cfg_fp = _config_fingerprint(cfg)
     build_fp = f"{input_fp}:{cfg_fp}"
 

@@ -48,8 +48,11 @@ from ..state.manifest import (
     write_manifest,
 )
 
-_COMPAT_KEYS = ("num_shards", "salt_doc_range", "merge_buckets",
-                "similarity")
+# merge_buckets is deliberately NOT a compat key: add_indexes reads the
+# sources' per-term-hash SHARD files (never their bucketed segment
+# layout) and re-buckets into the dest with the dest's own count, so
+# indexes built at different sizes (auto merge_buckets) still combine.
+_COMPAT_KEYS = ("num_shards", "salt_doc_range", "similarity")
 
 
 def _cfg_from_manifest(m: dict) -> IndexConfig:

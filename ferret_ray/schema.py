@@ -75,10 +75,14 @@ class IndexConfig:
     # map-side shuffle fan-out: invert tasks write one segment file per
     # bucket (= shard_salt % merge_buckets); the merge is one task per
     # bucket with NO Ray all-to-all.  Fixed by config (not by cluster
-    # size) so outputs are byte-identical at any parallelism.  Scale with
-    # the corpus: each merge task holds ~total_postings/merge_buckets in
-    # memory — at 100 TB raise this to O(cluster cores).
-    merge_buckets: int = 32
+    # size) so outputs are byte-identical at any parallelism.  Each merge
+    # task holds ~total_postings/merge_buckets in worker heap, so the
+    # count must scale with the corpus: ``None`` (default) sizes it from
+    # the input row count at build time (:func:`auto_merge_buckets`,
+    # deterministic — part of the manifest after resolution).  Shard
+    # files are one-per-term-hash regardless, so the bucket count never
+    # changes output bytes, only task granularity.
+    merge_buckets: int | None = None
     # CPUs reserved per invert task.  1.0 since the memoized tokenizer:
     # the stage is no longer memory-bandwidth-bound, so one task per core
     # wins (measured: invert 15.8s -> 9.2s at 32 cpus / 200k docs)
@@ -117,8 +121,13 @@ class IndexConfig:
 
     @property
     def resolved_merge_buckets(self) -> int:
-        """merge_buckets clamped so every bucket holds >=1 term hash."""
-        return max(1, min(self.merge_buckets, self.num_shards))
+        """merge_buckets clamped so every bucket holds >=1 term hash.
+
+        ``None`` falls back to 32 here for direct stage use; the build
+        pipeline resolves it from the input size first (build.py), so a
+        manifest always records the resolved integer."""
+        b = 32 if self.merge_buckets is None else self.merge_buckets
+        return max(1, min(b, self.num_shards))
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -193,6 +202,15 @@ class IndexConfig:
                 )
             )
         return new
+
+
+def auto_merge_buckets(num_docs: int) -> int:
+    """Merge-task count sized from the corpus: ~10k docs (a few million
+    postings at a few hundred tokens/doc) per task keeps every bucket's
+    working set in worker heap and leaves enough tasks to balance
+    stragglers.  Measured at 2M docs / 32 cpus: 32 buckets = 74s merge
+    (heap-pressure cliff), 128 = 45s, 256 = 49s (BASELINE.md round 3)."""
+    return max(32, min(num_docs // 10_000, 4096))
 
 
 def analyzer_for(spec: str | Analyzer) -> Analyzer:

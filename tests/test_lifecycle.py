@@ -183,3 +183,39 @@ def test_upsert_by_key(ray_session, tmp_path):
     s = inc.searcher()
     assert s.search(TermQuery("path", "src/a.c"), 0, 10).total_hits == 1
     assert s.search(TermQuery("content", "beta"), 0, 10).total_hits == 0
+
+
+def test_auto_merge_buckets_and_cross_bucket_add(env):
+    """merge_buckets=None sizes itself from the input (auto); indexes
+    built with DIFFERENT bucket counts still combine via add_indexes —
+    the bucket count is merge-task granularity only (shard files are one
+    per term hash), so it is deliberately not a compat key."""
+    from dataclasses import replace
+
+    from ferret_ray.pipelines.build import build_index
+    from ferret_ray.pipelines.lifecycle import add_indexes
+    from ferret_ray.schema import auto_merge_buckets
+
+    assert auto_merge_buckets(200) == 32
+    assert auto_merge_buckets(200_000) == 32
+    assert auto_merge_buckets(2_000_000) == 200
+    assert auto_merge_buckets(10**9) == 4096
+
+    tmp, paths, full_dir = env
+    # default config (merge_buckets=None) resolves to an int before the
+    # manifest is written
+    m_full = __import__(
+        "ferret_ray.state.manifest", fromlist=["read_manifest"]
+    ).read_manifest(full_dir)
+    assert m_full["config"]["merge_buckets"] == 32
+
+    a_dir = os.path.join(tmp, "xb_a")
+    b_dir = os.path.join(tmp, "xb_b")
+    build_index(paths[0], a_dir, replace(_cfg(), merge_buckets=2))
+    build_index(paths[1], b_dir, replace(_cfg(), merge_buckets=8))
+    dest = os.path.join(tmp, "xb_dest")
+    add_indexes(dest, [a_dir, b_dir])
+
+    fresh = os.path.join(tmp, "xb_fresh")
+    build_index([paths[0], paths[1]], fresh, _cfg())
+    assert _shard_hashes(dest) == _shard_hashes(fresh)
