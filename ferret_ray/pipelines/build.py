@@ -230,10 +230,19 @@ def _group_fragments(
     return groups
 
 
+# Physical-layout version, part of every build fingerprint: bump when a
+# code change alters index bytes or placement for the SAME config (e.g.
+# the term_shard hash), so cached index dirs from older code can never
+# be mistaken for up-to-date builds (resume would silently reuse them).
+# v3: field_mix XOR term-shard hash (was crc-init mixing).
+INDEX_FORMAT_VERSION = 3
+
+
 def _config_fingerprint(cfg: IndexConfig) -> str:
     import hashlib
     import json
 
+    blob = json.dumps(cfg.to_json(), sort_keys=True)
     return hashlib.sha256(
-        json.dumps(cfg.to_json(), sort_keys=True).encode()
+        f"v{INDEX_FORMAT_VERSION}:{blob}".encode()
     ).hexdigest()[:16]

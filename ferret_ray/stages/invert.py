@@ -75,21 +75,20 @@ def pa_compute_sum(col) -> int:
     return int(v) if v is not None else 0
 
 
+def field_mix(field_num) -> "int | np.ndarray":
+    """32-bit multiplicative mix of the field number, XORed onto the
+    term crc.  Keeping the field OUT of the crc state (it used to be the
+    crc init value) makes the per-term hash field-independent, so the
+    invert batch path computes one vectorized crc per unique-term column
+    and never touches a Python memo dict.  Scalar and ndarray inputs."""
+    return (field_num * 0x9E3779B1) & 0xFFFFFFFF
+
+
 def term_shard(field_num: int, term: str, num_shards: int) -> int:
-    return zlib.crc32(term.encode("utf-8", "surrogatepass"), field_num) % (
-        num_shards
-    )
-
-
-# (field_num, term) -> raw crc32, shared for the worker process lifetime
-# (Ray task pools deserialize a fresh UDF per task; module state persists)
-_CRC_CACHE: dict[tuple[int, str], int] = {}
-
-
-def _crc_cache_bounded() -> dict:
-    if len(_CRC_CACHE) > 4_000_000:  # ~0.5 GB ceiling per worker
-        _CRC_CACHE.clear()
-    return _CRC_CACHE
+    return (
+        zlib.crc32(term.encode("utf-8", "surrogatepass"))
+        ^ field_mix(field_num)
+    ) % num_shards
 
 
 def _invert_texts(
@@ -197,14 +196,14 @@ def _encode_field_postings(
     doc_base: int,
     cfg: IndexConfig,
     with_positions: bool,
-    crc_cache: dict,
 ) -> pa.Table | None:
     """Invert the token stream to a fragment-row table, fully vectorized.
 
     All VInt encoding happens in ONE call over the whole field's token
     stream; per-term blobs are zero-copy Arrow slices of the global
     buffers (``from_buffers`` over shared data + per-term offsets) — no
-    per-term Python loop except the memoized term->shard crc."""
+    per-term Python loop at all (the term-shard crc is one batched
+    column sweep over the unique-term dictionary)."""
     if tids.size == 0:
         return None
     n = tids.size
@@ -274,20 +273,13 @@ def _encode_field_postings(
     salt_base = (doc_base // cfg.salt_doc_range) * num_shards
     nt = t_starts.size
 
-    # term -> RAW crc32, memoized process-wide (code vocab repeats across
-    # fragments AND tasks); the num_shards mod is one vectorized op so the
-    # cache stays valid across configs
-    crc = zlib.crc32
-    id2term = term_dict.to_pylist()
-    crc_arr = np.empty(len(id2term), dtype=np.int64)
-    cget = crc_cache.get
-    for tid, term in enumerate(id2term):
-        ck = (field_num, term)
-        v = cget(ck)
-        if v is None:
-            v = crc(term.encode("utf-8", "surrogatepass"), field_num)
-            crc_cache[ck] = v
-        crc_arr[tid] = v
+    # one vectorized crc over the unique-term dictionary (field mixed in
+    # by XOR, see field_mix) — no per-term Python, no memo dict
+    from ..functions.dedup import crc32_batch
+
+    crc_arr = (
+        crc32_batch(term_dict).astype(np.int64) ^ field_mix(field_num)
+    )
     crc_arr %= num_shards
     first_tids = u_tid[t_starts]
 
@@ -427,7 +419,7 @@ class InvertFragment:
                 total_tokens += int(tids.size)
                 ft = _encode_field_postings(
                     field_names.index(fname), term_dict, tids, docs, poss,
-                    doc_base, cfg, fc.positions, _crc_cache_bounded(),
+                    doc_base, cfg, fc.positions,
                 )
                 if ft is not None:
                     field_tables.append(ft)

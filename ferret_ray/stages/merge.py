@@ -459,11 +459,12 @@ def rebase_shard_rows(
     new_fields = field_map[old_fields]
     new_first = doc_min + offset
     docs_rest = _strip_first_vint(shard_table.column("docs_enc"), doc_min)
-    # term_shard(field, term) = crc32(term_bytes, field) % num_shards,
-    # batched: shard rows are unique (field, term) pairs so there is
-    # nothing to memoize — one column-sweep crc over the dictionary
-    crcs = crc32_batch(shard_table.column("term"), new_fields)
-    salts = (crcs.astype(np.int64) % cfg.num_shards) + (
+    # term_shard(field, term) = (crc32(term) ^ field_mix(field)) %
+    # num_shards, batched: one column-sweep crc over the dictionary
+    from .invert import field_mix
+
+    crcs = crc32_batch(shard_table.column("term")).astype(np.int64)
+    salts = ((crcs ^ field_mix(new_fields)) % cfg.num_shards) + (
         new_first // cfg.salt_doc_range
     ) * cfg.num_shards
     from .invert import SEGMENT_SCHEMA
