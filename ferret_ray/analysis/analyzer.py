@@ -749,10 +749,15 @@ class Analyzer:
                 np.asarray(bv["k"], dtype=np.int64),
                 np.asarray(bv["adv"], dtype=np.int64),
                 np.asarray(bv["tok_off"], dtype=np.int64),
-                np.asarray(bv["tids"], dtype=np.int64),
+                # int32 ids: the vocab is capped well below 2^31 and the
+                # indexer's stable argsort halves its radix passes
+                np.asarray(bv["tids"], dtype=np.int32),
                 np.asarray(bv["pref"], dtype=np.int64),
+                # vocab as an Arrow array: the output term table is a
+                # C++ take instead of a Python listcomp per batch
+                pa.array(bv["terms"], type=pa.string()),
             )
-        k_arr, adv_arr, tokoff_arr, u_tid, u_pref = bv["np"]
+        k_arr, adv_arr, tokoff_arr, u_tid, u_pref, terms_pa = bv["np"]
         u_k = k_arr[rows]
         u_adv = adv_arr[rows]
         u_tok_start = tokoff_arr[rows]
@@ -812,14 +817,13 @@ class Analyzer:
                 tids, return_index=True, return_inverse=True
             )
             order = np.argsort(first_idx, kind="stable")
-            rank = np.empty(order.size, dtype=np.int64)
-            rank[order] = np.arange(order.size)
+            rank = np.empty(order.size, dtype=np.int32)
+            rank[order] = np.arange(order.size, dtype=np.int32)
             tids = rank[inv]
-            terms_g = bv["terms"]
-            id2term = [terms_g[g] for g in uniq_g[order]]
+            term_table = pc.take(terms_pa, pa.array(uniq_g[order]))
         else:
-            id2term = []
-        return tids, poss, lens, pa.array(id2term, type=pa.string())
+            term_table = pa.array([], type=pa.string())
+        return tids, poss, lens, term_table
 
     def terms_positions(
         self, text: str, max_field_length: int = 10_000
