@@ -352,11 +352,14 @@ def q_ann_lsh_top10(sf_dir: str) -> pd.DataFrame:
 
 
 def q_ann_ivf_top10(sf_dir: str) -> pd.DataFrame:
-    """IVF ANN (k-means coarse quantizer, nprobe clusters probed) —
-    rows-only check; recall<1 by design, exact when nprobe=n_clusters."""
+    """IVF ANN over a CLUSTER-PARTITIONED parquet index: probes read
+    only their nprobe clusters' files (the 100-TB IO path) — rows-only
+    check; recall<1 by design, exact when nprobe=n_clusters.  Candidate
+    set (and thus results) identical to the in-memory filter variant
+    `ivf_topk` by construction (tests/test_ivf.py)."""
     import pyarrow.parquet as pq
 
-    from ferret_ray.functions.ann import ivf_topk
+    from ferret_ray.functions.ann import build_ivf_index, ivf_search
 
     q = np.asarray(
         pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
@@ -364,7 +367,13 @@ def q_ann_ivf_top10(sf_dir: str) -> pd.DataFrame:
         .as_py(),
         dtype=np.float64,
     )
-    res = ivf_topk(_emb_ds(sf_dir), q, k=10, n_clusters=8, nprobe=3)[0]
+    idx_dir = os.path.join(
+        "/tmp/ferret_ray_indexes",
+        sf_dir.strip("/").replace("/", "_") + "-ivf8",
+    )
+    if not os.path.exists(os.path.join(idx_dir, "ivf_meta.json")):
+        build_ivf_index(_emb_ds(sf_dir), idx_dir, n_clusters=8)
+    res = ivf_search(idx_dir, q, k=10, nprobe=3)[0]
     return pd.DataFrame(
         {
             "rank": [r for r, _, _ in res],

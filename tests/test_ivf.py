@@ -66,3 +66,32 @@ def test_embedding_dedup_drops_near_dups(ray_session):
     assert {40, 41, 42} & keep == set()   # all dups dropped
     assert {0, 3, 7} <= keep              # originals survive
     assert len(keep) == 40
+
+
+def test_partitioned_ivf_index_matches_filter_variant(emb, tmp_path):
+    """build_ivf_index + ivf_search (reads ONLY probed partitions)
+    returns exactly what the in-memory filter variant returns: same
+    deterministic quantizer, same candidate set, same ranking."""
+    import os
+
+    from ferret_ray.functions.ann import build_ivf_index, ivf_search, ivf_topk
+
+    ds, vecs = emb
+    d = str(tmp_path / "ivf_idx")
+    ivf = build_ivf_index(ds, d, n_clusters=8)
+    # hive layout: one directory per non-empty cluster + metadata
+    parts = sorted(p for p in os.listdir(d) if p.startswith("ivf_cluster="))
+    assert 1 <= len(parts) <= 8
+    assert os.path.exists(os.path.join(d, "ivf_meta.json"))
+
+    for qi in (7, 100):
+        q = vecs[qi]
+        got = ivf_search(d, q, k=10, nprobe=3)[0]
+        want = ivf_topk(ds, q, k=10, n_clusters=8, nprobe=3)[0]
+        assert got == want
+    # full probe degenerates to exact search through the partitioned path
+    from ferret_ray.functions.ann import brute_force_topk
+
+    got = ivf_search(d, vecs[7], k=10, nprobe=8)[0]
+    exact = brute_force_topk(ds, vecs[7], k=10)[0]
+    assert [v for _, v, _ in got] == [v for _, v, _ in exact]
