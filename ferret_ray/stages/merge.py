@@ -638,63 +638,69 @@ def _skip_blockmax_cols(
     sel0 = np.flatnonzero(df > SKIP_INTERVAL)  # local run indices
     if not sel0.size:
         return _empty_cols()
-    sel = sel0 + i
-    counts = df[sel0]
-    m = int(counts.sum())
-    seg_starts = np.concatenate(([0], np.cumsum(counts[:-1])))
 
-    def _run_bytes_batch(go, gd):
-        a = go[mg._t_starts[sel]]
-        b = go[mg._t_ends[sel]]
-        lens = b - a
-        return gd[_segmented_gather_idx(a, lens, int(lens.sum()))], lens
+    # contiguous decode of ALL runs in [i, j): runs are consecutive row
+    # ranges, so their concatenated streams are single buffer slices —
+    # no per-byte gather indices (formerly the merge task's hot spot).
+    # Segmentation happens on the decoded VALUE arrays via df cumsums.
+    counts_all = df.astype(np.int64)
+    m_all = int(counts_all.sum())
+    seg_all = np.concatenate(([0], np.cumsum(counts_all[:-1])))
+    rs = mg._t_starts[i]
+    re_ = mg._t_ends[j - 1]
 
     go, gd = mg._full_docs()
-    docs_bytes, _ = _run_bytes_batch(go, gd)
-    deltas = vint_decode(docs_bytes)
+    deltas = vint_decode(gd[go[rs]:go[re_]])
     fo, fd = mg._gathered["freqs_enc"]
-    freqs_bytes, _ = _run_bytes_batch(fo, fd)
-    freqs = vint_decode(freqs_bytes)
+    freqs = vint_decode(fd[fo[rs]:fo[re_]])
     po, pd_ = mg._gathered["prx_lens_enc"]
-    plens_bytes, plens_blens = _run_bytes_batch(po, pd_)
-    dec_plens = vint_decode(plens_bytes)
+    dec_plens = vint_decode(pd_[po[rs]:po[re_]])
 
     # per-value prx lens: runs without positions (0 stored bytes)
     # contribute zeros, mirroring the scalar `plens.size == n` check
-    plens = np.zeros(m, dtype=np.int64)
+    plens = np.zeros(m_all, dtype=np.int64)
     if dec_plens.size:
+        plens_blens = po[mg._t_ends[i:j]] - po[mg._t_starts[i:j]]
         has_pos = plens_blens > 0
-        pos_counts = counts[has_pos]
-        pos_bases = seg_starts[has_pos]
+        pos_counts = counts_all[has_pos]
         idx = (
             np.arange(int(pos_counts.sum()), dtype=np.int64)
             - np.repeat(
                 np.concatenate(([0], np.cumsum(pos_counts[:-1]))),
                 pos_counts,
             )
-            + np.repeat(pos_bases, pos_counts)
+            + np.repeat(seg_all[has_pos], pos_counts)
         )
         plens[idx] = dec_plens
 
-    # segmented cumsums (global cumsum minus the segment's prefix)
-    rep_seg = np.repeat(np.arange(sel0.size, dtype=np.int64), counts)
+    # segmented cumsums over ALL runs (global cumsum minus seg prefix)
     docs_cs = np.cumsum(deltas)
     docs_abs = docs_cs - np.repeat(
-        docs_cs[seg_starts] - deltas[seg_starts], counts
+        docs_cs[seg_all] - deltas[seg_all], counts_all
     )
     b_ = vint_byte_len(deltas) + vint_byte_len(freqs)
     frq_cs = np.cumsum(b_)
-    frq_cum = frq_cs - np.repeat(frq_cs[seg_starts] - b_[seg_starts],
-                                 counts)
+    frq_cum = frq_cs - np.repeat(frq_cs[seg_all] - b_[seg_all],
+                                 counts_all)
     prx_cs = np.cumsum(plens)
-    prx_cum = prx_cs - np.repeat(prx_cs[seg_starts] - plens[seg_starts],
-                                 counts)
+    prx_cum = prx_cs - np.repeat(prx_cs[seg_all] - plens[seg_all],
+                                 counts_all)
 
-    # skip points: local position % SKIP_INTERVAL == SKIP_INTERVAL-1
-    local = np.arange(m, dtype=np.int64) - seg_starts[rep_seg]
-    pts = np.flatnonzero((local % SKIP_INTERVAL) == SKIP_INTERVAL - 1)
+    # skip points, constructed directly per QUALIFYING segment (indices
+    # into the all-runs value arrays)
+    counts = counts_all[sel0]
+    seg_starts_sel = seg_all[sel0]
     pts_per_seg = counts // SKIP_INTERVAL  # >= 1 (df > SKIP_INTERVAL)
     pt_starts = np.concatenate(([0], np.cumsum(pts_per_seg[:-1])))
+    tot_pts = int(pts_per_seg.sum())
+    within = (
+        np.arange(tot_pts, dtype=np.int64)
+        - np.repeat(pt_starts, pts_per_seg)
+    )
+    pts = (
+        np.repeat(seg_starts_sel, pts_per_seg)
+        + (within + 1) * SKIP_INTERVAL - 1
+    )
 
     def _seg_diff(vals_at_pts):
         out = vals_at_pts.copy()
@@ -711,7 +717,18 @@ def _skip_blockmax_cols(
     tri_lens = vint_byte_len(tri)
     skip_lens_sel = np.add.reduceat(tri_lens, pt_starts * 3)
 
-    # block maxima: one reduceat at all 16-aligned block starts
+    # block maxima: gather the qualifying runs' freqs into one compact
+    # array (value-level, one fancy-index) so consecutive reduceat
+    # blocks stay within their segment, then one reduceat at all
+    # 16-aligned block starts
+    m_sel = int(counts.sum())
+    sel_exc = np.concatenate(([0], np.cumsum(counts[:-1])))
+    gidx = (
+        np.arange(m_sel, dtype=np.int64)
+        - np.repeat(sel_exc, counts)
+        + np.repeat(seg_starts_sel, counts)
+    )
+    freqs_sel = freqs[gidx]
     blocks_per_seg = (counts + SKIP_INTERVAL - 1) // SKIP_INTERVAL
     nb = int(blocks_per_seg.sum())
     blk_starts = (
@@ -720,8 +737,8 @@ def _skip_blockmax_cols(
             np.concatenate(([0], np.cumsum(blocks_per_seg[:-1]))),
             blocks_per_seg,
         )
-    ) * SKIP_INTERVAL + np.repeat(seg_starts, blocks_per_seg)
-    bmax = np.maximum.reduceat(freqs, blk_starts)
+    ) * SKIP_INTERVAL + np.repeat(sel_exc, blocks_per_seg)
+    bmax = np.maximum.reduceat(freqs_sel, blk_starts)
     bmax_buf = vint_encode(bmax)
     bmax_lens = vint_byte_len(bmax)
     bmax_seg_starts = np.concatenate(([0],
