@@ -52,14 +52,12 @@ def list_fragments(
         else:
             files.append(p)
     files.sort()
+    rg_rows = _footer_rg_rows(files)
     fragments: list[dict[str, Any]] = []
     doc_base = 0
     frag_id = 0
     for path in files:
-        fs, inner = resolve_fs(path)
-        meta = open_parquet(fs, inner).metadata
-        for rg in range(meta.num_row_groups):
-            num_rows = meta.row_group(rg).num_rows
+        for rg, num_rows in enumerate(rg_rows[path]):
             fragments.append(
                 {
                     "frag_id": frag_id,
@@ -80,6 +78,47 @@ def list_fragments(
         ).encode()
     ).hexdigest()[:16]
     return fragments, h
+
+
+# above this many input files, footer metadata is fetched by Ray tasks
+# (chunked) instead of a serial driver loop — at 10^9+ files the driver
+# pass would otherwise dominate the build; output is identical (the
+# assembly below walks files in sorted order either way)
+_DISTRIBUTED_FOOTER_THRESHOLD = 64
+
+
+def _rg_rows_of(path: str) -> list[int]:
+    fs, inner = resolve_fs(path)
+    meta = open_parquet(fs, inner).metadata
+    return [
+        meta.row_group(i).num_rows for i in range(meta.num_row_groups)
+    ]
+
+
+def _footer_rg_rows(files: list[str]) -> dict[str, list[int]]:
+    """Per-file row-group row counts; distributed when the file count is
+    large and a Ray session exists."""
+    import ray
+
+    if (
+        len(files) <= _DISTRIBUTED_FOOTER_THRESHOLD
+        or not ray.is_initialized()
+    ):
+        return {p: _rg_rows_of(p) for p in files}
+
+    @ray.remote
+    def _chunk(paths: list[str]) -> dict[str, list[int]]:
+        return {p: _rg_rows_of(p) for p in paths}
+
+    chunk = 64
+    refs = [
+        _chunk.remote(files[a: a + chunk])
+        for a in range(0, len(files), chunk)
+    ]
+    out: dict[str, list[int]] = {}
+    for d in ray.get(refs):
+        out.update(d)
+    return out
 
 
 def read_fragment(frag: dict[str, Any], columns: list[str] | None):
