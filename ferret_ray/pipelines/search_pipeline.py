@@ -79,12 +79,26 @@ def search_batch(
     batch_size: int = 64,
     default_field: str = "content",
     similarity: str | None = None,
+    warm: bool = False,
 ):
     """Evaluate many queries against an index; returns a Ray Dataset of
-    (query, rank, doc_id, score, total_hits)."""
+    (query, rank, doc_id, score, total_hits).
+
+    ``warm=False`` (default): actors open shard dictionaries lazily —
+    a one-shot batch touches only its terms' shards, a fraction of the
+    index.  Pass ``warm=True`` for a long-lived pool where every shard
+    will be hit anyway (the latency-serving configuration)."""
     import ray.data
 
-    ds = ray.data.from_items([{"query": q} for q in queries])
+    # enough blocks that every actor in the pool gets work even for a
+    # modest query list (a 112-query batch at batch_size=64 would form
+    # only 2 blocks and leave the rest of the pool idle), small enough
+    # that per-batch overhead stays amortized
+    n_blocks = max(1, min(len(queries), concurrency * 4))
+    bs = min(batch_size, max(1, -(-len(queries) // n_blocks)))
+    ds = ray.data.from_items(
+        [{"query": q} for q in queries], override_num_blocks=n_blocks
+    )
     return ds.map_batches(
         SearcherActor,
         fn_constructor_kwargs={
@@ -92,7 +106,8 @@ def search_batch(
             "default_field": default_field,
             "k": k,
             "similarity": similarity,
+            "warm": warm,
         },
-        batch_size=batch_size,
+        batch_size=bs,
         concurrency=(1, concurrency),
     )
