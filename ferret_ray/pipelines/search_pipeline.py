@@ -79,21 +79,25 @@ def search_batch(
     batch_size: int = 64,
     default_field: str = "content",
     similarity: str | None = None,
-    warm: bool = False,
+    warm: bool = True,
 ):
     """Evaluate many queries against an index; returns a Ray Dataset of
     (query, rank, doc_id, score, total_hits).
 
-    ``warm=False`` (default): actors open shard dictionaries lazily —
-    a one-shot batch touches only its terms' shards, a fraction of the
-    index.  Pass ``warm=True`` for a long-lived pool where every shard
-    will be hit anyway (the latency-serving configuration)."""
+    ``warm=True`` (default) opens every shard dictionary in parallel at
+    actor init — right for pools that serve enough queries to touch all
+    shards.  ``warm=False`` defers each shard open to first use: better
+    for a small one-shot batch over a huge index (it reads only the
+    queried terms' shards); measured neutral at 2M docs / 112 queries,
+    slightly slower at 200k (lazy opens serialize into the query path)."""
     import ray.data
 
     # enough blocks that every actor in the pool gets work even for a
     # modest query list (a 112-query batch at batch_size=64 would form
     # only 2 blocks and leave the rest of the pool idle), small enough
-    # that per-batch overhead stays amortized
+    # that task dispatch + actor ramp-up stay amortized (4 per actor:
+    # the skew-balance win at 2M docs, +33% batch throughput, outweighs
+    # the extra actor spin-up it costs a small one-shot batch)
     n_blocks = max(1, min(len(queries), concurrency * 4))
     bs = min(batch_size, max(1, -(-len(queries) // n_blocks)))
     ds = ray.data.from_items(
