@@ -367,9 +367,13 @@ def q_ann_ivf_top10(sf_dir: str) -> pd.DataFrame:
         .as_py(),
         dtype=np.float64,
     )
+    # cache key includes the embeddings file's (size, mtime) so a
+    # regenerated table at the same path never reuses a stale index
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
     idx_dir = os.path.join(
         "/tmp/ferret_ray_indexes",
-        sf_dir.strip("/").replace("/", "_") + "-ivf8",
+        sf_dir.strip("/").replace("/", "_")
+        + f"-ivf8-{st.st_size}-{int(st.st_mtime)}",
     )
     if not os.path.exists(os.path.join(idx_dir, "ivf_meta.json")):
         build_ivf_index(_emb_ds(sf_dir), idx_dir, n_clusters=8)

@@ -123,10 +123,13 @@ class IVFIndex:
     becomes a partitioned parquet (one directory per cluster) so probes
     read only their clusters' files."""
 
-    def __init__(self, centroids: np.ndarray):
-        self.centroids = _normalize(
-            np.asarray(centroids, dtype=np.float32)
-        )
+    def __init__(self, centroids: np.ndarray, normalized: bool = False):
+        # ``normalized=True`` skips renormalization: float32 normalize is
+        # NOT idempotent at the ulp level, and probe order near centroid
+        # ties must be bit-identical between the build-time index object
+        # and one reloaded from persisted (already-normalized) centroids
+        c = np.asarray(centroids, dtype=np.float32)
+        self.centroids = c if normalized else _normalize(c)
 
     @staticmethod
     def train(
@@ -208,8 +211,21 @@ def build_ivf_index(
     centroids; the write is Ray Data's partitioned parquet sink
     (resumable: one directory per cluster, re-buildable per partition).
     """
-    import json
-    import os
+    from ..state.fs import (
+        fs_exists,
+        fs_rmtree,
+        fs_write_json_atomic,
+        join as fs_join,
+        resolve_fs,
+    )
+
+    fs, root = resolve_fs(index_dir)
+    # a previous partial/stale build in this dir would otherwise be
+    # merged into results (Ray writes uniquely-named files alongside);
+    # the meta json is written LAST, so its presence marks a complete
+    # index
+    if fs_exists(fs, root):
+        fs_rmtree(fs, root)
 
     sample_rows = ds.limit(train_sample).take_all()
     sample = np.stack(
@@ -228,17 +244,16 @@ def build_ivf_index(
     ds.map_batches(assign, batch_format="pyarrow").write_parquet(
         index_dir, partition_cols=["ivf_cluster"]
     )
-    with open(os.path.join(index_dir, "ivf_meta.json"), "w") as f:
-        json.dump(
-            {
-                "n_clusters": int(cent.shape[0]),
-                "dim": int(cent.shape[1]),
-                "vec_col": vec_col,
-                "id_col": id_col,
-                "centroids": [[float(x) for x in row] for row in cent],
-            },
-            f,
-        )
+    fs_write_json_atomic(
+        fs, fs_join(root, "ivf_meta.json"),
+        {
+            "n_clusters": int(cent.shape[0]),
+            "dim": int(cent.shape[1]),
+            "vec_col": vec_col,
+            "id_col": id_col,
+            "centroids": [[float(x) for x in row] for row in cent],
+        },
+    )
     return ivf
 
 
@@ -249,25 +264,40 @@ def ivf_search(
     nprobe: int = 4,
 ):
     """Top-k over a :func:`build_ivf_index` directory, reading ONLY the
-    ``nprobe`` probed clusters' parquet files (path-level pruning)."""
-    import json
-    import os
-
+    ``nprobe`` probed clusters' parquet files (path-level pruning).
+    Works on any pyarrow.fs/fsspec URI, like the rest of the index IO."""
     import ray.data
 
-    with open(os.path.join(index_dir, "ivf_meta.json")) as f:
-        meta = json.load(f)
-    ivf = IVFIndex(np.asarray(meta["centroids"], dtype=np.float32))
+    from ..state.fs import (
+        fs_exists,
+        fs_listdir,
+        fs_read_json,
+        join as fs_join,
+        resolve_fs,
+    )
+
+    fs, root = resolve_fs(index_dir)
+    meta = fs_read_json(fs, fs_join(root, "ivf_meta.json"))
+    if meta is None:
+        raise FileNotFoundError(f"no ivf_meta.json in {index_dir}")
+    # persisted centroids are already normalized — do NOT renormalize
+    # (float32 normalize is not ulp-idempotent; probe order must match
+    # the build-time index object exactly)
+    ivf = IVFIndex(
+        np.asarray(meta["centroids"], dtype=np.float32), normalized=True
+    )
     probed = ivf.probe(np.asarray(query, dtype=np.float32), nprobe)
     # expand probed partition dirs to files (read_parquet expands a
     # single directory but not a list of them)
+    scheme = index_dir.split("://", 1)[0] + "://" if "://" in index_dir \
+        else ""
     paths = []
     for c in probed:
-        pdir = os.path.join(index_dir, f"ivf_cluster={c}")
-        if os.path.isdir(pdir):
+        pdir = fs_join(root, f"ivf_cluster={c}")
+        if fs_exists(fs, pdir):
             paths += [
-                os.path.join(pdir, f)
-                for f in sorted(os.listdir(pdir))
+                scheme + fs_join(pdir, f)
+                for f in sorted(fs_listdir(fs, pdir))
                 if f.endswith(".parquet")
             ]
     if not paths:

@@ -122,16 +122,30 @@ def _crc32_cols(
 
 def crc32_batch(arr, init: np.ndarray | None = None) -> np.ndarray:
     """Vectorized ``zlib.crc32(s.encode(), init[i])`` over an Arrow
-    string array — used by the merge's ``rebase_shard_rows`` to recompute
-    term-shard hashes (init = field number) without a per-row loop."""
-    mat, lens = _string_matrix(arr)
-    order = np.argsort(-lens, kind="stable")
-    crc = _crc32_cols(
-        np.ascontiguousarray(mat[order]), lens[order],
-        None if init is None else init[order],
-    )
-    out = np.empty(len(lens), dtype=np.uint32)
-    out[order] = crc
+    string array — the invert/rebase term-shard hash kernel.
+
+    Processed in chunks: the padded matrix is (rows x longest-string),
+    so one pathological term would otherwise scale EVERY row's memory;
+    chunking bounds the working set to chunk_rows x its own max length.
+    """
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    out = np.empty(n, dtype=np.uint32)
+    chunk = 65536
+    for a in range(0, n, chunk):
+        b = min(a + chunk, n)
+        mat, lens = _string_matrix(arr.slice(a, b - a))
+        order = np.argsort(-lens, kind="stable")
+        sub_init = None if init is None else init[a:b][order]
+        crc = _crc32_cols(
+            np.ascontiguousarray(mat[order]), lens[order], sub_init
+        )
+        res = np.empty(b - a, dtype=np.uint32)
+        res[order] = crc
+        out[a:b] = res
     return out
 
 

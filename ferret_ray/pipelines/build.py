@@ -151,6 +151,7 @@ def build_index(
     }
     manifest = {
         "version": 1,
+        "format": INDEX_FORMAT_VERSION,
         "fingerprint": build_fp,
         "config": cfg.to_json(),
         "field_names": field_names,
@@ -230,12 +231,15 @@ def _group_fragments(
     return groups
 
 
-# Physical-layout version, part of every build fingerprint: bump when a
-# code change alters index bytes or placement for the SAME config (e.g.
-# the term_shard hash), so cached index dirs from older code can never
-# be mistaken for up-to-date builds (resume would silently reuse them).
+# Physical-layout version, part of every build fingerprint AND recorded
+# in the manifest (checked by IndexReader): bump when a code change
+# alters index bytes, placement, or manifest schema for the SAME config,
+# so index dirs from older code can never be silently reused — resume
+# would rebuild, and a reader fails loudly instead of returning 0 hits
+# from the wrong shard.
 # v3: field_mix XOR term-shard hash (was crc-init mixing).
-INDEX_FORMAT_VERSION = 3
+# v4: manifest records "format" for the read-time guard.
+INDEX_FORMAT_VERSION = 4
 
 
 def _config_fingerprint(cfg: IndexConfig) -> str:

@@ -193,7 +193,9 @@ def add_indexes(
     offsets = np.concatenate(
         ([0], np.cumsum([m["num_docs"] for m in manifests]))
     )
-    fp = "addidx:" + ":".join(
+    from .build import INDEX_FORMAT_VERSION
+
+    fp = f"addidx-v{INDEX_FORMAT_VERSION}:" + ":".join(
         f"{m['fingerprint']}@{int(o)}" for m, o in zip(manifests, offsets)
     )
 
@@ -262,6 +264,7 @@ def add_indexes(
     }
     manifest = {
         "version": 1,
+        "format": INDEX_FORMAT_VERSION,
         "fingerprint": fp,
         "config": cfg.to_json(),
         "field_names": field_names,

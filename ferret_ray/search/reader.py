@@ -189,6 +189,18 @@ class IndexReader:
         if m is None:
             raise FileNotFoundError(f"no manifest in {index_dir}")
         self.manifest = m
+        # physical-format guard: term-shard placement and stream layout
+        # change across INDEX_FORMAT_VERSION bumps; reading an older
+        # index with newer code would silently return 0 hits (wrong
+        # shard), so fail loudly instead
+        from ..pipelines.build import INDEX_FORMAT_VERSION
+
+        fmt = m.get("format", 0)
+        if fmt != INDEX_FORMAT_VERSION:
+            raise ValueError(
+                f"index {index_dir} has format v{fmt}, this build reads "
+                f"v{INDEX_FORMAT_VERSION}; rebuild the index"
+            )
         self.field_names: list[str] = m["field_names"]
         self.num_shards: int = m["config"]["num_shards"]
         self.num_docs: int = m["num_docs"]

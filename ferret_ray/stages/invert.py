@@ -14,7 +14,9 @@ positions, and writes
   and Ferret float8 norm byte, c/src/index.c:5676-5681).
 
 Partition key: ``shard_salt = (doc_base // salt_doc_range) * num_shards +
-crc32(field, term) % num_shards`` — a *skew-aware* salted term-hash: every
+(crc32(term) ^ field_mix(field)) % num_shards`` — a *skew-aware* salted
+term-hash (field mixed by XOR so the per-term crc is field-independent
+and batchable; format v3, see build.INDEX_FORMAT_VERSION): every
 group covers a single doc range, so hot-term groups are bounded by the
 range size and merged blocks concatenate in doc order exactly.
 
