@@ -32,8 +32,10 @@ def list_fragments(
     """Return (fragments, input_fingerprint).
 
     Each fragment: {frag_id, path, row_group, num_rows, doc_base}.
-    The fingerprint hashes the (path, row_group, num_rows) inventory —
-    identical inputs => identical fingerprint => resumable checkpoints.
+    The fingerprint hashes the (path, file_bytes, row_group, num_rows)
+    inventory — identical inputs => identical fingerprint => resumable
+    checkpoints; a regenerated file with the same shape but different
+    bytes almost always changes size and therefore the fingerprint.
     """
     if isinstance(input_paths, str):
         input_paths = [input_paths]
@@ -57,7 +59,7 @@ def list_fragments(
     doc_base = 0
     frag_id = 0
     for path in files:
-        for rg, num_rows in enumerate(rg_rows[path]):
+        for rg, num_rows in enumerate(rg_rows[path][1]):
             fragments.append(
                 {
                     "frag_id": frag_id,
@@ -72,7 +74,12 @@ def list_fragments(
     h = hashlib.sha256(
         json.dumps(
             [
-                (os.path.basename(f["path"]), f["row_group"], f["num_rows"])
+                (
+                    os.path.basename(f["path"]),
+                    rg_rows[f["path"]][0],
+                    f["row_group"],
+                    f["num_rows"],
+                )
                 for f in fragments
             ]
         ).encode()
@@ -87,15 +94,17 @@ def list_fragments(
 _DISTRIBUTED_FOOTER_THRESHOLD = 64
 
 
-def _rg_rows_of(path: str) -> list[int]:
+def _rg_rows_of(path: str) -> tuple[int, list[int]]:
+    """(file size in bytes, per-row-group row counts)."""
     fs, inner = resolve_fs(path)
+    size = int(fs.get_file_info(inner).size or 0)
     meta = open_parquet(fs, inner).metadata
-    return [
+    return size, [
         meta.row_group(i).num_rows for i in range(meta.num_row_groups)
     ]
 
 
-def _footer_rg_rows(files: list[str]) -> dict[str, list[int]]:
+def _footer_rg_rows(files: list[str]) -> dict[str, tuple[int, list[int]]]:
     """Per-file row-group row counts; distributed when the file count is
     large and a Ray session exists."""
     import ray
@@ -107,7 +116,7 @@ def _footer_rg_rows(files: list[str]) -> dict[str, list[int]]:
         return {p: _rg_rows_of(p) for p in files}
 
     @ray.remote
-    def _chunk(paths: list[str]) -> dict[str, list[int]]:
+    def _chunk(paths: list[str]) -> dict:
         return {p: _rg_rows_of(p) for p in paths}
 
     chunk = 64
