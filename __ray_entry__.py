@@ -409,6 +409,17 @@ def q_quality(sf_dir: str) -> pd.DataFrame:
     return _docs_ds(sf_dir).map_batches(quality_score, batch_format="pyarrow").to_pandas()
 
 
+def q_bpe_token_count(sf_dir: str) -> pd.DataFrame:
+    from ferret_ray.functions.textstats import bpe_token_count
+
+    return (
+        _docs_ds(sf_dir)
+        .map_batches(bpe_token_count, batch_format="pyarrow")
+        .to_pandas()
+        .astype("int64")
+    )
+
+
 def q_fingerprints(sf_dir: str) -> pd.DataFrame:
     from ferret_ray.functions.textstats import fingerprints
 
@@ -637,6 +648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df_top20": q_term_df_top20,
         "token_stats": q_token_stats,
         "mb_token_stats": q_mb_token_stats,
+        "bpe_token_count": q_bpe_token_count,
         "sort_by_field": q_sort_by_field,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -814,6 +826,15 @@ def oracle_sql() -> dict[str, str]:
                    len(list_distinct(regexp_extract_all(
                        lower('{MB_PREFIX} ' || text),
                        '[\\pL\\pN]+'))) AS n_unique
+            FROM documents
+        """,
+        "bpe_token_count": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+                   len(regexp_extract_all(
+                       text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?\pL+| ?\pN+| ?[^\pL\pN\s]+|\s+'
+                   )) AS n_bpe_tokens
             FROM documents
         """,
         "sort_by_field": """

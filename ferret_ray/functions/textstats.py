@@ -183,6 +183,29 @@ def quality_score(batch) -> dict:
     }
 
 
+# GPT-2-style pretokenizer, RE2-safe (no lookahead): contractions,
+# space-prefixed letter/digit/punct runs, whitespace runs.  RE2's
+# leftmost-first alternation is identical in pyarrow and DuckDB, so the
+# count is SQL-oracle-checkable (`regexp_extract_all`) bit-for-bit.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\pL+| ?\pN+| ?[^\pL\pN\s]+|\s+"
+
+
+def bpe_token_count(batch) -> dict:
+    """Per-doc BPE-ish token counts: whitespace tokens + the GPT-2-style
+    pretokenizer regex above, both as one vectorized RE2 count per
+    column (no per-row Python)."""
+    texts = _texts_col(batch)
+    bpe = pc.count_substring_regex(texts, BPE_PATTERN)
+    ws = pc.count_substring_regex(texts, r"\S+")
+    return {
+        "doc_id": _ids_col(batch),
+        "n_ws_tokens": ws.to_numpy(zero_copy_only=False).astype(np.int64),
+        "n_bpe_tokens": bpe.to_numpy(zero_copy_only=False).astype(
+            np.int64
+        ),
+    }
+
+
 def fingerprint64(text: str, k: int = 5, window: int = 8) -> int:
     """Winnowing-style rolling-hash document fingerprint (XOR of window
     minima of k-gram hashes)."""

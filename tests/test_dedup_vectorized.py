@@ -119,3 +119,31 @@ def test_crc32_batch_with_init():
     assert (crc32_batch(arr, inits) == exp).all()
     exp0 = np.array([zlib.crc32(w.encode()) for w in words], dtype=np.uint32)
     assert (crc32_batch(arr) == exp0).all()
+
+
+def test_bpe_token_count_matches_duckdb():
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    from ferret_ray.functions.textstats import BPE_PATTERN, bpe_token_count
+
+    texts = [
+        "Hello world, it's a test!", "  leading space\ttabs\n",
+        "naïve café 北京123 x_y", "", "don't stop-me now... 42.5%",
+        "a'll b're c've d'd e'm f's g't", "__init__(self, *args)",
+        "x" * 500 + " y", "tab\tsep\tvals", "ünïcödé wörds ß",
+    ]
+    out = bpe_token_count(
+        pa.table({"doc_id": np.arange(len(texts)), "text": texts})
+    )
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        nb = con.sql(
+            "SELECT len(regexp_extract_all(?, ?))", params=[t, BPE_PATTERN]
+        ).fetchone()[0]
+        nw = con.sql(
+            r"SELECT len(regexp_extract_all(?, '\S+'))", params=[t]
+        ).fetchone()[0]
+        assert out["n_bpe_tokens"][i] == nb, (i, t)
+        assert out["n_ws_tokens"][i] == nw, (i, t)
