@@ -147,6 +147,67 @@ def _lex(s: str, use_keywords: bool = True) -> list[tuple[str, str]]:
     return toks
 
 
+_SPECIAL_CHARS = '&:()[]{}!"~^|<>=*?+-'
+_PHRASE_CHARS = '<>|"'
+
+
+def clean_str(s: str) -> str:
+    """qp_clean_str (q_parser.y:1220-1306): balance parens and quotes,
+    escape special characters inside phrases (except the phrase-meaningful
+    ``<>``, ``|`` and ``"``)."""
+    out: list[str] = []
+    pb = ""
+    br_cnt = 0
+    quote_open = False
+    for b in s:
+        if pb == "\\":
+            if quote_open and b in _PHRASE_CHARS:
+                out.append("\\")  # left off the first time through
+            out.append(b)
+            # \ has escaped itself so has no power
+            pb = "r" if b == "\\" else b
+            continue
+        if b == "\\":
+            if not quote_open:  # we do our own escaping below
+                out.append(b)
+        elif b == '"':
+            quote_open = not quote_open
+            out.append(b)
+        elif b == "(":
+            if not quote_open:
+                br_cnt += 1
+            else:
+                out.append("\\")
+            out.append(b)
+        elif b == ")":
+            if not quote_open:
+                if br_cnt == 0:
+                    out.insert(0, "(")
+                else:
+                    br_cnt -= 1
+            else:
+                out.append("\\")
+            out.append(b)
+        elif b == ">":
+            if quote_open:
+                if pb == "<":
+                    # un-escape the '<' written as '\<' last iteration
+                    out.pop()
+                    out[-1] = "<"
+                else:
+                    out.append("\\")
+            out.append(b)
+        else:
+            if quote_open and b in _SPECIAL_CHARS and b != "|":
+                out.append("\\")
+            out.append(b)
+        pb = b
+    if quote_open:
+        out.append('"')
+    out.append(")" * br_cnt)
+    return "".join(out)
+
+
 class FQLParser:
     """qp_new equivalent; add fields with add_field(name, default,
     tokenized)."""
@@ -160,6 +221,7 @@ class FQLParser:
         use_keywords: bool = True,
         handle_parse_errors: bool = True,
         max_clauses: int = 512,
+        clean_str: bool = False,
     ):
         self.analyzer = analyzer or standard_analyzer()
         self.or_default = or_default
@@ -168,6 +230,7 @@ class FQLParser:
         self.use_keywords = use_keywords
         self.handle_parse_errors = handle_parse_errors
         self.max_clauses = max_clauses
+        self.clean_str = clean_str
         self.def_fields: list[str] = []
         self.all_fields: list[str] = []
         self.tokenized_fields: set[str] = set()
@@ -186,17 +249,18 @@ class FQLParser:
     # ---- public ---------------------------------------------------------
 
     def parse(self, qstr: str) -> Query | None:
+        if self.clean_str:
+            qstr = clean_str(qstr)
         try:
             return self._parse(qstr)
         except ParseError:
             if not self.handle_parse_errors:
                 raise
-            # qp_parse fallback: ignore special chars, plain boolean query
-            cleaned = re.sub(r'[&:()\[\]{}!"~^|<>=*?+\\-]', " ", qstr)
-            try:
-                return self._parse(cleaned)
-            except ParseError:
-                return None
+            # qp_get_bad_query (q_parser.y:1315-1324): analyze the whole
+            # string as one term text per default field — multi-token
+            # results become a phrase with slop++ per positioned token
+            self.fields_stack = [list(self.def_fields)]
+            return self._flds(lambda f: self._get_term_q(f, qstr))
 
     def _parse(self, qstr: str) -> Query | None:
         self.toks = _lex(qstr, self.use_keywords)

@@ -177,3 +177,118 @@ def test_round_trip_standard_analyzer(qstr, expect):
     p.add_field("f2", tokenized=True)
     p.add_field("field", tokenized=False)
     assert to_s(p.parse(qstr), "xx") == expect
+
+
+# ---- qp_clean_str goldens (test_q_parser.c:353-378) ----------------------
+
+CLEAN_PAIRS = [
+    ("", ""),
+    ('"< <>"', '"\\< <>"'),
+    ('"hello there', '"hello there"'),
+    ('hello there"', 'hello there""'),
+    ("(hello there", "(hello there)"),
+    ("(hello (there", "(hello (there))"),
+    ('(hello" (there', '(hello" \\(there")'),
+    ('(hello" &:()[]{}!+~^-<|>=*? <>there',
+     '(hello" \\&\\:\\(\\)\\[\\]\\{\\}\\!\\+\\~\\^\\-\\<|\\>\\=\\*\\? '
+     '<>there")'),
+    ("hello) there)", "((hello) there)"),
+    ('hello) "there)', '(hello) "there\\)"'),
+    ("(hello \\&\\:\\(\\)\\[\\]\\{\\}\\!\\+\\~\\^\\-\\<|\\>\\=\\*\\?",
+     "(hello \\&\\:\\(\\)\\[\\]\\{\\}\\!\\+\\~\\^\\-\\<|\\>\\=\\*\\?)"),
+    ("hello \\\\&", "hello \\\\&"),
+    ("hello \\\\\\&", "hello \\\\\\&"),
+    ('"hello \\\\"', '"hello \\"'),
+]
+
+
+@pytest.mark.parametrize(
+    "raw,expect", CLEAN_PAIRS, ids=range(len(CLEAN_PAIRS))
+)
+def test_clean_str(raw, expect):
+    from ferret_ray.search.fql import clean_str
+
+    assert clean_str(raw) == expect
+
+
+@pytest.mark.parametrize("qstr,expect", PAIRS, ids=range(len(PAIRS)))
+def test_round_trip_clean_str_mode(qstr, expect):
+    # test_q_parser.c:155-158 — the whole pair table parses identically
+    # with clean_str enabled
+    p = make_parser()
+    p.clean_str = True
+    assert to_s(p.parse(qstr), "xx") == expect
+
+
+# ---- test_qp_bad_queries (test_q_parser.c:383-412) -----------------------
+
+BAD_PAIRS = [
+    ("[, ]", ""),
+    ("::*word", "word"),
+    ("::))*&)(*^&*(", ""),
+    ('::|)*&one)(*two(*&"', '"one two"~1'),
+]
+
+
+@pytest.mark.parametrize("clean", [False, True], ids=["raw", "clean"])
+@pytest.mark.parametrize("qstr,expect", BAD_PAIRS, ids=range(len(BAD_PAIRS)))
+def test_bad_queries(qstr, expect, clean):
+    p = make_parser()
+    p.handle_parse_errors = True
+    p.clean_str = clean
+    assert to_s(p.parse(qstr), "xx") == expect
+
+
+# ---- test_qp_prefix_query (test_q_parser.c:414-437) -----------------------
+
+
+def test_prefix_vs_wildcard_types():
+    from ferret_ray.search.query import PrefixQuery, WildcardQuery
+
+    p = make_parser()
+    assert isinstance(p.parse("asdg*"), PrefixQuery)
+    assert isinstance(p.parse("a?dg*"), WildcardQuery)
+    assert isinstance(p.parse("a*dg*"), WildcardQuery)
+    assert isinstance(p.parse("asdg*a"), WildcardQuery)
+
+
+# ---- test_qp_keyword_switch (test_q_parser.c:439-453) ---------------------
+
+
+def test_keyword_switch():
+    p = make_parser()
+    assert (
+        to_s(p.parse("REQ www (xxx AND yyy) OR NOT zzz"), "xx")
+        == "+www (+xxx +yyy) -zzz"
+    )
+    p = make_parser()
+    p.use_keywords = False
+    assert (
+        to_s(p.parse("REQ www (xxx AND yyy) OR NOT zzz"), "xx")
+        == "req www (xxx and yyy) or not zzz"
+    )
+
+
+# ---- standard analyzer with stops + hyphens (test_q_parser.c:300-305) -----
+
+STD_STOP_PAIRS = [
+    ("*:this", ""),
+    ("this-is-a-hyphenated-word",
+     '"thisisahyphenatedword|this is a hyphenated word"~4'),
+    ('"the phrase and the phrase"', '"phrase <> <> phrase"~3'),
+    ('"the e-mail was in the inbox"', '"email|e mail <> <> <> inbox"~5'),
+]
+
+
+@pytest.mark.parametrize(
+    "qstr,expect", STD_STOP_PAIRS, ids=range(len(STD_STOP_PAIRS))
+)
+def test_round_trip_standard_stops(qstr, expect):
+    from ferret_ray.analysis import standard_analyzer
+
+    p = FQLParser(analyzer=standard_analyzer())
+    p.add_field("xx", default=True, tokenized=True)
+    p.add_field("f1", tokenized=True)
+    p.add_field("f2", tokenized=True)
+    p.add_field("field", tokenized=True)
+    assert to_s(p.parse(qstr), "xx") == expect
