@@ -70,3 +70,108 @@ def test_explain_and_search_each(idx):
     assert [d for d, _ in seen] == [0, 1] or [d for d, _ in seen] == [1, 0]
     e = idx.explain("apple", 0)
     assert e.value > 0
+
+
+def test_scan_and_doc_by_id(ray_session):
+    ix = Index(default_field="content", analyzer="whitespace")
+    for i in range(20):
+        ix << {"id": str(100 + i), "content": f"word{i % 4} common"}
+    try:
+        # unscored paging: first 3 matches from doc 0, then resume
+        page1 = ix.scan("common", limit=3)
+        assert page1 == [0, 1, 2]
+        page2 = ix.scan("common", start_doc=page1[-1] + 1, limit=3)
+        assert page2 == [3, 4, 5]
+        assert len(ix.scan("word1", limit=None)) == 5
+        # doc by id-field term / range / slice
+        assert ix.doc("105")["content"] == "word1 common"
+        assert ix["105"]["id"] == "105"
+        assert [d["id"] for d in ix[2:5]] == ["102", "103", "104"]
+        assert ix.doc("nope") is None
+    finally:
+        ix.close()
+
+
+def test_query_delete_and_deletions(ray_session):
+    ix = Index(default_field="content", analyzer="whitespace")
+    for i in range(10):
+        ix << {"id": str(i), "content": "keep" if i % 2 else "drop"}
+    try:
+        assert ix.search("drop").total_hits == 5
+        assert not ix.has_deletions()
+        ix.query_delete("drop")
+        assert ix.has_deletions()
+        assert ix.deleted(0) and ix.deleted(2) and not ix.deleted(1)
+        assert ix.size() == 5
+        assert ix.search("drop").total_hits == 0  # triggers rebuild
+        assert ix.search("keep").total_hits == 5
+        assert not ix.has_deletions()  # rebuild purged tombstones
+    finally:
+        ix.close()
+
+
+def test_update_and_batch_update(ray_session):
+    ix = Index(default_field="content", analyzer="whitespace")
+    ix << {"id": "26", "title": "Babylon", "artist": "David Grey"}
+    ix << {"id": "29", "title": "My Oh My", "artist": "David Grey"}
+    try:
+        # update by id-field term (index.rb:569)
+        ix.update("26", {"id": "26", "title": "Babylon",
+                         "artist": "David Gray"})
+        assert ix.doc("26")["artist"] == "David Gray"
+        assert ix.size() == 2
+        # batch_update array form (index.rb:626: recommended)
+        ix.batch_update([
+            {"id": "26", "title": "Babylon", "artist": "X"},
+            {"id": "29", "title": "My Oh My", "artist": "Y"},
+            {"id": "31", "title": "New", "artist": "Z"},
+        ])
+        assert ix.size() == 3
+        assert ix.doc("29")["artist"] == "Y"
+        # hash form with docid keys
+        ix.batch_update({0: {"id": "26", "title": "Babylon",
+                             "artist": "XX"}})
+        assert ix.doc("26")["artist"] == "XX"
+        with pytest.raises(ValueError):
+            ix.batch_update([{"title": "no id"}])
+    finally:
+        ix.close()
+
+
+def test_query_update(ray_session):
+    ix = Index(default_field="content", analyzer="whitespace")
+    ix << {"id": "26", "content": "x", "artist": "Grey"}
+    ix << {"id": "29", "content": "y", "artist": "Grey"}
+    ix << {"id": "30", "content": "z", "artist": "Other"}
+    try:
+        ix.query_update("artist:Grey", {"artist": "Gray"})
+        assert ix.doc("26")["artist"] == "Gray"
+        assert ix.doc("29")["artist"] == "Gray"
+        assert ix.doc("30")["artist"] == "Other"
+        # string form replaces the default field
+        ix.query_update("artist:Gray", "replaced")
+        assert ix.doc("26")["content"] == "replaced"
+        assert ix.doc("30")["content"] == "z"
+    finally:
+        ix.close()
+
+
+def test_each_field_infos_persist(ray_session, tmp_path):
+    ix = Index(default_field="content", analyzer="whitespace",
+               term_vectors=True)
+    ix << {"id": "1", "content": "alpha beta"}
+    ix << {"id": "2", "content": "beta gamma"}
+    try:
+        docs = dict(ix.each())
+        assert docs[0]["content"] == "alpha beta"
+        ix.flush()
+        fi = ix.field_infos()
+        assert fi["content"]["term_vector"] is True
+        tv = ix.term_vector(0, "content")
+        assert [t[0] for t in tv] == ["alpha", "beta"]
+        # persist to a real directory and keep searching
+        ix.persist(str(tmp_path / "persisted"))
+        assert ix.search("beta").total_hits == 2
+        assert (tmp_path / "persisted").exists()
+    finally:
+        ix.close()
