@@ -61,8 +61,10 @@ def main(argv=None):
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False,
-                 log_to_driver=False)
+        # no explicit address: honors RAY_ADDRESS, so the same CLI works
+        # as a `ray job submit` entrypoint on a cluster and standalone
+        # locally (RAY_ADDRESS=local is preset in the sandbox)
+        ray.init(include_dashboard=False, log_to_driver=False)
     try:
         if args.cmd == "build":
             from .pipelines.build import build_index

@@ -114,3 +114,42 @@ def test_batch_term_vectors_equal_sequential():
     got = an.batch_term_vectors(texts)
     for i, t in enumerate(texts):
         assert got[i] == sequential(t or ""), (i, repr(t))
+
+
+def test_problem_text_1710(ray_session, tmp_path):
+    """c/test/test_1710.c: a long URL-ish token (http://___...) indexed
+    with the standard analyzer and positions+offsets term vectors must
+    build, commit, and stay searchable (token-truncation edge case)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ferret_ray.pipelines.build import build_index
+    from ferret_ray.schema import FieldConfig, IndexConfig
+    from ferret_ray.search.query import TermQuery
+    from ferret_ray.search.reader import IndexReader
+    from ferret_ray.search.searcher import Searcher
+
+    problem = "http://" + "_" * 290  # longer than FRT_MAX_WORD_SIZE
+    corpus = str(tmp_path / "c.parquet")
+    pq.write_table(
+        pa.table({"content": [problem, "plain words here"]}), corpus
+    )
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(
+        fields={
+            "content": FieldConfig(analyzer="standard", term_vector=True)
+        },
+        num_shards=2,
+    )
+    m = build_index(corpus, idx, cfg)
+    assert m["stats"]["num_docs"] == 2
+    r = IndexReader(idx)
+    s = Searcher(r)
+    td = s.search(TermQuery("content", "words"), 0, 10)
+    assert [h.doc for h in td.hits] == [1]
+    # the truncated token is still indexed and the term vector decodes
+    tv = r.term_vector(0, "content")
+    assert tv is not None and len(tv) >= 1
+    for term, _pos, start, end in tv:
+        assert len(term.encode()) <= 254
+        assert end <= len(problem)
