@@ -142,7 +142,7 @@ def test_problem_text_1710(ray_session, tmp_path):
         num_shards=2,
     )
     m = build_index(corpus, idx, cfg)
-    assert m["stats"]["num_docs"] == 2
+    assert m["num_docs"] == 2
     r = IndexReader(idx)
     s = Searcher(r)
     td = s.search(TermQuery("content", "words"), 0, 10)
