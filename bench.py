@@ -233,7 +233,9 @@ def run_scaling(sf_dir: str, lo: int, hi: int, trials: int = 1) -> dict:
     """
     here = os.path.abspath(__file__)
     out = {}
+    loads = {}
     for n in (lo, hi):
+        loads[n] = [round(x, 2) for x in os.getloadavg()]
         best = None
         for _ in range(trials):
             env = dict(os.environ)
@@ -273,6 +275,7 @@ def run_scaling(sf_dir: str, lo: int, hi: int, trials: int = 1) -> dict:
         # best-of-3 builds in-process)
         "trials_lo": out[lo].get("build_trials"),
         "trials_hi": out[hi].get("build_trials"),
+        "load_avg_at_level_start": {str(k): v for k, v in loads.items()},
         "num_docs": out[lo].get("num_docs"),
         "sf": out[lo]["sf"],
         "num_cpus": hi,
