@@ -420,6 +420,41 @@ def q_bpe_token_count(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_scrub_pii(sf_dir: str) -> pd.DataFrame:
+    from ferret_ray.functions.scrub import scrub_pii
+
+    return (
+        _docs_ds(sf_dir)
+        .map_batches(scrub_pii, batch_format="pyarrow")
+        .to_pandas()
+    )
+
+
+def q_chunk_docs(sf_dir: str) -> pd.DataFrame:
+    from ferret_ray.functions.chunk import chunk_text
+
+    return (
+        _docs_ds(sf_dir)
+        .map_batches(
+            lambda b: chunk_text(b, size=500, stride=400),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+
+
+def q_line_dup(sf_dir: str) -> pd.DataFrame:
+    from ferret_ray.functions.linedup import line_dup_stats
+
+    return (
+        line_dup_stats(_docs_ds(sf_dir))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+
+
 def q_fingerprints(sf_dir: str) -> pd.DataFrame:
     from ferret_ray.functions.textstats import fingerprints
 
@@ -649,6 +684,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": q_token_stats,
         "mb_token_stats": q_mb_token_stats,
         "bpe_token_count": q_bpe_token_count,
+        "scrub_pii": q_scrub_pii,
+        "chunk_docs": q_chunk_docs,
+        "line_dup": q_line_dup,
         "sort_by_field": q_sort_by_field,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -836,6 +874,63 @@ def oracle_sql() -> dict[str, str]:
                        '''(?:s|t|re|ve|m|ll|d)| ?\pL+| ?\pN+| ?[^\pL\pN\s]+|\s+'
                    )) AS n_bpe_tokens
             FROM documents
+        """,
+        # counts mirror the sequential scrub: each pattern is counted on
+        # the text AFTER the previous pattern's replacement
+        "scrub_pii": r"""
+            WITH s0 AS (SELECT doc_id, text AS t0 FROM documents),
+            s1 AS (
+              SELECT doc_id, t0,
+                     regexp_replace(t0,
+                       '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g') AS t1 FROM s0
+            ),
+            s2 AS (
+              SELECT doc_id, t0, t1,
+                     regexp_replace(t1,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                       '[IP]', 'g') AS t2 FROM s1
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(t0,
+                     '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'
+                   )) AS n_email,
+                   len(regexp_extract_all(t1,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'
+                   )) AS n_ipv4,
+                   len(regexp_extract_all(t2,
+                     '\b[0-9a-fA-F]{32,}\b'
+                   )) AS n_hexkey,
+                   regexp_replace(t2, '\b[0-9a-fA-F]{32,}\b',
+                                  '[KEY]', 'g') AS text
+            FROM s2
+        """,
+        "chunk_docs": """
+            WITH ks AS (
+              SELECT doc_id, text,
+                     unnest(generate_series(0,
+                        CAST(ceil(length(text)/400.0) AS BIGINT) - 1)) AS k
+              FROM documents WHERE length(text) > 0
+            )
+            SELECT doc_id, k AS chunk_id,
+                   substring(text, CAST(k*400+1 AS INT), 500) AS chunk
+            FROM ks
+        """,
+        "line_dup": """
+            WITH lines AS (
+              SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+              FROM documents
+            ), uniq AS (
+              SELECT min(doc_id) AS doc_id FROM lines
+              GROUP BY line HAVING count(*) = 1
+            ), upd AS (
+              SELECT doc_id, count(*) AS n_unique FROM uniq GROUP BY doc_id
+            ), totals AS (
+              SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id
+            )
+            SELECT t.doc_id, t.n_lines,
+                   t.n_lines - coalesce(u.n_unique, 0) AS n_dup_lines
+            FROM totals t LEFT JOIN upd u USING (doc_id)
         """,
         "sort_by_field": """
             SELECT (row_number() OVER (ORDER BY n_chars DESC, doc_id ASC)

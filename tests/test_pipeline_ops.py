@@ -1,0 +1,92 @@
+"""scrub_pii / chunk_text / line_dup_stats unit tests (edge cases; the
+sf0.01 oracle equivalence runs in test_entry_oracle.py)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def test_scrub_pii_counts_and_text():
+    from ferret_ray.functions.scrub import scrub_pii
+
+    texts = [
+        "mail a@b.co from 10.0.0.1 key deadbeef" + "0" * 24 + " end",
+        "two e-mails: x@y.io, z.w+q@foo-bar.org",
+        "9999.1.2.3 is not an ip boundary case 1.2.3.4 is",
+        "",
+        "short hex deadbeef stays",
+    ]
+    out = scrub_pii(
+        pa.table({"doc_id": np.arange(len(texts)), "text": texts})
+    )
+    assert list(out["n_email"]) == [1, 2, 0, 0, 0]
+    assert list(out["n_ipv4"]) == [1, 0, 1, 0, 0]
+    assert list(out["n_hexkey"]) == [1, 0, 0, 0, 0]
+    scrubbed = out["text"].to_pylist()
+    assert scrubbed[0] == "mail [EMAIL] from [IP] key [KEY] end"
+    assert "@" not in scrubbed[1]
+    assert "1.2.3.4" not in scrubbed[2]
+    assert scrubbed[4] == "short hex deadbeef stays"
+
+
+def test_chunk_text_window_algebra():
+    from ferret_ray.functions.chunk import chunk_text
+
+    t = pa.table(
+        {"doc_id": [0, 1, 2], "text": ["abcdefghij", "", "xy"]}
+    )
+    out = chunk_text(t, size=4, stride=3).to_pandas()
+    d0 = out[out.doc_id == 0].sort_values("chunk_id")
+    # windows [0:4) [3:7) [6:10) [9:13)
+    assert list(d0.chunk) == ["abcd", "defg", "ghij", "j"]
+    assert len(out[out.doc_id == 1]) == 0  # empty doc: no chunks
+    assert list(out[out.doc_id == 2].chunk) == ["xy"]
+    # full reconstruction invariant: concatenating stride-prefixes of
+    # all chunks plus the last chunk's tail == original text
+    rec = "".join(c[:3] for c in list(d0.chunk)[:-1]) + list(d0.chunk)[-1]
+    assert rec == "abcdefghij"
+    with pytest.raises(ValueError):
+        chunk_text(t, size=0, stride=3)
+
+
+def test_chunk_text_unicode_codepoints():
+    from ferret_ray.functions.chunk import chunk_text
+
+    t = pa.table({"doc_id": [0], "text": ["héllo wörld ünïcödé"]})
+    out = chunk_text(t, size=5, stride=5).to_pandas()
+    assert "".join(out.chunk) == "héllo wörld ünïcödé"
+    con = duckdb.connect()
+    for _, r in out.iterrows():
+        exp = con.sql(
+            "SELECT substring(?, CAST(? AS INT), 5)",
+            params=["héllo wörld ünïcödé", int(r.chunk_id) * 5 + 1],
+        ).fetchone()[0]
+        assert r.chunk == exp
+
+
+def test_line_dup_stats_within_and_across_docs(ray_session):
+    import ray.data
+
+    from ferret_ray.functions.linedup import line_dup_stats
+
+    t = pa.table(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "license\ncode0",        # license dup across docs
+                "license\ncode1",
+                "same\nsame",            # dup within one doc
+                "all\nunique\nlines",
+            ],
+        }
+    )
+    out = (
+        line_dup_stats(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out.n_lines) == [2, 2, 2, 3]
+    assert list(out.n_dup_lines) == [1, 1, 2, 0]
