@@ -128,6 +128,37 @@ class _RebaseTask:
                 t.schema.get_field_index("doc_id"), "doc_id",
                 pa.array(ids, type=pa.int64()),
             )
+            # schema alignment (mirrors stages/invert.py's "fields
+            # absent from THIS input" block): a source delta built
+            # before a dynamic field existed lacks that field's
+            # stored/len/norm columns; the reader requires every docs
+            # part to share one logical schema (a missing norm column in
+            # ANY part disables norms index-wide -> zero scores)
+            from ..codec.norms import encode_norms
+
+            n_rows = t.num_rows
+            have = set(t.column_names)
+            for fname, fc in self.cfg.fields.items():
+                if fc.stored and fname not in have:
+                    t = t.append_column(fname, pa.nulls(n_rows))
+                if not fc.indexed:
+                    continue
+                if f"len_{fname}" not in have:
+                    t = t.append_column(
+                        f"len_{fname}",
+                        pa.array(
+                            np.zeros(n_rows, dtype=np.int32)
+                        ),
+                    )
+                if fc.norms and f"norm_{fname}" not in have:
+                    t = t.append_column(
+                        f"norm_{fname}",
+                        pa.array(
+                            encode_norms(
+                                np.zeros(n_rows, dtype=np.float32)
+                            )
+                        ),
+                    )
             rels = [f"docs/part-{tag}.parquet"]
             dfs, droot = resolve_fs(self.dest_dir)
             fs_makedirs(dfs, fs_join(droot, "docs"))
@@ -330,6 +361,15 @@ class IncrementalIndex:
         self._state = read_json(self._gens_path()) or {
             "deltas": [], "counter": 0,
         }
+        # dynamic configs may have implicitly declared upsert key fields
+        # (keyword, like the reference's untokenized :id convention);
+        # reapply them so every reopen builds deltas with the same
+        # FieldInfos
+        for k in self._state.get("key_fields", []):
+            if k not in self.cfg.fields:
+                self.cfg.fields[k] = FieldConfig(
+                    analyzer="keyword", positions=False
+                )
 
     def _gens_path(self) -> str:
         return fs_join(self.root, "gens.json")
@@ -374,6 +414,23 @@ class IncrementalIndex:
         from ..pipelines.deletes import delete_by_terms
 
         fc = self.cfg.fields.get(key_field)
+        if fc is None and self.cfg.dynamic:
+            # dynamic schema: declare the key field keyword on first use
+            # (the reference's untokenized :id convention).  Only safe
+            # before any delta could have discovered it as tokenized
+            # text.
+            if self._state["deltas"]:
+                raise ValueError(
+                    f"dynamic upsert key {key_field!r} must be declared "
+                    "before the first append (existing deltas may have "
+                    "indexed it tokenized)"
+                )
+            fc = FieldConfig(analyzer="keyword", positions=False)
+            self.cfg.fields[key_field] = fc
+            keys_declared = self._state.setdefault("key_fields", [])
+            if key_field not in keys_declared:
+                keys_declared.append(key_field)
+                self._commit()
         if fc is None or fc.analyzer != "keyword":
             raise ValueError(
                 f"upsert key field {key_field!r} must be a keyword field"

@@ -520,16 +520,28 @@ class IndexReader:
     def _load_docs_column(self, col: str) -> np.ndarray | None:
         docs_dir = fs_join(self._root, "docs")
         parts = fs_listdir(self._fs, docs_dir)
-        arrs = []
+        arrs: list = []
+        missing: list[int] = []  # (index into arrs) placeholders
         for name in parts:
             if not name.endswith(".parquet"):
                 continue
             pf = open_parquet(self._fs, fs_join(docs_dir, name))
             if col not in pf.schema_arrow.names:
-                return None
+                # tolerate parts predating a dynamic field: fill zeros
+                # of the dtype found in the parts that do carry it
+                missing.append(len(arrs))
+                arrs.append(pf.metadata.num_rows)
+                continue
             arrs.append(pf.read(columns=[col]).column(col).to_numpy())
-        if not arrs:
+        real = [a for a in arrs if isinstance(a, np.ndarray)]
+        if not real:
             return None
+        for i in missing:
+            n = arrs[i]
+            if real[0].dtype == object:
+                arrs[i] = np.full(n, None, dtype=object)
+            else:
+                arrs[i] = np.zeros(n, dtype=real[0].dtype)
         return np.concatenate(arrs)
 
     def norms(self, field: str) -> np.ndarray | None:

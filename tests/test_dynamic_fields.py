@@ -136,3 +136,83 @@ def test_lifecycle_append_new_field(ray_session, hetero_inputs, tmp_path):
     ri = inc.reader()
     assert ri.get_doc(0)["title"] == "alpha bravo"
     assert ri.get_doc(3)["body"] == "alpha foxtrot"
+
+
+def test_dynamic_upsert_expunge_optimize(ray_session, tmp_path):
+    """Kitchen-sink interaction: dynamic config + upsert-by-key where the
+    replacement delta introduces a NEW field, then physical tombstone
+    purge (expunge_deletes) and optimize — the purged+compacted index
+    must answer exactly like a fresh dynamic build of the survivors."""
+    from ferret_ray.pipelines.lifecycle import IncrementalIndex
+
+    inc = IncrementalIndex(str(tmp_path / "inc"), _dyn_cfg(),
+                           merge_factor=4)
+    a = _write(
+        tmp_path / "a.parquet",
+        pa.table(
+            {
+                "key": ["k0", "k1", "k2"],
+                "title": ["alpha bravo", "charlie alpha", "delta old"],
+            }
+        ),
+    )
+    inc.upsert(a, "key")
+    # replacement delta: k2 gets new content AND a brand-new field
+    b = _write(
+        tmp_path / "b.parquet",
+        pa.table(
+            {
+                "key": ["k2"],
+                "title": ["delta new"],
+                "summary": ["fresh summary echo"],
+            }
+        ),
+    )
+    inc.upsert(b, "key")
+    inc.expunge_deletes()
+    inc.optimize()
+    si = Searcher(inc.reader())
+
+    # fresh dynamic build over the logical survivors
+    surv = _write(
+        tmp_path / "surv-a.parquet",
+        pa.table(
+            {
+                "key": ["k0", "k1"],
+                "title": ["alpha bravo", "charlie alpha"],
+            }
+        ),
+    )
+    surv2 = _write(
+        tmp_path / "surv-b.parquet",
+        pa.table(
+            {
+                "key": ["k2"],
+                "title": ["delta new"],
+                "summary": ["fresh summary echo"],
+            }
+        ),
+    )
+    fresh = str(tmp_path / "fresh")
+    fresh_cfg = _dyn_cfg()
+    # mirror the implicit keyword declaration the upsert made
+    fresh_cfg.fields["key"] = FieldConfig(
+        analyzer="keyword", positions=False
+    )
+    build_index([surv, surv2], fresh, fresh_cfg)
+    so = Searcher(IndexReader(fresh))
+
+    for f, t in [("title", "alpha"), ("title", "delta"),
+                 ("title", "old"), ("summary", "echo"),
+                 ("key", "k2")]:
+        hi = [(h.doc, round(h.score, 6))
+              for h in si.search(TermQuery(f, t), 0, 10).hits]
+        ho = [(h.doc, round(h.score, 6))
+              for h in so.search(TermQuery(f, t), 0, 10).hits]
+        assert hi == ho, (f, t, hi, ho)
+    assert si.search(TermQuery("title", "old"), 0, 10).total_hits == 0
+    # stored docs line up (docids dense after purge)
+    ri, ro = inc.reader(), IndexReader(fresh)
+    assert ri.max_doc() == ro.max_doc() == 3
+    for d in range(3):
+        assert ri.get_doc(d)["title"] == ro.get_doc(d)["title"]
