@@ -18,6 +18,28 @@ from typing import Any
 import numpy as np
 
 
+def open_reader(index_dir: str):
+    """Open a plain index dir OR an IncrementalIndex (LSM) root.
+
+    An LSM root is recognized by its ``gens.json``; it opens read-only
+    as a MultiReader over the current delta set — serving never needed
+    the writer object."""
+    from ..search.reader import IndexReader
+    from ..state.fs import fs_exists, join as fs_join, resolve_fs
+
+    fs, root = resolve_fs(index_dir)
+    if fs_exists(fs, fs_join(root, "gens.json")):
+        from ..search.multi import MultiReader
+        from ..state.manifest import read_json
+
+        state = read_json(fs_join(index_dir, "gens.json"))
+        dirs = [fs_join(index_dir, d) for d in state["deltas"]]
+        if len(dirs) == 1:
+            return IndexReader(dirs[0])
+        return MultiReader([IndexReader(d) for d in dirs])
+    return IndexReader(index_dir)
+
+
 class SearcherActor:
     """map_batches UDF class: one IndexReader per actor process."""
 
@@ -31,19 +53,19 @@ class SearcherActor:
     ):
         from ..analysis import standard_analyzer
         from ..search.fql import FQLParser
-        from ..search.reader import IndexReader
         from ..search.searcher import Searcher
 
-        self.reader = IndexReader(index_dir)
+        self.reader = open_reader(index_dir)
         self.searcher = Searcher(self.reader, similarity=similarity)
         if warm:
             # "model load" once per actor: open every shard dictionary in
             # parallel so first queries don't pay cold-start
             from concurrent.futures import ThreadPoolExecutor
 
+            subs = getattr(self.reader, "readers", [self.reader])
             with ThreadPoolExecutor(max_workers=8) as tp:
-                list(tp.map(self.reader._shard_for,
-                            self.reader._shard_salts))
+                for r in subs:
+                    list(tp.map(r._shard_for, r._shard_salts))
         self.k = k
         self.parser = FQLParser(analyzer=standard_analyzer())
         for f in self.reader.field_names:

@@ -219,3 +219,35 @@ def test_auto_merge_buckets_and_cross_bucket_add(env):
     fresh = os.path.join(tmp, "xb_fresh")
     build_index([paths[0], paths[1]], fresh, _cfg())
     assert _shard_hashes(dest) == _shard_hashes(fresh)
+
+
+def test_search_batch_over_lsm_root(env):
+    """The actor-pool serving path accepts an IncrementalIndex root
+    directly (gens.json -> MultiReader): results identical to serving
+    the equivalent one-shot index."""
+    from ferret_ray.pipelines.lifecycle import IncrementalIndex
+    from ferret_ray.pipelines.search_pipeline import search_batch
+
+    tmp, paths, full_dir = env
+    root = os.path.join(tmp, "inc_serve")
+    inc = IncrementalIndex(root, _cfg(), merge_factor=100)  # no merging
+    for p in paths:
+        inc.append(p)
+    assert len(inc.delta_dirs) == 3  # still unmerged deltas
+
+    queries = ["int", "return", "+int +return", '"int the"', "tok1*"]
+    a = (
+        search_batch(root, queries, k=10, concurrency=2)
+        .to_pandas()
+        .sort_values(["query", "rank"])
+        .reset_index(drop=True)
+    )
+    b = (
+        search_batch(full_dir, queries, k=10, concurrency=2)
+        .to_pandas()
+        .sort_values(["query", "rank"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
