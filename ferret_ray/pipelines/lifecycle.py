@@ -351,11 +351,20 @@ class IncrementalIndex:
 
     def __init__(self, root: str, cfg: IndexConfig,
                  merge_factor: int = 10,
-                 max_merge_docs: int = 1 << 31):
+                 max_merge_docs: int = 1 << 31,
+                 defer_gc: bool = False):
         self.root = root
         self.cfg = cfg
         self.merge_factor = merge_factor
         self.max_merge_docs = max_merge_docs
+        # defer_gc=True: merged-away / purged delta dirs are kept on
+        # disk (listed in gens.json "trash") until an explicit gc() —
+        # the distributed analogue of the reference's Deleter, which
+        # only removes files once no reader references them
+        # (c/src/index.c:3683-3860).  Long-lived SearcherActor pools
+        # read row groups lazily per query, so eager deletion would
+        # break in-flight serving of the previous generation.
+        self.defer_gc = defer_gc
         rfs, rroot = resolve_fs(root)
         fs_makedirs(rfs, rroot)
         self._state = read_json(self._gens_path()) or {
@@ -483,12 +492,10 @@ class IncrementalIndex:
             [fs_join(self.root, s) for s in srcs],
         )
         self._state["deltas"] = self._state["deltas"][:start] + [name]
-        self._commit()
         # GC the merged-away deltas (the reference's Deleter removes
-        # unreferenced segment files after the commit point)
-        rfs, rroot = resolve_fs(self.root)
-        for s in srcs:
-            fs_rmtree(rfs, fs_join(rroot, s))
+        # unreferenced segment files after the commit point; deferred
+        # mode keeps them until gc() so open readers finish safely)
+        self._gc_or_trash(srcs)
 
     def optimize(self) -> None:
         """iw_optimize: merge everything into a single delta."""
@@ -502,7 +509,6 @@ class IncrementalIndex:
         from .deletes import load_deleted
         from .expunge import expunge_deletes as _expunge
 
-        rfs, rroot = resolve_fs(self.root)
         for i, name in enumerate(list(self._state["deltas"])):
             src = fs_join(self.root, name)
             if not load_deleted(src):
@@ -511,8 +517,33 @@ class IncrementalIndex:
             self._state["counter"] += 1
             _expunge(src, fs_join(self.root, new))
             self._state["deltas"][i] = new
+            self._gc_or_trash([name])
+
+    def _gc_or_trash(self, names: list[str]) -> None:
+        """Commit the new generation set, then delete or defer."""
+        if self.defer_gc:
+            self._state.setdefault("trash", []).extend(names)
             self._commit()
-            fs_rmtree(rfs, fs_join(rroot, name))
+            return
+        self._commit()
+        rfs, rroot = resolve_fs(self.root)
+        for s in names:
+            fs_rmtree(rfs, fs_join(rroot, s))
+
+    def gc(self) -> int:
+        """Delete deferred-GC delta dirs once no reader of the previous
+        generation remains (operator-controlled grace, like the
+        reference's Deleter release point).  Returns dirs removed."""
+        trash = self._state.get("trash", [])
+        if not trash:
+            return 0
+        rfs, rroot = resolve_fs(self.root)
+        for s in trash:
+            fs_rmtree(rfs, fs_join(rroot, s))
+        n = len(trash)
+        self._state["trash"] = []
+        self._commit()
+        return n
 
     # ---- reading --------------------------------------------------------
 

@@ -251,3 +251,52 @@ def test_search_batch_over_lsm_root(env):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_deferred_gc_keeps_serving_old_generation(env):
+    """defer_gc=True: a reader opened before compaction keeps answering
+    identically after the merge commits (old delta dirs stay on disk,
+    listed as trash); gc() then removes them."""
+    from ferret_ray.pipelines.lifecycle import IncrementalIndex
+    from ferret_ray.search.query import TermQuery
+    from ferret_ray.search.searcher import Searcher
+
+    tmp, paths, full_dir = env
+    root = os.path.join(tmp, "inc_gc")
+    inc = IncrementalIndex(root, _cfg(), merge_factor=2, defer_gc=True)
+    inc.append(paths[0], merge=False)
+    inc.append(paths[1], merge=False)
+    old_reader = inc.reader()
+    old_searcher = Searcher(old_reader)
+    before = [
+        (h.doc, round(h.score, 6))
+        for h in old_searcher.search(TermQuery("content", "int"), 0,
+                                     10).hits
+    ]
+    old_dirs = list(inc.delta_dirs)
+
+    inc.maybe_merge()  # compacts both deltas; trash, not delete
+    assert len(inc.delta_dirs) == 1
+    assert inc._state["trash"]
+    for d in old_dirs:
+        assert os.path.exists(d)  # still servable
+    after = [
+        (h.doc, round(h.score, 6))
+        for h in old_searcher.search(TermQuery("content", "int"), 0,
+                                     10).hits
+    ]
+    assert before == after
+    # the new generation answers identically too
+    new_hits = [
+        (h.doc, round(h.score, 6))
+        for h in Searcher(inc.reader()).search(
+            TermQuery("content", "int"), 0, 10).hits
+    ]
+    assert new_hits == before
+
+    assert inc.gc() == 2
+    assert not any(os.path.exists(d) for d in old_dirs)
+    assert inc._state["trash"] == []
+    # reopening the root sees only the live generation
+    inc2 = IncrementalIndex(root, _cfg(), merge_factor=2)
+    assert len(inc2.delta_dirs) == 1
