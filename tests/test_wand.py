@@ -63,3 +63,39 @@ def test_wand_prunes(ray_session, tmp_path_factory):
         )
     )
     assert res.stats["docs_scored"] < union
+
+
+def test_wand_over_multireader_lsm(ray_session, tmp_path):
+    """Block-max WAND over an unmerged multi-delta (MultiReader) index
+    equals the coord-disabled exhaustive boolean — cross-delta skip
+    metadata and doc-base offsets compose."""
+    import os
+
+    from ferret_ray.pipelines.lifecycle import IncrementalIndex
+    from ferret_ray.schema import source_code_config
+    from ferret_ray.search.query import SHOULD, BooleanQuery, TermQuery
+    from ferret_ray.search.searcher import Searcher
+    from ferret_ray.search.wand import wand_topk
+    from ferret_ray.sources.corpus import generate_corpus
+
+    p1 = os.path.join(str(tmp_path), "a.parquet")
+    p2 = os.path.join(str(tmp_path), "b.parquet")
+    generate_corpus(p1, 300, seed=1, rows_per_fragment=100)
+    generate_corpus(p2, 300, seed=2, rows_per_fragment=100)
+    inc = IncrementalIndex(
+        os.path.join(str(tmp_path), "i"),
+        source_code_config(num_shards=4), merge_factor=100,
+    )
+    inc.append(p1)
+    inc.append(p2)
+    assert len(inc.delta_dirs) == 2
+    s = Searcher(inc.reader())
+    terms = ["int", "return", "tok3"]
+    bq = BooleanQuery(coord_disabled=True)
+    for t in terms:
+        bq.add(TermQuery("content", t), SHOULD)
+    exhaustive = [
+        (h.doc, round(h.score, 6)) for h in s.search(bq, 0, 10).hits
+    ]
+    w = wand_topk(s, "content", terms, k=10)
+    assert [(d, round(sc, 6)) for d, sc in w.hits] == exhaustive
