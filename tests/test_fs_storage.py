@@ -108,3 +108,40 @@ def test_memory_uri_roundtrip(ray_session, tmp_path):
             (h.doc, h.score) for h in b.hits
         ]
     assert r.get_doc(0)["doc_id"] == 0
+
+
+def test_file_uri_lifecycle(ray_session, tmp_path):
+    """IncrementalIndex over a file:// URI root: append, compact with
+    defer_gc, gc, serve — every lifecycle fs op goes through the
+    pyarrow.fs/fsspec layer (the object-store path at scale)."""
+    import os
+
+    from ferret_ray.pipelines.lifecycle import IncrementalIndex
+    from ferret_ray.schema import source_code_config
+    from ferret_ray.search.query import TermQuery
+    from ferret_ray.search.searcher import Searcher
+    from ferret_ray.sources.corpus import generate_corpus
+
+    p1 = os.path.join(str(tmp_path), "a.parquet")
+    p2 = os.path.join(str(tmp_path), "b.parquet")
+    generate_corpus(p1, 200, seed=1, rows_per_fragment=100)
+    generate_corpus(p2, 200, seed=2, rows_per_fragment=100)
+    root = "file://" + str(tmp_path / "inc")
+    inc = IncrementalIndex(
+        root, source_code_config(num_shards=4),
+        merge_factor=2, defer_gc=True,
+    )
+    inc.append(p1, merge=False)
+    inc.append(p2, merge=False)
+    inc.maybe_merge()
+    assert len(inc.delta_dirs) == 1
+    assert inc._state["trash"]
+    assert inc.gc() == 2
+    s = Searcher(inc.reader())
+    td = s.search(TermQuery("content", "int"), 0, 10)
+    assert td.total_hits > 0
+    # reopen from the URI
+    inc2 = IncrementalIndex(
+        root, source_code_config(num_shards=4), merge_factor=2
+    )
+    assert inc2.num_docs() == 400
