@@ -159,11 +159,15 @@ class MultiReader:
             parts.append(np.asarray(v, dtype=object))
         return np.concatenate(parts)
 
-    def get_doc(self, doc_id: int) -> dict:
+    def get_doc(
+        self, doc_id: int, columns: list[str] | None = None
+    ) -> dict:
         import bisect
 
         i = bisect.bisect_right(self.bases, doc_id) - 1
-        return self.readers[i].get_doc(doc_id - self.bases[i])
+        return self.readers[i].get_doc(
+            doc_id - self.bases[i], columns=columns
+        )
 
     def term_vector(self, doc_id: int, field: str):
         import bisect

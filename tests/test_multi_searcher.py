@@ -100,3 +100,54 @@ def test_multi_stats_and_docs(conformance_searcher, split_searcher):
         assert m.doc_freq("field", t) == s.doc_freq("field", t)
     assert m.reader.get_doc(12)["date"] == "20051012"
     assert m.reader.get_doc(3)["cat"] == "cat1/sub2"
+
+def test_highlight_over_multireader(ray_session, tmp_path):
+    """Highlight on a multi-delta (LSM) index: MultiReader forwards the
+    column projection to the owning sub-reader; excerpts identical to a
+    combined one-shot index."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ferret_ray.pipelines.build import build_index
+    from ferret_ray.pipelines.lifecycle import IncrementalIndex
+    from ferret_ray.schema import FieldConfig, IndexConfig, analyzer_for
+    from ferret_ray.search.highlight import highlight
+    from ferret_ray.search.query import TermQuery
+    from ferret_ray.search.reader import IndexReader
+    from ferret_ray.search.searcher import Searcher
+
+    cfg = IndexConfig(
+        fields={"content": FieldConfig(analyzer="standard",
+                                       term_vector=True)},
+        num_shards=2,
+    )
+
+    def w(name, texts):
+        p = os.path.join(str(tmp_path), name)
+        pq.write_table(pa.table({"content": texts}), p)
+        return p
+
+    a = w("a.parquet",
+          ["the quick brown fox jumps over the lazy dog", "no match"])
+    b = w("b.parquet",
+          ["another fox ran through the quick grass field today"])
+    inc = IncrementalIndex(
+        os.path.join(str(tmp_path), "i"), cfg, merge_factor=100
+    )
+    inc.append(a)
+    inc.append(b)
+    s = Searcher(inc.reader())
+    build_index([a, b], os.path.join(str(tmp_path), "one"), cfg)
+    so = Searcher(IndexReader(os.path.join(str(tmp_path), "one")))
+    q = TermQuery("content", "fox")
+    hits = s.search(q, 0, 10).hits
+    assert [h.doc for h in hits] == [0, 2]
+    for h in hits:
+        an = analyzer_for("standard")
+        ex = highlight(s, q, h.doc, "content", an,
+                       excerpt_length=30, num_excerpts=1)
+        exo = highlight(so, q, h.doc, "content", an,
+                        excerpt_length=30, num_excerpts=1)
+        assert ex == exo and "<b>fox</b>" in ex[0]
