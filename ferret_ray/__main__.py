@@ -80,12 +80,12 @@ def main(argv=None):
                 indent=2, default=str,
             ))
         elif args.cmd == "search":
+            from .pipelines.search_pipeline import open_reader
             from .schema import analyzer_for
             from .search.fql import FQLParser
-            from .search.reader import IndexReader
             from .search.searcher import Searcher
 
-            reader = IndexReader(args.index_dir)
+            reader = open_reader(args.index_dir)
             searcher = Searcher(reader)
             p = FQLParser(
                 analyzer=analyzer_for(
@@ -109,9 +109,9 @@ def main(argv=None):
             ))
         elif args.cmd == "terms":
             from .browser import top_terms
-            from .search.reader import IndexReader
+            from .pipelines.search_pipeline import open_reader
 
-            reader = IndexReader(args.index_dir)
+            reader = open_reader(args.index_dir)
             fields = (
                 [args.field] if args.field
                 else [f for f in reader.field_names
@@ -127,9 +127,9 @@ def main(argv=None):
 
             serve(args.index_dir, args.port, args.field)
         elif args.cmd == "doc":
-            from .search.reader import IndexReader
+            from .pipelines.search_pipeline import open_reader
 
-            reader = IndexReader(args.index_dir)
+            reader = open_reader(args.index_dir)
             doc = reader.get_doc(args.doc_id)
             print(json.dumps(
                 {k: (v if not isinstance(v, bytes) else f"<{len(v)}B>")

@@ -34,17 +34,22 @@ def top_terms(
     """df-ranked terms of one field (df aggregated across salt ranges),
     optionally restricted to a prefix — the browser's term-list query,
     also used by the ``terms`` CLI command."""
-    fn = reader.field_num(field)
     agg: dict[str, int] = {}
-    for ss in reader._shard_salts:
-        sh = reader._shard_for(ss)
-        a = int(np.searchsorted(sh.fields, fn, "left"))
-        b = int(np.searchsorted(sh.fields, fn, "right"))
-        terms = sh.terms_slice(a, b)
-        dfs = sh.df[a:b]
-        for t, d in zip(terms, dfs):
-            if t.startswith(prefix):
-                agg[t] = agg.get(t, 0) + int(d)
+    # MultiReader (LSM root): aggregate across sub-readers, resolving
+    # the field number per delta (numbers may differ across schemas)
+    for sub in getattr(reader, "readers", [reader]):
+        if field not in sub.field_names:
+            continue
+        fn = sub.field_num(field)
+        for ss in sub._shard_salts:
+            sh = sub._shard_for(ss)
+            a = int(np.searchsorted(sh.fields, fn, "left"))
+            b = int(np.searchsorted(sh.fields, fn, "right"))
+            terms = sh.terms_slice(a, b)
+            dfs = sh.df[a:b]
+            for t, d in zip(terms, dfs):
+                if t.startswith(prefix):
+                    agg[t] = agg.get(t, 0) + int(d)
     top = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[:limit]
     return [{"term": t, "df": d} for t, d in top]
 
@@ -53,11 +58,11 @@ class _App:
     """Request-independent state: one reader/searcher per server."""
 
     def __init__(self, index_dir: str, default_field: str | None = None):
-        from .search.reader import IndexReader
+        from .pipelines.search_pipeline import open_reader
         from .search.searcher import Searcher
 
         self.index_dir = index_dir
-        self.reader = IndexReader(index_dir)
+        self.reader = open_reader(index_dir)
         self.searcher = Searcher(self.reader)
         indexed = [
             f for f in self.reader.field_names if self.reader.is_indexed(f)

@@ -32,10 +32,11 @@ class MultiReader:
             for f in r.field_names:
                 if f not in self.field_names:
                     self.field_names.append(f)
-        self.manifest = {
-            "config": {"similarity": readers[0].manifest["config"].get(
-                "similarity", "default")},
-        }
+        # expose the first sub-reader's config (similarity, per-field
+        # options) so config-driven callers (CLI, analyzers, term
+        # vectors) work over multi-delta indexes; deltas share a config
+        # by construction (lifecycle builds them from one IndexConfig)
+        self.manifest = {"config": dict(readers[0].manifest["config"])}
         self.index_dir = readers[0].index_dir  # for deletes lookup only
         self.len_sums = {
             f: sum(r.len_sums.get(f, 0) for r in readers)
