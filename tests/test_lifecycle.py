@@ -300,3 +300,42 @@ def test_deferred_gc_keeps_serving_old_generation(env):
     # reopening the root sees only the live generation
     inc2 = IncrementalIndex(root, _cfg(), merge_factor=2)
     assert len(inc2.delta_dirs) == 1
+
+
+def test_deletes_through_lsm_batch_serving(ray_session, tmp_path):
+    """Tombstones in different deltas are honored by the actor-pool
+    serving path over the LSM root, before and after expunge+optimize."""
+    import pyarrow as pa
+
+    from ferret_ray.pipelines.deletes import delete_by_term
+    from ferret_ray.pipelines.lifecycle import IncrementalIndex
+    from ferret_ray.pipelines.search_pipeline import search_batch
+    from ferret_ray.schema import FieldConfig, IndexConfig
+
+    tmp = str(tmp_path)
+
+    def w(name, texts, ids):
+        p = os.path.join(tmp, name)
+        pq.write_table(pa.table({"content": texts, "id": ids}), p)
+        return p
+
+    cfg = IndexConfig(
+        fields={
+            "content": FieldConfig(analyzer="whitespace"),
+            "id": FieldConfig(analyzer="keyword", positions=False),
+        },
+        num_shards=2,
+    )
+    root = os.path.join(tmp, "r")
+    inc = IncrementalIndex(root, cfg, merge_factor=100)
+    inc.append(w("a.parquet", ["ray data", "ray core"], ["d0", "d1"]))
+    inc.append(w("b.parquet", ["ray serve", "other"], ["d2", "d3"]))
+    for d in inc.delta_dirs:
+        delete_by_term(d, "id", "d1")
+        delete_by_term(d, "id", "d2")
+    df = search_batch(root, ["ray"], k=10, concurrency=2).to_pandas()
+    assert sorted(df.doc_id.tolist()) == [0]
+    inc.expunge_deletes()
+    inc.optimize()
+    df2 = search_batch(root, ["ray"], k=10, concurrency=2).to_pandas()
+    assert inc.num_docs() == 2 and len(df2) == 1
