@@ -455,6 +455,59 @@ def q_line_dup(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _url_decorated_ds(sf_dir: str):
+    """documents with a deterministic URL suffix per doc (the corpus has
+    no URLs; same decoration is applied in the SQL oracle, like the
+    MB_PREFIX pattern)."""
+    def decorate(b):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        ids = b.column("doc_id")
+        ids_np = ids.to_numpy()
+        suffix = pa.array(
+            [
+                f" see http://host{i % 37}.example-cdn.org/p{i}"
+                f" and https://mirror{i % 11}.net"
+                for i in ids_np
+            ],
+            type=pa.string(),
+        )
+        return {
+            "doc_id": ids,
+            "text": pc.binary_join_element_wise(
+                b.column("text"), suffix, ""
+            ),
+        }
+
+    return _docs_ds(sf_dir).map_batches(decorate, batch_format="pyarrow")
+
+
+_URL_DECOR_SQL = (
+    "text || ' see http://host' || CAST(doc_id % 37 AS VARCHAR) || "
+    "'.example-cdn.org/p' || CAST(doc_id AS VARCHAR) || "
+    "' and https://mirror' || CAST(doc_id % 11 AS VARCHAR) || '.net'"
+)
+
+
+def q_url_stats(sf_dir: str) -> pd.DataFrame:
+    from ferret_ray.functions.urls import url_stats
+
+    return (
+        _url_decorated_ds(sf_dir)
+        .map_batches(url_stats, batch_format="pyarrow")
+        .to_pandas()
+        .astype("int64")
+    )
+
+
+def q_top_domains(sf_dir: str) -> pd.DataFrame:
+    from ferret_ray.functions.urls import top_domains
+
+    df = top_domains(_url_decorated_ds(sf_dir), limit=20)
+    return df.astype({"n": "int64"})
+
+
 def q_fingerprints(sf_dir: str) -> pd.DataFrame:
     from ferret_ray.functions.textstats import fingerprints
 
@@ -687,6 +740,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_pii": q_scrub_pii,
         "chunk_docs": q_chunk_docs,
         "line_dup": q_line_dup,
+        "url_stats": q_url_stats,
+        "top_domains": q_top_domains,
         "sort_by_field": q_sort_by_field,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -915,6 +970,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, k AS chunk_id,
                    substring(text, CAST(k*400+1 AS INT), 500) AS chunk
             FROM ks
+        """,
+        "url_stats": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all({_URL_DECOR_SQL},
+                     'https?://[A-Za-z0-9.\\-]+(?::\\d+)?(?:/[^\\s"''<>]*)?'
+                   )) AS n_urls
+            FROM documents
+        """,
+        "top_domains": f"""
+            SELECT lower(domain) AS domain, count(*) AS n FROM (
+              SELECT unnest(regexp_extract_all({_URL_DECOR_SQL},
+                'https?://([A-Za-z0-9.\\-]+)(?::\\d+)?(?:/[^\\s"''<>]*)?',
+                1)) AS domain
+              FROM documents
+            ) GROUP BY lower(domain)
+            ORDER BY n DESC, domain ASC
+            LIMIT 20
         """,
         "line_dup": """
             WITH lines AS (

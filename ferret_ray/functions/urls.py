@@ -1,0 +1,98 @@
+"""URL extraction stats — link counting and domain aggregation for web
+corpora.
+
+pyarrow has no vectorized findall; all-match extraction uses the
+replace-with-backreference trick: rewrite every URL match to
+``\\x00<domain>\\x00`` (RE2 group rewrite), split on NUL, and take the
+odd-index segments — two Arrow kernels per batch, no per-row Python.
+Input text is NUL-stripped first (web/code text never carries NUL; the
+kernel documents the assumption rather than silently corrupting).
+
+``n_urls`` counts and the domain stream are RE2-exact vs DuckDB
+(`regexp_extract_all(text, pat[, group])`), so both queries carry full
+SQL oracles.  Domain counting is the combiner pattern: in-batch Arrow
+``group_by`` partials, then ONE small Ray groupby-sum.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+URL_PATTERN = r"https?://[A-Za-z0-9.\-]+(?::\d+)?(?:/[^\s\"'<>]*)?"
+DOMAIN_PATTERN = (
+    r"https?://([A-Za-z0-9.\-]+)(?::\d+)?(?:/[^\s\"'<>]*)?"
+)
+
+
+def url_stats(batch, text_col: str = "text") -> dict:
+    """doc_id, n_urls per doc (one vectorized RE2 count)."""
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return {
+        "doc_id": batch.column("doc_id").to_numpy(),
+        "n_urls": pc.count_substring_regex(col, URL_PATTERN)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64),
+    }
+
+
+def domain_partials(batch, text_col: str = "text") -> pa.Table:
+    """(domain, partial count) per distinct lowercased domain in the
+    batch — the map-side combiner for ``top_domains``."""
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.replace_substring(col, "\x00", "")
+    marked = pc.replace_substring_regex(
+        col, DOMAIN_PATTERN, "\x00\\1\x00"
+    )
+    lists = pc.split_pattern(marked, "\x00")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = lists.flatten()
+    off = lists.offsets.to_numpy()
+    # matches sit at odd indices within each row's split segments
+    idx = np.arange(len(flat), dtype=np.int64)
+    row_start = np.repeat(off[:-1], np.diff(off))
+    domains = pc.utf8_lower(
+        flat.filter(pa.array((idx - row_start) % 2 == 1))
+    )
+    if len(domains) == 0:
+        return pa.table(
+            {
+                "domain": pa.array([], type=pa.string()),
+                "pcount": pa.array([], type=pa.int64()),
+            }
+        )
+    part = pa.table({"domain": domains}).group_by("domain").aggregate(
+        [("domain", "count")]
+    )
+    return pa.table(
+        {
+            "domain": part.column("domain"),
+            "pcount": pc.cast(part.column("domain_count"), pa.int64()),
+        }
+    )
+
+
+def top_domains(ds, limit: int = 20, text_col: str = "text"):
+    """(domain, n) of the ``limit`` most-linked domains, ordered by
+    n DESC then domain ASC.  One partial-agg map + one small groupby."""
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(
+            lambda b: domain_partials(b, text_col),
+            batch_format="pyarrow",
+        )
+        .groupby("domain")
+        .aggregate(Sum("pcount", alias_name="n"))
+    )
+    df = agg.to_pandas()
+    df = df.sort_values(
+        ["n", "domain"], ascending=[False, True]
+    ).head(limit)
+    return df.reset_index(drop=True)

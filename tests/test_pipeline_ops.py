@@ -90,3 +90,20 @@ def test_line_dup_stats_within_and_across_docs(ray_session):
     )
     assert list(out.n_lines) == [2, 2, 2, 3]
     assert list(out.n_dup_lines) == [1, 1, 2, 0]
+
+
+def test_url_domain_extraction():
+    from ferret_ray.functions.urls import domain_partials, url_stats
+
+    texts = [
+        "see http://Example.com/a and https://sub.foo-bar.org:8080/x?q=1",
+        "no urls here",
+        "http://a.b http://a.b/path dup https://A.B",
+        "",
+    ]
+    t = pa.table({"doc_id": np.arange(len(texts)), "text": texts})
+    st = url_stats(t)
+    assert list(st["n_urls"]) == [2, 0, 3, 0]
+    part = domain_partials(t).to_pandas()
+    got = dict(zip(part.domain, part.pcount))
+    assert got == {"example.com": 1, "sub.foo-bar.org": 1, "a.b": 3}
