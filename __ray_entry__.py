@@ -490,6 +490,18 @@ _URL_DECOR_SQL = (
 )
 
 
+def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    from ferret_ray.functions.sampling import stratified_head
+
+    df = (
+        stratified_head(_docs_ds(sf_dir), "source", "doc_id", n=3)
+        .to_pandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    return df.astype({"doc_id": "int64", "n_chars": "int64"})
+
+
 def q_url_stats(sf_dir: str) -> pd.DataFrame:
     from ferret_ray.functions.urls import url_stats
 
@@ -740,6 +752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_pii": q_scrub_pii,
         "chunk_docs": q_chunk_docs,
         "line_dup": q_line_dup,
+        "stratified_sample": q_stratified_sample,
         "url_stats": q_url_stats,
         "top_domains": q_top_domains,
         "sort_by_field": q_sort_by_field,
@@ -970,6 +983,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, k AS chunk_id,
                    substring(text, CAST(k*400+1 AS INT), 500) AS chunk
             FROM ks
+        """,
+        "stratified_sample": """
+            SELECT doc_id, text, lang, source, n_chars FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY source ORDER BY doc_id) AS rn
+              FROM documents
+            ) WHERE rn <= 3
         """,
         "url_stats": f"""
             SELECT doc_id,

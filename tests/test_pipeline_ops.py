@@ -107,3 +107,27 @@ def test_url_domain_extraction():
     part = domain_partials(t).to_pandas()
     got = dict(zip(part.domain, part.pcount))
     assert got == {"example.com": 1, "sub.foo-bar.org": 1, "a.b": 3}
+
+
+def test_stratified_head(ray_session):
+    import ray.data
+
+    from ferret_ray.functions.sampling import stratified_head
+
+    t = pa.table(
+        {
+            "doc_id": [9, 1, 5, 3, 7, 2, 8, 4, 6, 0],
+            "grp": ["a", "a", "a", "b", "b", "b", "b", "c", "c", "c"],
+        }
+    )
+    out = (
+        stratified_head(
+            ray.data.from_arrow(t).repartition(4), "grp", "doc_id", n=2
+        )
+        .to_pandas()
+        .sort_values(["grp", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert list(zip(out.grp, out.doc_id)) == [
+        ("a", 1), ("a", 5), ("b", 2), ("b", 3), ("c", 0), ("c", 4),
+    ]
