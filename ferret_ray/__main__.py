@@ -57,6 +57,28 @@ def main(argv=None):
     sv.add_argument("--port", type=int, default=8765)
     sv.add_argument("--field", default=None)
 
+    # LSM lifecycle (IncrementalIndex root)
+    for name in ("append", "upsert"):
+        lc = sub.add_parser(name)
+        lc.add_argument("inputs", nargs="+")
+        lc.add_argument("root")
+        lc.add_argument("--field", default="content")
+        lc.add_argument("--analyzer", default="standard")
+        lc.add_argument("--shards", type=int, default=64)
+        lc.add_argument("--merge-factor", type=int, default=10)
+        lc.add_argument("--defer-gc", action="store_true")
+        lc.add_argument("--key", required=(name == "upsert"),
+                        default=None,
+                        help="keyword key field (declare on append so "
+                             "later upserts can tombstone)")
+    for name in ("optimize", "expunge", "gc"):
+        lc = sub.add_parser(name)
+        lc.add_argument("root")
+        lc.add_argument("--field", default="content")
+        lc.add_argument("--analyzer", default="standard")
+        lc.add_argument("--shards", type=int, default=64)
+        lc.add_argument("--merge-factor", type=int, default=10)
+
     args = ap.parse_args(argv)
     import ray
 
@@ -126,6 +148,39 @@ def main(argv=None):
             from .browser import serve
 
             serve(args.index_dir, args.port, args.field)
+        elif args.cmd in ("append", "upsert", "optimize", "expunge",
+                          "gc"):
+            from .pipelines.lifecycle import IncrementalIndex
+            from .schema import FieldConfig, IndexConfig
+
+            cfg = IndexConfig(
+                fields={args.field: FieldConfig(analyzer=args.analyzer)},
+                num_shards=args.shards,
+            )
+            if getattr(args, "key", None):
+                cfg.fields[args.key] = FieldConfig(
+                    analyzer="keyword", positions=False
+                )
+            inc = IncrementalIndex(
+                args.root, cfg, merge_factor=args.merge_factor,
+                defer_gc=getattr(args, "defer_gc", False),
+            )
+            if args.cmd == "append":
+                inc.append(args.inputs)
+            elif args.cmd == "upsert":
+                inc.upsert(args.inputs, args.key)
+            elif args.cmd == "optimize":
+                inc.optimize()
+            elif args.cmd == "expunge":
+                inc.expunge_deletes()
+            else:
+                removed = inc.gc()
+                print(json.dumps({"removed": removed}))
+            if args.cmd != "gc":
+                print(json.dumps(
+                    {"deltas": len(inc.delta_dirs),
+                     "num_docs": inc.num_docs()},
+                ))
         elif args.cmd == "doc":
             from .pipelines.search_pipeline import open_reader
 

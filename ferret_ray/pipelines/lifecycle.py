@@ -444,6 +444,17 @@ class IncrementalIndex:
             raise ValueError(
                 f"upsert key field {key_field!r} must be a keyword field"
             )
+        # every existing delta must have indexed the key field, else the
+        # tombstone pass silently matches nothing and stale docs survive
+        for d in self.delta_dirs:
+            m = read_manifest(d)
+            dfc = m["config"]["fields"].get(key_field)
+            if dfc is None or not dfc.get("indexed", True):
+                raise ValueError(
+                    f"delta {d} was built without indexing key field "
+                    f"{key_field!r}; upsert cannot tombstone its docs "
+                    "(declare the key field before the first append)"
+                )
         paths = (
             [input_paths] if isinstance(input_paths, str) else input_paths
         )
