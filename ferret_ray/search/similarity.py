@@ -38,6 +38,10 @@ def tf_array(freqs: np.ndarray) -> np.ndarray:
 def idf(doc_freq: int, num_docs: int) -> np.float32:
     # (float)(log((float)num_docs/(float)(doc_freq+1)) + 1.0)
     ratio = F32(num_docs) / F32(doc_freq + 1)
+    if ratio <= 0.0:
+        # empty index (num_docs == 0): C's log(0) silently yields -inf;
+        # there are no docs to score, so any finite weight is unused
+        return F32(0.0)
     return F32(math.log(float(ratio)) + 1.0)
 
 

@@ -82,3 +82,38 @@ def test_doclen_matches_recount(built):
         columns=["doc_id", "len_content"]
     ).sort_by("doc_id")
     assert docs.column("len_content").to_pylist() == want
+
+
+def test_empty_corpus_build_and_search(ray_session, tmp_path):
+    """A zero-row input (an empty shard at scale) builds a valid empty
+    index; every query path returns no hits instead of raising."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ferret_ray.pipelines.build import build_index
+    from ferret_ray.schema import FieldConfig, IndexConfig
+    from ferret_ray.search.fql import FQLParser
+    from ferret_ray.search.query import PrefixQuery, TermQuery
+    from ferret_ray.search.reader import IndexReader
+    from ferret_ray.search.searcher import Searcher
+
+    p0 = os.path.join(str(tmp_path), "empty.parquet")
+    pq.write_table(
+        pa.table({"content": pa.array([], type=pa.string())}), p0
+    )
+    cfg = IndexConfig(
+        fields={"content": FieldConfig(analyzer="standard")},
+        num_shards=2,
+    )
+    m = build_index(p0, os.path.join(str(tmp_path), "idx"), cfg)
+    assert m["num_docs"] == 0
+    r = IndexReader(os.path.join(str(tmp_path), "idx"))
+    s = Searcher(r)
+    assert s.search(TermQuery("content", "x"), 0, 10).total_hits == 0
+    assert s.search(PrefixQuery("content", "x"), 0, 10).total_hits == 0
+    p = FQLParser()
+    p.add_field("content", default=True)
+    assert s.search(p.parse("+a +b"), 0, 10).total_hits == 0
+    assert r.max_doc() == 0
