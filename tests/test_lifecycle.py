@@ -339,3 +339,40 @@ def test_deletes_through_lsm_batch_serving(ray_session, tmp_path):
     inc.optimize()
     df2 = search_batch(root, ["ray"], k=10, concurrency=2).to_pandas()
     assert inc.num_docs() == 2 and len(df2) == 1
+
+
+def test_empty_delta_in_lsm(ray_session, tmp_path):
+    """An empty append (zero-row input shard) must not break MultiReader
+    serving or compaction."""
+    import pyarrow as pa
+
+    from ferret_ray.pipelines.lifecycle import IncrementalIndex
+    from ferret_ray.schema import FieldConfig, IndexConfig
+    from ferret_ray.search.query import TermQuery
+    from ferret_ray.search.searcher import Searcher
+
+    tmp = str(tmp_path)
+    cfg = IndexConfig(
+        fields={"content": FieldConfig(analyzer="standard")},
+        num_shards=2,
+    )
+
+    def w(name, texts):
+        p = os.path.join(tmp, name)
+        pq.write_table(
+            pa.table({"content": pa.array(texts, type=pa.string())}), p
+        )
+        return p
+
+    inc = IncrementalIndex(os.path.join(tmp, "r"), cfg,
+                           merge_factor=100)
+    inc.append(w("a.parquet", ["hello world"]))
+    inc.append(w("e.parquet", []))
+    inc.append(w("b.parquet", ["hello ray"]))
+    s = Searcher(inc.reader())
+    td = s.search(TermQuery("content", "hello"), 0, 10)
+    assert [h.doc for h in td.hits] == [0, 1] and td.total_hits == 2
+    inc.optimize()
+    s2 = Searcher(inc.reader())
+    assert s2.search(TermQuery("content", "hello"), 0, 10).total_hits == 2
+    assert inc.num_docs() == 2
