@@ -132,7 +132,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     for t in range(trials):
         _one_trial(t)
-    while len(trial_secs) < max_trials:
+    # adaptive extension needs >=2 trials to compare; with
+    # RAY_GRAFT_BUILD_TRIALS=1 just take the single measurement
+    while 1 < len(trial_secs) < max_trials:
         fastest = sorted(trial_secs)[:2]
         still_improving = trial_secs[-1] <= min(trial_secs[:-1]) * 0.95
         unconfirmed = fastest[1] > fastest[0] * 1.10

@@ -444,8 +444,11 @@ class IncrementalIndex:
             raise ValueError(
                 f"upsert key field {key_field!r} must be a keyword field"
             )
-        # every existing delta must have indexed the key field, else the
-        # tombstone pass silently matches nothing and stale docs survive
+        # every existing delta must have indexed the key field AS A
+        # KEYWORD, else the tombstone pass silently matches nothing and
+        # stale docs survive: a tokenizing analyzer splits/lowercases the
+        # key at index time, but delete_by_terms looks up the raw key as
+        # one exact term
         for d in self.delta_dirs:
             m = read_manifest(d)
             dfc = m["config"]["fields"].get(key_field)
@@ -454,6 +457,13 @@ class IncrementalIndex:
                     f"delta {d} was built without indexing key field "
                     f"{key_field!r}; upsert cannot tombstone its docs "
                     "(declare the key field before the first append)"
+                )
+            if dfc.get("analyzer", "standard") != "keyword":
+                raise ValueError(
+                    f"delta {d} indexed key field {key_field!r} with "
+                    f"analyzer {dfc.get('analyzer', 'standard')!r}, not "
+                    "'keyword'; exact-term tombstoning would silently "
+                    "match nothing (rebuild or re-key the index)"
                 )
         paths = (
             [input_paths] if isinstance(input_paths, str) else input_paths

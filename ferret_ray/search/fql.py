@@ -221,7 +221,11 @@ class FQLParser:
         use_keywords: bool = True,
         handle_parse_errors: bool = True,
         max_clauses: int = 512,
-        clean_str: bool = False,
+        # qp_parse runs qp_clean_str unconditionally before parsing
+        # (q_parser.y:1340), so cleaning is the default; pass False to
+        # parse the raw string (diverges from reference on unbalanced
+        # input, which then degrades to the bad-query phrase).
+        clean_str: bool = True,
     ):
         self.analyzer = analyzer or standard_analyzer()
         self.or_default = or_default

@@ -32,12 +32,34 @@ class MultiReader:
             for f in r.field_names:
                 if f not in self.field_names:
                     self.field_names.append(f)
-        # expose the first sub-reader's config (similarity, per-field
-        # options) so config-driven callers (CLI, analyzers, term
-        # vectors) work over multi-delta indexes; deltas share a config
-        # by construction (lifecycle builds them from one IndexConfig)
-        self.manifest = {"config": dict(readers[0].manifest["config"])}
-        self.index_dir = readers[0].index_dir  # for deletes lookup only
+        # expose a merged config (similarity, per-field options) so
+        # config-driven callers (CLI, analyzers, term vectors) work over
+        # multi-delta indexes.  With dynamic schemas later deltas may
+        # carry fields the first delta never saw, so union per-field
+        # configs across sub-readers (first-seen wins, like add_indexes;
+        # conflicting same-name configs are an error).  Tolerate an
+        # empty reader list (reachable: a failed first upsert commits
+        # gens.json before any delta exists) — empty index, no hits.
+        if readers:
+            base_cfg = dict(readers[0].manifest["config"])
+            fields: dict = dict(base_cfg.get("fields", {}))
+            for r in readers[1:]:
+                for name, fc in r.manifest["config"].get(
+                    "fields", {}
+                ).items():
+                    if name not in fields:
+                        fields[name] = fc
+                    elif fields[name] != fc:
+                        raise ValueError(
+                            f"conflicting configs for field {name!r} "
+                            "across sub-readers"
+                        )
+            base_cfg["fields"] = fields
+            self.manifest = {"config": base_cfg}
+            self.index_dir = readers[0].index_dir  # deletes lookup only
+        else:
+            self.manifest = {"config": {"fields": {}}}
+            self.index_dir = ""
         self.len_sums = {
             f: sum(r.len_sums.get(f, 0) for r in readers)
             for f in self.field_names

@@ -376,3 +376,75 @@ def test_empty_delta_in_lsm(ray_session, tmp_path):
     s2 = Searcher(inc.reader())
     assert s2.search(TermQuery("content", "hello"), 0, 10).total_hits == 2
     assert inc.num_docs() == 2
+
+
+def test_zero_delta_root_serves_empty(ray_session, tmp_path):
+    """A gens.json with zero deltas (reachable: dynamic upsert key
+    declaration commits before the first delta is built) must open as
+    an empty index — no hits, no crash (ADVICE r3)."""
+    from ferret_ray.pipelines.lifecycle import IncrementalIndex
+    from ferret_ray.pipelines.search_pipeline import open_reader
+    from ferret_ray.schema import FieldConfig, IndexConfig
+    from ferret_ray.search.query import TermQuery
+    from ferret_ray.search.searcher import Searcher
+
+    root = os.path.join(str(tmp_path), "r")
+    cfg = IndexConfig(
+        fields={"content": FieldConfig(analyzer="standard")},
+        num_shards=2,
+    )
+    inc = IncrementalIndex(root, cfg, merge_factor=100)
+    inc._commit()  # zero-delta gens.json on disk
+    r = open_reader(root)
+    assert r.max_doc() == 0
+    s = Searcher(r)
+    td = s.search(TermQuery("content", "hello"), 0, 10)
+    assert td.total_hits == 0 and td.hits == []
+    r2 = inc.reader()
+    assert r2.max_doc() == 0
+
+
+def test_upsert_guard_rejects_tokenized_key(ray_session, tmp_path):
+    """A delta whose key field was indexed with a tokenizing analyzer
+    must fail the upsert guard loudly: delete_by_terms looks up the raw
+    key as one exact term and would silently match nothing (ADVICE r3)."""
+    import pyarrow as pa
+
+    from ferret_ray.pipelines.lifecycle import IncrementalIndex
+    from ferret_ray.schema import FieldConfig, IndexConfig
+
+    tmp = str(tmp_path)
+
+    def w(name, ids, texts):
+        p = os.path.join(tmp, name)
+        pq.write_table(
+            pa.table({
+                "id": pa.array(ids, type=pa.string()),
+                "content": pa.array(texts, type=pa.string()),
+            }), p
+        )
+        return p
+
+    root = os.path.join(tmp, "r")
+    # first build: key field tokenized (standard) — legal for append
+    cfg_bad = IndexConfig(
+        fields={
+            "id": FieldConfig(analyzer="standard"),
+            "content": FieldConfig(analyzer="standard"),
+        },
+        num_shards=2,
+    )
+    inc = IncrementalIndex(root, cfg_bad, merge_factor=100)
+    inc.append(w("a.parquet", ["Doc-1"], ["hello world"]))
+    # reopen with a keyword config for the same field; the on-disk delta
+    # still says analyzer=standard, so upsert must refuse
+    cfg_good = IndexConfig(
+        fields={
+            "id": FieldConfig(analyzer="keyword", positions=False),
+            "content": FieldConfig(analyzer="standard"),
+        },
+        num_shards=2,
+    )
+    inc2 = IncrementalIndex(root, cfg_good, merge_factor=100)
+    with pytest.raises(ValueError, match="keyword"):
+        inc2.upsert(w("b.parquet", ["Doc-1"], ["new text"]), "id")

@@ -151,3 +151,45 @@ def test_highlight_over_multireader(ray_session, tmp_path):
         exo = highlight(so, q, h.doc, "content", an,
                         excerpt_length=30, num_excerpts=1)
         assert ex == exo and "<b>fox</b>" in ex[0]
+
+
+def test_multireader_manifest_unions_fields(ray_session, tmp_path):
+    """MultiReader.manifest must union per-field configs across
+    sub-readers — with dynamic schemas, fields discovered after the
+    first delta exist only in newer deltas (ADVICE r3)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ferret_ray.pipelines.build import build_index
+    from ferret_ray.schema import FieldConfig, IndexConfig
+    from ferret_ray.search.multi import MultiReader
+    from ferret_ray.search.reader import IndexReader
+
+    tmp = str(tmp_path)
+
+    def build(name, cols, cfg_fields):
+        p = os.path.join(tmp, name + ".parquet")
+        pq.write_table(pa.table(cols), p)
+        d = os.path.join(tmp, name)
+        build_index(
+            p, d,
+            IndexConfig(fields=cfg_fields, num_shards=2),
+        )
+        return d
+
+    d1 = build(
+        "a", {"content": ["hello world"]},
+        {"content": FieldConfig(analyzer="standard")},
+    )
+    d2 = build(
+        "b",
+        {"content": ["hello ray"], "title": ["greetings"]},
+        {
+            "content": FieldConfig(analyzer="standard"),
+            "title": FieldConfig(analyzer="whitespace"),
+        },
+    )
+    mr = MultiReader([IndexReader(d1), IndexReader(d2)])
+    fields = mr.manifest["config"]["fields"]
+    assert "content" in fields and "title" in fields
+    assert fields["title"]["analyzer"] == "whitespace"
