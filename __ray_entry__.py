@@ -187,9 +187,14 @@ def q_term_df_top20(sf_dir: str) -> pd.DataFrame:
         columns=["field", "term", "df"],
         filter=(pa_ds_field("field") == fn),
     )
-    df = ds.groupby("term").sum("df").to_pandas()
-    df = df.rename(columns={"sum(df)": "df"})
-    df = df.sort_values(["df", "term"], ascending=[False, True]).head(20)
+    # the full vocabulary never reaches the driver: each block of the
+    # groupby output contributes only its local top-20 by (df, term),
+    # and the driver merges 20 * num_blocks rows (VERDICT r3 #2)
+    from ferret_ray.functions.topk import grouped_topk
+
+    agg = ds.groupby("term").sum("df")
+    df = grouped_topk(agg, by="sum(df)", key="term", k=20)
+    df = df.rename(columns={"sum(df)": "df"})[["term", "df"]]
     return df.reset_index(drop=True).astype({"df": "int64"})
 
 

@@ -41,3 +41,30 @@ def sort_topk(
     sign = parts[by].to_numpy() if ascending else -parts[by].to_numpy()
     order = np.lexsort((parts[id_col].to_numpy(), sign))[:k]
     return parts.iloc[order].reset_index(drop=True)
+
+
+def grouped_topk(ds, by: str, key: str, k: int, *, ascending: bool = False):
+    """Top-k rows of an aggregated Dataset by (``by`` desc|asc, ``key``
+    asc) — the scale shape for "top N of a huge groupby" (top domains,
+    df-hottest terms): each output block of the groupby contributes only
+    its local top-k (the (value, key) order is total, so any global
+    top-k row is in its block's local top-k), and the driver merges
+    k * num_blocks rows instead of the full group cardinality.
+
+    Returns a pandas frame of <= k rows, globally sorted."""
+    import pyarrow.compute as pc
+
+    direction = "ascending" if ascending else "descending"
+
+    def local(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            batch,
+            sort_keys=[(by, direction), (key, "ascending")],
+        )
+        return batch.take(idx[:k])
+
+    parts = ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(
+        [by, key], ascending=[ascending, True]
+    ).head(k)
+    return parts.reset_index(drop=True)

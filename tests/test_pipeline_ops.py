@@ -131,3 +131,74 @@ def test_stratified_head(ray_session):
     assert list(zip(out.grp, out.doc_id)) == [
         ("a", 1), ("a", 5), ("b", 2), ("b", 3), ("c", 0), ("c", 4),
     ]
+
+
+def test_grouped_topk_exact_and_small_driver_side(ray_session, monkeypatch):
+    """grouped_topk == full-sort head(k), and the driver only ever
+    collects per-block top-k partials, never the full group cardinality
+    (VERDICT r3 #2/#3)."""
+    import ray.data
+
+    from ferret_ray.functions.topk import grouped_topk
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    keys = [f"k{int(x):04d}" for x in rng.integers(0, 2000, n)]
+    ds = ray.data.from_items(
+        [{"domain": k, "n": int(v)} for k, v in
+         zip(keys, rng.integers(1, 100, n))],
+        override_num_blocks=8,
+    )
+    agg = ds.groupby("domain").sum("n")
+
+    import pandas as pd
+    truth = (
+        agg.to_pandas()
+        .sort_values(["sum(n)", "domain"], ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)
+    )
+
+    sizes = []
+    real_to_pandas = ray.data.Dataset.to_pandas
+
+    def spy(self, *a, **k):
+        out = real_to_pandas(self, *a, **k)
+        sizes.append(len(out))
+        return out
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", spy)
+    got = grouped_topk(agg, by="sum(n)", key="domain", k=20)
+    pd.testing.assert_frame_equal(got, truth)
+    # full distinct-key cardinality is ~2000; driver merge must be far
+    # smaller (k rows per groupby output block)
+    assert max(sizes) < 500, sizes
+
+
+def test_top_domains_streams(ray_session, monkeypatch):
+    """top_domains: driver merges per-block top-k only."""
+    import ray.data
+
+    from ferret_ray.functions.urls import top_domains
+
+    texts = [
+        f"link http://site{i % 97}.example.org/x and http://hot.com/y"
+        for i in range(3000)
+    ]
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)],
+        override_num_blocks=6,
+    )
+    sizes = []
+    real_to_pandas = ray.data.Dataset.to_pandas
+
+    def spy(self, *a, **k):
+        out = real_to_pandas(self, *a, **k)
+        sizes.append(len(out))
+        return out
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", spy)
+    df = top_domains(ds, limit=5)
+    assert df.domain.iloc[0] == "hot.com" and df.n.iloc[0] == 3000
+    assert len(df) == 5
+    assert max(sizes) < 98, sizes  # 97 distinct site domains + hot.com
