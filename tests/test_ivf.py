@@ -95,3 +95,69 @@ def test_partitioned_ivf_index_matches_filter_variant(emb, tmp_path):
     got = ivf_search(d, vecs[7], k=10, nprobe=8)[0]
     exact = brute_force_topk(ds, vecs[7], k=10)[0]
     assert [v for _, v, _ in got] == [v for _, v, _ in exact]
+
+
+def test_embedding_dedup_strip_task_count(ray_session):
+    """Exact mode runs O(n) tasks in blocks — balanced strips over the
+    lower triangle, ceil(nb/2) tasks for nb blocks (VERDICT r3 #1) —
+    and still finds every qualifying pair."""
+    import ray.data
+
+    from ferret_ray.functions.ann import embedding_dedup
+
+    rng = np.random.default_rng(5)
+    n = 200
+    base = rng.standard_normal((n, 16)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": base[i].tolist()}
+            for i in range(n)]
+    rows.append({"vec_id": n, "embedding": base[1].tolist()})  # dup of 1
+    ds = ray.data.from_items(rows)
+    stats = {}
+    out = embedding_dedup(
+        ds, threshold=0.95, block_size=32, stats=stats
+    ).to_pandas()
+    nb = stats["blocks"]
+    assert nb >= 6
+    assert stats["strip_tasks"] == (nb + 1) // 2   # O(n) in blocks
+    assert stats["tiles"] == nb * (nb + 1) // 2    # exact: all tiles
+    keep = set(out["vec_id"])
+    assert n not in keep and 1 in keep and len(keep) == n
+
+
+def test_embedding_dedup_ivf_blocks_prune_and_match_exact(ray_session):
+    """IVF candidate mode on clusterable data (the realistic near-dup
+    regime: tight clusters, high threshold): computes FEWER tiles than
+    exact mode yet drops the identical id set."""
+    import ray.data
+
+    from ferret_ray.functions.ann import embedding_dedup
+
+    rng = np.random.default_rng(11)
+    # 4 well-separated cluster centers, 100 members each w/ small noise
+    centers = rng.standard_normal((4, 32)).astype(np.float32) * 10
+    rows = []
+    vid = 0
+    for c in range(4):
+        for _ in range(100):
+            v = centers[c] + rng.standard_normal(32).astype(np.float32)
+            rows.append({"vec_id": vid, "embedding": v.tolist()})
+            vid += 1
+    # dups: exact copies of three vectors
+    for src in (5, 150, 399):
+        rows.append({"vec_id": vid,
+                     "embedding": rows[src]["embedding"]})
+        vid += 1
+    ds = ray.data.from_items(rows)
+
+    ex_stats, ivf_stats = {}, {}
+    exact = embedding_dedup(
+        ds, threshold=0.98, block_size=64, stats=ex_stats
+    ).to_pandas()
+    blocked = embedding_dedup(
+        ds, threshold=0.98, block_size=64, stats=ivf_stats,
+        candidates="ivf", n_clusters=4, probe_margin=0.05,
+    ).to_pandas()
+    assert sorted(exact["vec_id"]) == sorted(blocked["vec_id"])
+    assert set(exact["vec_id"]) & {403, 404, 405} == set()
+    # cluster-span pruning did real work
+    assert ivf_stats["tiles"] < ex_stats["tiles"], (ivf_stats, ex_stats)
