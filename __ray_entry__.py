@@ -596,6 +596,67 @@ def q_batch_search(sf_dir: str) -> pd.DataFrame:
     )
 
 
+_PART_CACHE: dict = {}
+
+
+def _partitioned_index_for(sf_dir: str) -> str:
+    """Documents index with a SMALL salt_doc_range so every shard splits
+    into multiple doc-range files — partitioned serving owns real
+    1/N subsets here (ferret_ray/search/partitioned.py)."""
+    key = os.path.abspath(sf_dir)
+    if key in _PART_CACHE:
+        return _PART_CACHE[key]
+    from ferret_ray.pipelines.build import build_index
+    from ferret_ray.schema import FieldConfig, IndexConfig
+
+    cfg = IndexConfig(
+        fields={
+            "text": FieldConfig(analyzer="alnum", stored=False),
+            "lang": FieldConfig(analyzer="keyword", positions=False),
+            "source": FieldConfig(analyzer="keyword", positions=False),
+        },
+        id_columns=("n_chars",),
+        num_shards=4,
+        salt_doc_range=256,
+    )
+    index_dir = os.path.join(
+        "/tmp/ferret_ray_indexes",
+        key.strip("/").replace("/", "_") + "-documents-ranges",
+    )
+    build_index(
+        os.path.join(sf_dir, "documents.parquet"), index_dir, cfg
+    )
+    _PART_CACHE[key] = index_dir
+    return index_dir
+
+
+def q_partitioned_search(sf_dir: str) -> pd.DataFrame:
+    """Shard-partitioned batch serving (oracle-checked, same SQL as
+    batch_search): each of 3 actors owns 1/3 of every shard's doc
+    ranges; global df + raw dictionary enumerations are exchanged per
+    batch, per-actor top-k merged with the hit_lt tie-break
+    (ferret_ray/search/partitioned.py; c/src/search.c:1290-1548)."""
+    from ferret_ray.search.partitioned import PartitionedSearcherPool
+
+    index_dir = _partitioned_index_for(sf_dir)
+    pool = PartitionedSearcherPool(
+        index_dir, n_partitions=3, default_field="text"
+    )
+    try:
+        df = pool.search_batch(
+            ["spark", "+table +hash", '"table hash"', "sca*",
+             "dup merge"],
+            k=1_000_000,
+        )[["query", "doc_id"]]
+    finally:
+        pool.shutdown()
+    return (
+        df.sort_values(["query", "doc_id"])
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64"})
+    )
+
+
 def _events_ds(sf_dir: str):
     import ray.data
 
@@ -775,6 +836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top10": q_tfidf_top10,
         "bm25_top10": q_bm25_top10,
         "batch_search": q_batch_search,
+        "partitioned_search": q_partitioned_search,
         "group_by_events": q_group_by_events,
         "window_agg": q_window_agg,
         "session_count": q_session_count,
@@ -868,7 +930,7 @@ def _tfidf_oracle_sql(terms: list[str], coord: bool,
 def oracle_sql() -> dict[str, str]:
     tokens = _TOKENS
     joined = f"' ' || array_to_string({tokens}, ' ') || ' '"
-    return {
+    sql = {
         "term_search": f"""
             SELECT doc_id,
                    len(list_filter({tokens}, x -> x = 'spark')) AS tf
@@ -1274,3 +1336,7 @@ def oracle_sql() -> dict[str, str]:
         # reference (tests/test_reference_scores*.py).  highlight:
         # excerpt selection is not SQL-expressible.
     }
+    # partitioned serving answers the same queries as the replica pool
+    # over the same documents table — identical oracle
+    sql["partitioned_search"] = sql["batch_search"]
+    return sql

@@ -48,10 +48,9 @@ class RangeFilter(Filter):
         return f"RangeFilter< {r.field}:{s} >"
 
     def get_docs(self, searcher) -> np.ndarray:
-        terms = searcher.reader.terms_in_range(
-            self.range.field, self.range.lower, self.range.upper,
-            self.range.include_lower, self.range.include_upper,
-        )
+        from .searcher import range_expand
+
+        terms = range_expand(searcher.reader, self.range)
         sets = []
         for t in terms:
             p = searcher.reader.postings(self.range.field, t)

@@ -182,7 +182,8 @@ class _Shard:
 
 
 class IndexReader:
-    def __init__(self, index_dir: str, postings_cache: int = 4096):
+    def __init__(self, index_dir: str, postings_cache: int = 4096,
+                 owned_ranges: "set[int] | None" = None):
         self.index_dir = index_dir
         self._fs, self._root = resolve_fs(index_dir)
         m = read_manifest(index_dir)
@@ -206,6 +207,20 @@ class IndexReader:
         self.num_docs: int = m["num_docs"]
         self.len_sums: dict[str, int] = m.get("len_sums", {})
         self._shard_salts: list[int] = m["shards"]
+        # doc-range partitioned view (partitioned serving,
+        # search/partitioned.py): restrict this reader to the salts of
+        # the owned doc ranges (range = salt // num_shards).  Stats that
+        # must stay GLOBAL for shard-count-invariant scoring (num_docs,
+        # len_sums, norms length, manifest) come from the manifest and
+        # are untouched — only dictionary + postings access narrows.
+        self.owned_ranges = (
+            set(owned_ranges) if owned_ranges is not None else None
+        )
+        if self.owned_ranges is not None:
+            self._shard_salts = [
+                ss for ss in self._shard_salts
+                if ss // self.num_shards in self.owned_ranges
+            ]
         # shard -> ordered range files (salt = range * num_shards + shard)
         self._by_shard: dict[int, list[int]] = {}
         for ss in self._shard_salts:

@@ -161,6 +161,53 @@ def _expansion(reader, key, build):
     return exp(key, build) if exp is not None else build()
 
 
+# Raw dictionary-enumeration memos.  These keys are the exchange unit of
+# partitioned serving (search/partitioned.py): values are plain sorted
+# term lists, so per-partition results merge to the global set with a
+# sorted union — every expansion family routes its dictionary SCAN
+# through one of these before any per-query capping/boosting.
+
+def _twp(reader, field: str, prefix: str) -> list[str]:
+    """Memoized terms_with_prefix (sorted)."""
+    return _expansion(
+        reader, ("twp", field, prefix),
+        lambda: reader.terms_with_prefix(field, prefix),
+    )
+
+
+def _wildraw(reader, field: str, pat: str) -> list[str]:
+    """Memoized wildcard dictionary scan (sorted)."""
+    def build():
+        lit = pat.split("*", 1)[0].split("?", 1)[0]
+        return reader.terms_matching(
+            field, lambda s: wildcard_match(pat, s), prefix=lit
+        )
+
+    return _expansion(reader, ("wildraw", field, pat), build)
+
+
+def range_expand(reader, q) -> list[str]:
+    """Memoized dictionary expansion for (Typed)RangeQuery, shared by
+    the scorer, RangeFilter and the match-vector path."""
+    from .query import TypedRangeQuery
+
+    if isinstance(q, TypedRangeQuery) and q.numeric_bounds() is not None:
+        return _expansion(
+            reader,
+            ("typedrange", q.field, q.lower, q.upper,
+             q.include_lower, q.include_upper),
+            lambda: reader.terms_matching(q.field, q.matches_typed),
+        )
+    return _expansion(
+        reader,
+        ("tir", q.field, q.lower, q.upper,
+         q.include_lower, q.include_upper),
+        lambda: reader.terms_in_range(
+            q.field, q.lower, q.upper, q.include_lower, q.include_upper
+        ),
+    )
+
+
 def rewrite(query: Query, reader: IndexReader) -> Query:
     # prefix/wildcard/fuzzy expansions are pure functions of the
     # immutable dictionary — memoized on the reader (tail-latency fix:
@@ -168,7 +215,7 @@ def rewrite(query: Query, reader: IndexReader) -> Query:
     if isinstance(query, PrefixQuery):
         def _expand_prefix():
             mtq = MultiTermQuery(query.field, max_terms=query.max_terms)
-            for t in reader.terms_with_prefix(query.field, query.prefix):
+            for t in _twp(reader, query.field, query.prefix):
                 mtq.add_term(t)
             return mtq.boosted_terms
 
@@ -187,10 +234,7 @@ def rewrite(query: Query, reader: IndexReader) -> Query:
             mtq = MultiTermQuery(query.field, max_terms=query.max_terms)
             # prefix-optimized dictionary scan like the reference
             # (q_wildcard.c:81-130): literal prefix bounds the bisect
-            lit = pat.split("*", 1)[0].split("?", 1)[0]
-            for t in reader.terms_matching(
-                query.field, lambda s: wildcard_match(pat, s), prefix=lit
-            ):
+            for t in _wildraw(reader, query.field, pat):
                 mtq.add_term(t)
             return mtq.boosted_terms
 
@@ -216,8 +260,8 @@ def rewrite(query: Query, reader: IndexReader) -> Query:
             )
             prefix = term[:pre_len]
             suffix = term[pre_len:]
-            cands = reader.terms_with_prefix(
-                query.field, prefix if pre_len > 0 else ""
+            cands = _twp(
+                reader, query.field, prefix if pre_len > 0 else ""
             )
             for t in cands:
                 mtq.add_term(t, fuzzy_score(suffix, t[pre_len:], pre_len))
@@ -596,13 +640,9 @@ class Searcher:
         q: RangeQuery = w.query
         if self.reader.field_num(q.field) < 0:
             return None
-        if isinstance(q, TypedRangeQuery) and q.numeric_bounds() is not None:
-            # numeric coercion: scan number-ish dictionary terms
-            terms = self.reader.terms_matching(q.field, q.matches_typed)
-        else:
-            terms = self.reader.terms_in_range(
-                q.field, q.lower, q.upper, q.include_lower, q.include_upper
-            )
+        # numeric coercion scans number-ish dictionary terms; both paths
+        # go through the memoized raw-enumeration keys (range_expand)
+        terms = range_expand(self.reader, q)
         if not terms:
             return None
         doc_sets = []
@@ -989,15 +1029,7 @@ class Searcher:
         if isinstance(q, RangeQuery):
             if q.field != field:
                 return []
-            if isinstance(q, TypedRangeQuery) and (
-                q.numeric_bounds() is not None
-            ):
-                terms = self.reader.terms_matching(field, q.matches_typed)
-            else:
-                terms = self.reader.terms_in_range(
-                    field, q.lower, q.upper, q.include_lower,
-                    q.include_upper,
-                )
+            terms = range_expand(self.reader, q)
             out = []
             for t in terms:
                 out += [

@@ -137,7 +137,9 @@ def span_terms(q: SpanQuery, reader) -> list[str]:
     if isinstance(q, SpanMultiTermQuery):
         return list(q.term_list)
     if isinstance(q, SpanPrefixQuery):
-        return reader.terms_with_prefix(q.field, q.prefix)[: q.max_terms]
+        from .searcher import _twp
+
+        return _twp(reader, q.field, q.prefix)[: q.max_terms]
     if isinstance(q, SpanFirstQuery):
         return span_terms(q.match, reader)
     if isinstance(q, (SpanOrQuery, SpanNearQuery)):
@@ -182,9 +184,11 @@ def spans_of(q: SpanQuery, reader):
             np.concatenate([p[2] for p in parts]),
         )
     if isinstance(q, SpanPrefixQuery):
+        from .searcher import _twp
+
         mt = SpanMultiTermQuery(
             q.field,
-            reader.terms_with_prefix(q.field, q.prefix)[: q.max_terms],
+            _twp(reader, q.field, q.prefix)[: q.max_terms],
         )
         return spans_of(mt, reader)
     if isinstance(q, SpanFirstQuery):
