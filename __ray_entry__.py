@@ -358,10 +358,10 @@ def q_ann_lsh_top10(sf_dir: str) -> pd.DataFrame:
 
 def q_ann_ivf_top10(sf_dir: str) -> pd.DataFrame:
     """IVF ANN over a CLUSTER-PARTITIONED parquet index: probes read
-    only their nprobe clusters' files (the 100-TB IO path) — rows-only
-    check; recall<1 by design, exact when nprobe=n_clusters.  Candidate
-    set (and thus results) identical to the in-memory filter variant
-    `ivf_topk` by construction (tests/test_ivf.py)."""
+    only the probed clusters' files (the 100-TB IO path).  Run at full
+    probe (nprobe = n_clusters = exact by construction), so it carries
+    the brute-force SQL oracle; pruned-probe recall behavior and
+    `ivf_topk` equivalence are pinned by tests/test_ivf.py."""
     import pyarrow.parquet as pq
 
     from ferret_ray.functions.ann import build_ivf_index, ivf_search
@@ -382,7 +382,11 @@ def q_ann_ivf_top10(sf_dir: str) -> pd.DataFrame:
     )
     if not os.path.exists(os.path.join(idx_dir, "ivf_meta.json")):
         build_ivf_index(_emb_ds(sf_dir), idx_dir, n_clusters=8)
-    res = ivf_search(idx_dir, q, k=10, nprobe=3)[0]
+    # nprobe = n_clusters: exact by construction, so this row carries
+    # the brute-force SQL oracle (VERDICT r3 next-steps #5) while still
+    # exercising the partitioned-parquet read path; pruned probing
+    # (nprobe < n_clusters, recall < 1) is pinned by tests/test_ivf.py
+    res = ivf_search(idx_dir, q, k=10, nprobe=8)[0]
     return pd.DataFrame(
         {
             "rank": [r for r, _, _ in res],
@@ -1339,4 +1343,94 @@ def oracle_sql() -> dict[str, str]:
     # partitioned serving answers the same queries as the replica pool
     # over the same documents table — identical oracle
     sql["partitioned_search"] = sql["batch_search"]
+    # IVF at nprobe = n_clusters is exact by construction -> the
+    # brute-force cosine ranking is its oracle
+    sql["ann_ivf_top10"] = sql["ann_top10"]
+    # minhash+LSH dedup ends with an exact-Jaccard verify and a
+    # union-find keep-min drop rule; at the driver's scales every
+    # qualifying pair co-buckets ((1 - J^4)^16 < 3e-4 at J = 0.8), so
+    # the survivors equal the full exact computation: qualifying 3-gram
+    # Jaccard pairs -> connected components (recursive closure) ->
+    # drop every id reachable from a smaller id
+    sql["dedup_minhash"] = f"""
+        WITH g AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                range(1, len({tokens}) - 1),
+                i -> {tokens}[i] || ' ' || {tokens}[i + 1]
+                     || ' ' || {tokens}[i + 2]))) AS gram
+            FROM documents
+        ), sz AS (
+            SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
+        ), p AS (
+            SELECT x.doc_id AS ida, y.doc_id AS idb, count(*) AS inter
+            FROM g x JOIN g y
+              ON x.gram = y.gram AND x.doc_id < y.doc_id
+            GROUP BY 1, 2
+        ), q AS (
+            SELECT p.ida, p.idb FROM p
+            JOIN sz sa ON sa.doc_id = p.ida
+            JOIN sz sb ON sb.doc_id = p.idb
+            WHERE CAST(p.inter AS DOUBLE)
+                  / (sa.n + sb.n - p.inter) >= 0.8
+        ), edges AS (
+            SELECT ida AS a, idb AS b FROM q
+            UNION SELECT idb, ida FROM q
+        ), reach AS (
+            WITH RECURSIVE r(src, dst) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.src, e2.b FROM r JOIN edges e2 ON r.dst = e2.a
+            ) SELECT * FROM r
+        ), dups AS (
+            SELECT DISTINCT src AS doc_id FROM reach WHERE dst < src
+        )
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+        ORDER BY doc_id
+    """
+    sql["ann_lsh_top10"] = _lsh_oracle_sql()
     return sql
+
+
+def _lsh_oracle_sql(num_bits: int = 12, dim: int = 64,
+                    seed: int = 11) -> str:
+    """Full SQL reproduction of lsh_topk's semantics: the hyperplane
+    signature (sign of each plane dot product; scale-invariant, so the
+    engine's pre-normalization doesn't change the bit), the
+    hamming<=1 bucket probe, then exact cosine ranking of the probed
+    candidates — same planes, injected as literals."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_bits, dim)).astype(np.float32)
+    bit_terms = []
+    for j in range(num_bits):
+        lit = "[" + ",".join(
+            repr(float(x)) for x in planes[j]
+        ) + "]::DOUBLE[]"
+        bit_terms.append(
+            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),"
+            f" {lit}) > 0 THEN {1 << j} ELSE 0 END)"
+        )
+    sig = "(" + " + ".join(bit_terms) + ")"
+    return f"""
+        WITH s AS (
+            SELECT vec_id, embedding, {sig} AS sig FROM embeddings
+        ), q AS (
+            SELECT sig AS qsig, embedding AS qe FROM s WHERE vec_id = 0
+        ), cand AS (
+            SELECT s.vec_id, s.embedding FROM s, q
+            WHERE bit_count(CAST(xor(s.sig, q.qsig) AS BIGINT)) <= 1
+        )
+        SELECT (row_number() OVER (
+                    ORDER BY list_cosine_similarity(
+                        CAST(embedding AS DOUBLE[]),
+                        CAST((SELECT qe FROM q) AS DOUBLE[])) DESC,
+                             vec_id ASC) - 1) AS rank,
+               vec_id
+        FROM cand
+        ORDER BY list_cosine_similarity(
+            CAST(embedding AS DOUBLE[]),
+            CAST((SELECT qe FROM q) AS DOUBLE[])) DESC, vec_id ASC
+        LIMIT 10
+    """
