@@ -97,13 +97,19 @@ class MappingFilter:
             yield tk._replace(text=self.map(tk.text)[:254])
 
 
-def stem_filter(stream: TokenStream) -> Iterator[Token]:
-    """Snowball English stemming (StemFilter, c/src/analysis.c:1397-1470)
-    via the pure-Python Porter2 in ``stemmer.py`` (libstemmer-exact)."""
-    from .stemmer import stem
+def stem_filter(
+    stream: TokenStream, algorithm: str = "english"
+) -> Iterator[Token]:
+    """Snowball stemming (StemFilter, c/src/analysis.c:1397-1470).
+    ``algorithm`` selects the Snowball language like the reference's
+    sb_stemmer_new(algorithm, charenc); english uses the Porter2 in
+    ``stemmer.py``, other languages live in ``stemmer_multi.py`` —
+    all validated byte-exact against the reference's libstemmer."""
+    from .stemmer_multi import snowball_stem
 
+    fn = snowball_stem(algorithm)
     for tk in stream:
-        yield tk._replace(text=stem(tk.text))
+        yield tk._replace(text=fn(tk.text))
 
 
 def _is_splittable(text: str) -> bool:
@@ -162,7 +168,7 @@ class Analyzer:
         lowercase: bool = True,
         stop_words: frozenset[str] | None = FULL_ENGLISH_STOP_WORDS,
         hyphen: bool = True,
-        stem: bool = False,
+        stem: "bool | str" = False,
     ) -> None:
         self.tokenizer = tokenizer or StandardTokenizer()
         self.lowercase = lowercase
@@ -189,8 +195,21 @@ class Analyzer:
         if self.hyphen:
             stream = hyphen_filter(stream)
         if self.stem:
-            stream = stem_filter(stream)
+            stream = stem_filter(stream, self._stem_algorithm())
         return iter(stream)
+
+    def _stem_algorithm(self) -> str:
+        # stem=True keeps the historical default (Snowball english);
+        # a string selects the algorithm like the reference's
+        # StemFilter.new(ts, algorithm, charenc)
+        return "english" if self.stem is True else str(self.stem)
+
+    def _stem_fn(self):
+        if not self.stem:
+            return None
+        from .stemmer_multi import snowball_stem
+
+        return snowball_stem(self._stem_algorithm())
 
     def __getstate__(self):
         state = dict(self.__dict__)
@@ -211,10 +230,7 @@ class Analyzer:
         lowercase = self.lowercase
         stop = self.stop_words
         hyphen = self.hyphen
-        if self.stem:
-            from .stemmer import stem as _stem
-        else:
-            _stem = None
+        _stem = self._stem_fn()
         pairs: list[tuple[str, int, int, int]] = []
         gap = 0
         mode = getattr(self.tokenizer, "mode", "utf8")
@@ -846,10 +862,7 @@ class Analyzer:
         lowercase = self.lowercase
         stop = self.stop_words
         hyphen = self.hyphen
-        if self.stem:
-            from .stemmer import stem as _stem
-        else:
-            _stem = None
+        _stem = self._stem_fn()
         terms: list[str] = []
         positions: list[int] = []
         append_t = terms.append

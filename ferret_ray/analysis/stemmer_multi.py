@@ -1,0 +1,279 @@
+"""Multi-language Snowball stemmers (StemFilter algorithm parameter).
+
+The reference's StemFilter takes a Snowball algorithm name + charenc
+(sb_stemmer_new, c/src/analysis.c:1397-1470; Ruby surface
+StemFilter.new(ts, algorithm, encoding), ruby/ext/r_analysis.c) and
+supports every libstemmer language.  This module implements the
+non-English algorithms we ship as pure-Python ports of the PUBLIC
+Snowball algorithm definitions (snowballstem.org), validated byte-exact
+against the reference's own compiled libstemmer on curated + fuzzed
+golden word lists (tests/goldens_stems_*.tsv).
+
+English ("english", the default) lives in stemmer.py (Porter2).
+"""
+
+from __future__ import annotations
+
+# --------------------------------------------------------------------------
+# German (Snowball german)
+# --------------------------------------------------------------------------
+
+_DE_VOWELS = set("aeiouyäöü")
+_DE_S_END = set("bdfghklmnrt")
+_DE_ST_END = set("bdfghklmnt")
+
+
+def _de_preprocess(w: str) -> str:
+    w = w.replace("ß", "ss")
+    # u/y between vowels are consonants: mark uppercase
+    out = list(w)
+    for i in range(1, len(w) - 1):
+        if w[i] in "uy" and w[i - 1] in _DE_VOWELS and \
+                w[i + 1] in _DE_VOWELS:
+            out[i] = w[i].upper()
+    return "".join(out)
+
+
+def _regions(w: str, vowels: set) -> tuple[int, int]:
+    """Standard R1/R2: after the first non-vowel following a vowel."""
+    n = len(w)
+    r1 = n
+    for i in range(1, n):
+        if w[i] not in vowels and w[i - 1] in vowels:
+            r1 = i + 1
+            break
+    r2 = n
+    for i in range(r1 + 1, n):
+        if w[i] not in vowels and w[i - 1] in vowels:
+            r2 = i + 1
+            break
+    return r1, r2
+
+
+def german_stem(word: str) -> str:
+    w = _de_preprocess(word)
+    r1, r2 = _regions(w, _DE_VOWELS)
+    # German adjustment: the region before R1 holds >= 3 letters
+    if r1 < 3:
+        r1 = 3
+
+    def in_r1(pos: int) -> bool:
+        return pos >= r1
+
+    def in_r2(pos: int) -> bool:
+        return pos >= r2
+
+    # step 1: longest of (a) em ern er (b) e en es (c) s
+    for suf in ("ern", "em", "er"):
+        if w.endswith(suf):
+            if in_r1(len(w) - len(suf)):
+                w = w[: -len(suf)]
+            break
+    else:
+        # (this libstemmer snapshot predates the later "niss -> nis"
+        # refinement, so group (b) is a plain delete)
+        for suf in ("en", "es", "e"):
+            if w.endswith(suf):
+                if in_r1(len(w) - len(suf)):
+                    w = w[: -len(suf)]
+                break
+        else:
+            if w.endswith("s") and in_r1(len(w) - 1) and \
+                    len(w) >= 2 and w[-2] in _DE_S_END:
+                w = w[:-1]
+
+    # step 2: longest of (a) en er est (b) st
+    for suf in ("est", "en", "er"):
+        if w.endswith(suf):
+            if in_r1(len(w) - len(suf)):
+                w = w[: -len(suf)]
+            break
+    else:
+        if w.endswith("st") and in_r1(len(w) - 2) and \
+                len(w) >= 6 and w[-3] in _DE_ST_END:
+            w = w[:-2]
+
+    # step 3: d-suffixes
+    for suf in ("end", "ung"):
+        if w.endswith(suf):
+            if in_r2(len(w) - len(suf)):
+                w = w[: -len(suf)]
+                if w.endswith("ig") and in_r2(len(w) - 2) and \
+                        (len(w) < 3 or w[-3] != "e"):
+                    w = w[:-2]
+            break
+    else:
+        for suf in ("isch", "ik", "ig"):
+            if w.endswith(suf):
+                if in_r2(len(w) - len(suf)) and \
+                        (len(w) < len(suf) + 1 or
+                         w[-len(suf) - 1] != "e"):
+                    w = w[: -len(suf)]
+                break
+        else:
+            for suf in ("lich", "heit"):
+                if w.endswith(suf):
+                    if in_r2(len(w) - len(suf)):
+                        w = w[: -len(suf)]
+                        for pre in ("er", "en"):
+                            if w.endswith(pre) and \
+                                    in_r1(len(w) - 2):
+                                w = w[:-2]
+                                break
+                    break
+            else:
+                if w.endswith("keit"):
+                    if in_r2(len(w) - 4):
+                        w = w[:-4]
+                        for pre in ("lich", "ig"):
+                            if w.endswith(pre) and \
+                                    in_r2(len(w) - len(pre)):
+                                w = w[: -len(pre)]
+                                break
+
+    # postprocess: unmark U/Y, strip umlauts
+    return (
+        w.replace("U", "u").replace("Y", "y")
+        .replace("ä", "a").replace("ö", "o").replace("ü", "u")
+    )
+
+
+# --------------------------------------------------------------------------
+# Russian (Snowball russian)
+# --------------------------------------------------------------------------
+
+_RU_VOWELS = set("аеиоуыэюя")
+
+_RU_PGERUND_1 = ("вшись", "вши", "в")
+_RU_PGERUND_2 = ("ившись", "ывшись", "ивши", "ывши", "ив", "ыв")
+_RU_ADJ = (
+    "ими", "ыми", "его", "ого", "ему", "ому",
+    "ее", "ие", "ые", "ое", "ей", "ий", "ый", "ой", "ем", "им",
+    "ым", "ом", "их", "ых", "ую", "юю", "ая", "яя", "ою", "ею",
+)
+_RU_PART_1 = ("ем", "нн", "вш", "ющ", "щ")
+_RU_PART_2 = ("ивш", "ывш", "ующ")
+_RU_VERB_1 = (
+    "ешь", "нно", "ете", "йте", "ла", "на", "ли", "ем", "ло",
+    "но", "ет", "ют", "ны", "ть", "й", "л", "н",
+)
+_RU_VERB_2 = (
+    "ейте", "уйте", "ила", "ыла", "ена", "ите", "или", "ыли",
+    "ило", "ыло", "ено", "ует", "уют", "ены", "ить", "ыть",
+    "ишь", "ей", "уй", "ил", "ыл", "им", "ым", "ен", "ят",
+    "ит", "ыт", "ую", "ю",
+)
+_RU_NOUN = (
+    "иями", "ями", "ами", "ией", "иям", "ием", "иях",
+    "ев", "ов", "ие", "ье", "еи", "ии", "ей", "ой", "ий",
+    "ям", "ем", "ам", "ом", "ах", "ях", "ию", "ью", "ия", "ья",
+    "а", "е", "и", "й", "о", "у", "ы", "ь", "ю", "я",
+)
+
+
+def _longest(w: str, sufs: tuple, rv: int,
+             group1: bool = False) -> str | None:
+    """Longest suffix of ``w`` from ``sufs`` that lies inside RV; for
+    group1 suffixes the preceding letter must be а or я (and stays)."""
+    best = None
+    for s in sufs:
+        if len(s) <= (0 if best is None else len(best)):
+            continue
+        if not w.endswith(s) or len(w) - len(s) < rv:
+            continue
+        if group1:
+            # the preceding а/я must itself lie inside RV ("all tests
+            # take place in RV")
+            i = len(w) - len(s) - 1
+            if i < rv or w[i] not in "ая":
+                continue
+        best = s
+    return best
+
+
+def russian_stem(word: str) -> str:
+    w = word
+    n = len(w)
+    rv = n
+    for i, c in enumerate(w):
+        if c in _RU_VOWELS:
+            rv = i + 1
+            break
+    _r1, r2 = _regions(w, _RU_VOWELS)
+
+    # step 1: perfective gerund, else [reflexive] adjectival|verb|noun
+    g2 = _longest(w, _RU_PGERUND_2, rv)
+    g1 = _longest(w, _RU_PGERUND_1, rv, group1=True)
+    g = g2 if g2 and (not g1 or len(g2) >= len(g1)) else g1
+    if g:
+        w = w[: -len(g)]
+    else:
+        for refl in ("ся", "сь"):
+            if w.endswith(refl) and len(w) - 2 >= rv:
+                w = w[:-2]
+                break
+        adj = _longest(w, _RU_ADJ, rv)
+        if adj:
+            w = w[: -len(adj)]
+            p2 = _longest(w, _RU_PART_2, rv)
+            p1 = _longest(w, _RU_PART_1, rv, group1=True)
+            p = p2 if p2 and (not p1 or len(p2) >= len(p1)) else p1
+            if p:
+                w = w[: -len(p)]
+        else:
+            v2 = _longest(w, _RU_VERB_2, rv)
+            v1 = _longest(w, _RU_VERB_1, rv, group1=True)
+            v = v2 if v2 and (not v1 or len(v2) >= len(v1)) else v1
+            if v:
+                w = w[: -len(v)]
+            else:
+                nn = _longest(w, _RU_NOUN, rv)
+                if nn:
+                    w = w[: -len(nn)]
+
+    # step 2: and-suffix и
+    if w.endswith("и") and len(w) - 1 >= rv:
+        w = w[:-1]
+
+    # step 3: derivational ост/ость in R2
+    for suf in ("ость", "ост"):
+        if w.endswith(suf) and len(w) - len(suf) >= r2:
+            w = w[: -len(suf)]
+            break
+
+    # step 4: undouble н / superlative / soft sign
+    if w.endswith("нн") and len(w) - 1 >= rv:
+        w = w[:-1]
+    else:
+        sup = _longest(w, ("ейше", "ейш"), rv)
+        if sup:
+            w = w[: -len(sup)]
+            if w.endswith("нн") and len(w) - 1 >= rv:
+                w = w[:-1]
+        elif w.endswith("ь") and len(w) - 1 >= rv:
+            w = w[:-1]
+    return w
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+def snowball_stem(algorithm: str):
+    """Callable stemmer for a Snowball ``algorithm`` name
+    (case-insensitive, like the Ruby binding's StemFilter.new); raises
+    ValueError for unknown names, matching the reference's
+    ArgumentError (ruby/test/unit/analysis/tc_token_stream.rb:492)."""
+    key = algorithm.lower()
+    if key in ("english", "en", "porter2"):
+        from .stemmer import stem
+
+        return stem
+    if key in ("german", "de"):
+        return german_stem
+    if key in ("russian", "ru"):
+        return russian_stem
+    raise ValueError(
+        f"unknown Snowball stemming algorithm: {algorithm!r} "
+        "(supported: english, german, russian)"
+    )

@@ -226,9 +226,18 @@ def analyzer_for(spec: str | Analyzer) -> Analyzer:
         return standard_analyzer()
     if spec == "standard_nostop":
         return standard_analyzer(stop_words=None)
-    if spec == "stem":
+    if spec == "stem" or spec.startswith("stem:"):
+        # "stem" = Snowball english (the reference default);
+        # "stem:<algorithm>" selects the Snowball language, mirroring
+        # StemFilter.new(ts, algorithm, charenc)
+        # (c/src/analysis.c:1397-1470, ruby/ext/r_analysis.c) — the
+        # spec string round-trips through the manifest unchanged
+        from .analysis.stemmer_multi import snowball_stem
+
+        alg = spec.partition(":")[2] or "english"
+        snowball_stem(alg)  # validate loudly at config time
         a = standard_analyzer()
-        a.stem = True
+        a.stem = True if alg == "english" else alg
         return a
     if spec == "whitespace":
         return whitespace_analyzer()
