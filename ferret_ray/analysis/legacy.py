@@ -24,35 +24,40 @@ _NUMPUNC = set(".,\\/_-")
 _URLPUNC = set("./-_")
 _URLXATPUNC = set("./-_@")
 
-
-def _isalnum(c: str) -> bool:
-    return c.isascii() and c.isalnum()
-
-
-def _isalpha(c: str) -> bool:
-    return c.isascii() and c.isalpha()
+# ascii variant uses C isalnum; the mb variant the wide-char iswalnum
+# under a UTF-8 locale (c/src/analysis.c:632-1050 with wide hooks) —
+# Python's str predicates are the Unicode classification
+_MB = False
 
 
-def _isdigit(c: str) -> bool:
-    return c.isascii() and c.isdigit()
+def _isalnum(c: str, mb: bool = False) -> bool:
+    return (mb or c.isascii()) and c.isalnum()
 
 
-def _isurlc(c: str) -> bool:
-    return c in _URLPUNC or _isalnum(c)
+def _isalpha(c: str, mb: bool = False) -> bool:
+    return (mb or c.isascii()) and c.isalpha()
 
 
-def _isurlxatc(c: str) -> bool:
-    return c in _URLXATPUNC or _isalnum(c)
+def _isdigit(c: str, mb: bool = False) -> bool:
+    return (mb or c.isascii()) and c.isdigit()
 
 
-def _is_tok_char(c: str) -> bool:
+def _isurlc(c: str, mb: bool = False) -> bool:
+    return c in _URLPUNC or _isalnum(c, mb)
+
+
+def _isurlxatc(c: str, mb: bool = False) -> bool:
+    return c in _URLXATPUNC or _isalnum(c, mb)
+
+
+def _is_tok_char(c: str, mb: bool = False) -> bool:
     """legacy_std_is_tok_char (c/src/analysis.c:711-721)."""
     if not c or c.isspace():
         return False
-    return _isalnum(c) or c in _NUMPUNC or c in ("&", "@", "'", ":")
+    return _isalnum(c, mb) or c in _NUMPUNC or c in ("&", "@", "'", ":")
 
 
-def _get_number(text: str, s: int) -> int:
+def _get_number(text: str, s: int, mb: bool = False) -> int:
     """legacy_std_get_number (c/src/analysis.c:748-781)."""
     n = len(text)
 
@@ -64,14 +69,14 @@ def _get_number(text: str, s: int) -> int:
     last_seen_digit = 2
     seen_digit = False
     while last_seen_digit >= 0:
-        while _isalnum(ch(s + i)):
-            if last_seen_digit < 2 and _isdigit(ch(s + i)):
+        while _isalnum(ch(s + i), mb):
+            if last_seen_digit < 2 and _isdigit(ch(s + i), mb):
                 last_seen_digit = 2
-            if not seen_digit and _isdigit(ch(s + i)):
+            if not seen_digit and _isdigit(ch(s + i), mb):
                 seen_digit = True
             i += 1
         last_seen_digit -= 1
-        if ch(s + i) not in _NUMPUNC or not _isalnum(ch(s + i + 1)):
+        if ch(s + i) not in _NUMPUNC or not _isalnum(ch(s + i + 1), mb):
             if last_seen_digit >= 0:
                 count = i
             break
@@ -80,7 +85,8 @@ def _get_number(text: str, s: int) -> int:
     return count if seen_digit else 0
 
 
-def _get_url(text: str, base: int, i: int) -> tuple[str, int]:
+def _get_url(text: str, base: int, i: int,
+             mb: bool = False) -> tuple[str, int]:
     """std_get_url (c/src/analysis.c:810-838): scan url chars from
     text[base] starting at offset i; no two urlpuncs in a row; strip
     trailing puncs from the token but advance past them.
@@ -91,7 +97,7 @@ def _get_url(text: str, base: int, i: int) -> tuple[str, int]:
     def ch(k: int) -> str:
         return text[k] if 0 <= k < n else ""
 
-    while _isurlc(ch(base + i)):
+    while _isurlc(ch(base + i), mb):
         if ch(base + i) in _URLPUNC and ch(base + i - 1) in _URLPUNC:
             break
         i += 1
@@ -104,9 +110,15 @@ def _get_url(text: str, base: int, i: int) -> tuple[str, int]:
 
 
 class LegacyStandardTokenizer:
-    """legacy_standard_tokenizer_new (c/src/analysis.c:1036-1050)."""
+    """legacy_standard_tokenizer_new (c/src/analysis.c:1036-1050);
+    ``mode="mb"`` switches the char classes to the wide-char variant
+    (mb_legacy_standard_tokenizer_new, same file)."""
+
+    def __init__(self, mode: str = "ascii"):
+        self.mode = mode
 
     def __call__(self, text: str) -> Iterator[Token]:
+        mb = self.mode != "ascii"
         n = len(text)
 
         def ch(k: int) -> str:
@@ -116,8 +128,8 @@ class LegacyStandardTokenizer:
         while True:
             # legacy_std_advance_to_start
             t = pos
-            while t < n and not _isalnum(ch(t)):
-                if ch(t) in _NUMPUNC and _isdigit(ch(t + 1)):
+            while t < n and not _isalnum(ch(t), mb):
+                if ch(t) in _NUMPUNC and _isdigit(ch(t + 1), mb):
                     break
                 t += 1
             if t >= n:
@@ -125,12 +137,12 @@ class LegacyStandardTokenizer:
             start = t
             # get_alpha
             i = t
-            while _isalnum(ch(i)):
+            while _isalnum(ch(i), mb):
                 i += 1
             token_i = i - t
             t = i
 
-            if not _is_tok_char(ch(t)):
+            if not _is_tok_char(ch(t), mb):
                 # plain word — the very common case
                 yield Token(text[start: t][:MAX_WORD_LEN], start, t)
                 pos = t
@@ -139,7 +151,7 @@ class LegacyStandardTokenizer:
             if ch(t) == "'":
                 # apostrophe word, strip possessive
                 j = t
-                while _isalpha(ch(j)) or ch(j) == "'":
+                while _isalpha(ch(j), mb) or ch(j) == "'":
                     j += 1
                 pos = j
                 if ch(j - 1) in ("s", "S") and ch(j - 2) == "'":
@@ -154,18 +166,18 @@ class LegacyStandardTokenizer:
             if ch(t) == "&":
                 # company name: alpha + '@'/'&'
                 j = t
-                while _isalpha(ch(j)) or ch(j) in ("@", "&"):
+                while _isalpha(ch(j), mb) or ch(j) in ("@", "&"):
                     j += 1
                 pos = j
                 yield Token(text[start: j][:MAX_WORD_LEN], start, j)
                 continue
 
             num_end = None
-            if _isdigit(ch(start)) or ch(start) in _NUMPUNC:
-                ln = _get_number(text, start)
+            if _isdigit(ch(start), mb) or ch(start) in _NUMPUNC:
+                ln = _get_number(text, start, mb)
                 if ln > 0:
                     num_end = start + ln
-                    if not _is_tok_char(ch(num_end)):
+                    if not _is_tok_char(ch(num_end), mb):
                         # no longer token possible — emit the number
                         pos = num_end
                         yield Token(
@@ -179,25 +191,25 @@ class LegacyStandardTokenizer:
                 t += 3
                 while ch(t) == "/":
                     t += 1
-                if _isalpha(ch(t)) and (
+                if _isalpha(ch(t), mb) and (
                     proto.startswith("ftp")
                     or proto.startswith("http")
                     or proto.startswith("file")
                 ):
                     # known protocol: token drops the proto prefix
-                    tok, pos = _get_url(text, t, 0)
+                    tok, pos = _get_url(text, t, 0, mb)
                 else:
                     # unknown protocol stays in the token
-                    tok, pos = _get_url(text, start, t - start)
+                    tok, pos = _get_url(text, start, t - start, mb)
                 yield Token(tok[:MAX_WORD_LEN], start, pos)
                 continue
 
             # generic url / email / acronym span
             is_acronym = True
             seen_at = False
-            while _isurlxatc(ch(t)):
+            while _isurlxatc(ch(t), mb):
                 c = ch(t)
-                if is_acronym and not _isalpha(c) and c != ".":
+                if is_acronym and not _isalpha(c, mb) and c != ".":
                     is_acronym = False
                 if c in _URLXATPUNC and ch(t - 1) in _URLXATPUNC:
                     break
@@ -214,7 +226,7 @@ class LegacyStandardTokenizer:
                 if is_acronym:
                     # must be single letters separated by dots
                     for s in range(start, t - 1):
-                        if _isalpha(ch(s)) and ch(s + 1) != ".":
+                        if _isalpha(ch(s), mb) and ch(s + 1) != ".":
                             is_acronym = False
                             break
                 if is_acronym:
@@ -231,14 +243,16 @@ class LegacyStandardTokenizer:
                 )
 
 
-def legacy_standard_analyzer(stop_words=None, lowercase: bool = True):
+def legacy_standard_analyzer(stop_words=None, lowercase: bool = True,
+                             mode: str = "ascii"):
     """legacy_standard_analyzer_new (c/src/analysis.c:1518-1537):
-    LegacyStandardTokenizer -> lowercase -> stop -> hyphen."""
+    LegacyStandardTokenizer -> lowercase -> stop -> hyphen;
+    ``mode="mb"`` = mb_legacy_standard_analyzer_new."""
     from .analyzer import Analyzer
     from .stopwords import FULL_ENGLISH_STOP_WORDS
 
     return Analyzer(
-        LegacyStandardTokenizer(),
+        LegacyStandardTokenizer(mode=mode),
         lowercase=lowercase,
         stop_words=(
             FULL_ENGLISH_STOP_WORDS if stop_words is None else stop_words

@@ -264,6 +264,10 @@ def analyzer_for(spec: str | Analyzer) -> Analyzer:
         from .analysis.legacy import legacy_standard_analyzer
 
         return legacy_standard_analyzer()
+    if spec == "legacy_mb":
+        from .analysis.legacy import legacy_standard_analyzer
+
+        return legacy_standard_analyzer(mode="mb")
     if spec == "letter":
         return letter_analyzer()
     if spec == "alnum":

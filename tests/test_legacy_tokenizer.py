@@ -75,3 +75,80 @@ def test_legacy_analyzer_chain():
     # "the"/"is" stopped (gaps preserved), hyphen compound expands
     assert terms == ["email", "e", "mail", "dbalmain@gmail.com"]
     assert positions == [1, 1, 2, 4]
+
+
+def test_mb_legacy_standard_tokenizer_golden():
+    """mb legacy scanner shares the mb standard golden suite
+    (test_mb_legacy_standard_tokenizer, c/test/test_analysis.c:583-588
+    runs do_mb_standard_tokenizer on both); byte offsets converted like
+    tests/test_analysis_mb.py."""
+    from tests.test_analysis_mb import (
+        MB_STD_GOLDEN,
+        MB_TEXT,
+        _with_byte_offsets,
+    )
+
+    tz = LegacyStandardTokenizer(mode="mb")
+    got = _with_byte_offsets(MB_TEXT, tz(MB_TEXT))
+    assert got == MB_STD_GOLDEN
+
+
+def test_mb_legacy_tokenizer_tail():
+    # c/test/test_analysis.c:531-546 tail (post-\200), mb legacy variant
+    tail = (
+        "badchar it's groups' Barnes&Noble file:///home/user/ "
+        "svn://www.davebalmain.com/ www,.google.com www.google.com "
+        'dave@balmain@gmail.com "quoted string" continue *star'
+    )
+    want = [
+        "badchar", "it", "groups", "Barnes&Noble", "home/user",
+        "svn://www.davebalmain.com", "www", "google.com",
+        "www.google.com", "dave@balmain", "gmail.com", "quoted",
+        "string", "continue", "star",
+    ]
+    tz = LegacyStandardTokenizer(mode="mb")
+    assert [t.text for t in tz(tail)] == want
+
+
+def test_mb_legacy_analyzer_goldens():
+    """mb legacy analyzer over the accented text
+    (test_mb_legacy_standard_analyzer, c/test/test_analysis.c:743-792):
+    default stop list + lowercase, then the custom stop list case."""
+    from ferret_ray.analysis.analyzer import Analyzer
+    from ferret_ray.analysis.stopwords import FULL_ENGLISH_STOP_WORDS
+
+    text = (
+        "DBalmain@gmail.com is My e-mail and the Address. -23!$ "
+        "http://www.google.com/results/ T.N.T. 123-1235-ASD-1234 23#!$ "
+        "ÁÄGÇ®ÊËÌ¯ÚØÃ¬ÖÎÍ"
+    )
+    a = Analyzer(
+        LegacyStandardTokenizer(mode="mb"),
+        lowercase=True,
+        stop_words=FULL_ENGLISH_STOP_WORDS,
+        hyphen=True,
+    )
+    terms, positions = a.terms_positions(text)
+    assert terms == [
+        "dbalmain@gmail.com", "email", "e", "mail", "address", "-23",
+        "www.google.com/results", "tnt", "123-1235-asd-1234", "23",
+        "áägç", "êëì", "úøã", "öîí",
+    ]
+    # absolute positions from the reference pos_inc chain
+    # 1,3,0,1,3,1,1,... (c/test/test_analysis.c:776-791)
+    assert positions == [0, 3, 3, 4, 7, 8, 9, 10, 11, 12, 13, 14,
+                         15, 16]
+
+    words = frozenset({"is", "the", "-23", "tnt"})
+    a2 = Analyzer(
+        LegacyStandardTokenizer(mode="mb"),
+        lowercase=True,
+        stop_words=words,
+        hyphen=True,
+    )
+    terms2, _ = a2.terms_positions(text)
+    assert terms2 == [
+        "dbalmain@gmail.com", "my", "email", "e", "mail", "and",
+        "address", "www.google.com/results", "123-1235-asd-1234", "23",
+        "áägç", "êëì", "úøã", "öîí",
+    ]
