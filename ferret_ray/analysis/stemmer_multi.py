@@ -273,7 +273,160 @@ def snowball_stem(algorithm: str):
         return german_stem
     if key in ("russian", "ru"):
         return russian_stem
+    if key in ("swedish", "sv"):
+        return swedish_stem
+    if key in ("danish", "da"):
+        return danish_stem
+    if key in ("norwegian", "no"):
+        return norwegian_stem
     raise ValueError(
         f"unknown Snowball stemming algorithm: {algorithm!r} "
-        "(supported: english, german, russian)"
+        "(supported: english, german, russian, swedish, danish, "
+        "norwegian)"
     )
+
+
+# --------------------------------------------------------------------------
+# Scandinavian (Snowball swedish / danish / norwegian)
+# --------------------------------------------------------------------------
+
+def _scand_r1(w: str, vowels: set) -> int:
+    """R1 with the Scandinavian adjustment: at least 3 letters before."""
+    r1, _ = _regions(w, vowels)
+    return max(r1, 3)
+
+
+_SV_VOWELS = set("aeiouyäåö")
+_SV_STEP1 = (
+    "heterna", "hetens", "heten", "heter", "arnas", "ernas", "ornas",
+    "andes", "andet", "arens", "arna", "erna", "orna", "ande", "arne",
+    "aste", "aren", "ades", "erns", "ade", "are", "ern", "ens", "het",
+    "ast", "ad", "en", "ar", "er", "or", "as", "es", "at", "a", "e",
+)
+_SV_S_END = set("bcdfghjklmnoprtvy")
+
+
+def swedish_stem(word: str) -> str:
+    w = word
+    r1 = _scand_r1(w, _SV_VOWELS)
+    # step 1: longest d-suffix, or s after a valid s-ending
+    for suf in _SV_STEP1:
+        if w.endswith(suf) and len(w) - len(suf) >= r1:
+            w = w[: -len(suf)]
+            break
+    else:
+        if w.endswith("s") and len(w) - 1 >= r1 and len(w) >= 2 and \
+                w[-2] in _SV_S_END:
+            w = w[:-1]
+    # step 2: shorten dd gd nn dt gt kt tt
+    if len(w) >= r1 + 2 and w[-2:] in (
+        "dd", "gd", "nn", "dt", "gt", "kt", "tt"
+    ) and len(w) - 2 >= r1:
+        w = w[:-1]
+    # step 3
+    for suf in ("lig", "els", "ig"):
+        if w.endswith(suf) and len(w) - len(suf) >= r1:
+            w = w[: -len(suf)]
+            break
+    else:
+        if w.endswith("löst") and len(w) - 4 >= r1 - 3 and \
+                len(w) - 1 >= r1:
+            # löst -> lös (replace applies when "löst" sits in R1:
+            # the t being in R1 is the operative test)
+            w = w[:-1]
+        elif w.endswith("fullt") and len(w) - 1 >= r1:
+            w = w[:-1]
+    return w
+
+
+_DA_VOWELS = set("aeiouyæåø")
+_DA_STEP1 = (
+    "erendes", "erende", "hedens", "ethed", "erede", "heden", "heder",
+    "endes", "ernes", "erens", "erets", "ende", "enes", "eres", "eren",
+    "erer", "heds", "enden", "ered", "ene", "erne", "ere", "en", "heder",
+    "eret", "hed", "ens", "ers", "ets", "ede", "es", "et", "er", "e",
+    "s",
+)
+_DA_S_END = set("abcdfghjklmnoprtvyzå")
+
+
+def danish_stem(word: str) -> str:
+    w = word
+    r1 = _scand_r1(w, _DA_VOWELS)
+    # step 1: longest match wins across the whole list; "s" requires a
+    # valid s-ending immediately before
+    best = None
+    for suf in _DA_STEP1:
+        if not w.endswith(suf) or len(w) - len(suf) < r1:
+            continue
+        if suf == "s" and (len(w) < 2 or w[-2] not in _DA_S_END):
+            continue
+        if best is None or len(suf) > len(best):
+            best = suf
+    if best:
+        w = w[: -len(best)]
+    # step 2: gd dt gt kt -> drop last letter
+    if w[-2:] in ("gd", "dt", "gt", "kt") and len(w) - 2 >= r1:
+        w = w[:-1]
+    # step 3: igst; then ig lig elig els; løst -> løs
+    if w.endswith("igst") and len(w) - 2 >= r1:
+        w = w[:-2]
+    for suf in ("elig", "lig", "els", "ig"):
+        if w.endswith(suf) and len(w) - len(suf) >= r1:
+            w = w[: -len(suf)]
+            # repeat step 2
+            if w[-2:] in ("gd", "dt", "gt", "kt") and len(w) - 2 >= r1:
+                w = w[:-1]
+            break
+    else:
+        if w.endswith("løst") and len(w) - 1 >= r1:
+            w = w[:-1]
+    # step 4: undouble a final double consonant in R1
+    if len(w) >= 2 and w[-1] == w[-2] and w[-1] not in _DA_VOWELS \
+            and len(w) - 1 >= r1:
+        w = w[:-1]
+    return w
+
+
+_NO_VOWELS = set("aeiouyæåø")
+_NO_STEP1 = (
+    "hetenes", "hetene", "hetens", "heten", "heter", "endes", "edes",
+    "enes", "erte", "ande", "ende", "ane", "ene", "ede", "ens", "ers",
+    "ets", "het", "ast", "ert", "en", "ar", "er", "as", "es", "et",
+    "a", "e", "s",
+)
+_NO_S_END = set("bcdfghjlmnoprtvyz")
+
+
+def norwegian_stem(word: str) -> str:
+    w = word
+    r1 = _scand_r1(w, _NO_VOWELS)
+    best = None
+    for suf in _NO_STEP1:
+        if not w.endswith(suf) or len(w) - len(suf) < r1:
+            continue
+        if suf == "s":
+            # valid s-ending, or k not preceded by a vowel
+            i = len(w) - 2
+            if i < 0:
+                continue
+            if w[i] not in _NO_S_END and not (
+                w[i] == "k" and (i == 0 or w[i - 1] not in _NO_VOWELS)
+            ):
+                continue
+        if best is None or len(suf) > len(best):
+            best = suf
+    if best in ("erte", "ert"):
+        w = w[: -len(best)] + "er"
+    elif best:
+        w = w[: -len(best)]
+    # step 2: dt vt -> drop last letter
+    if w[-2:] in ("dt", "vt") and len(w) - 2 >= r1:
+        w = w[:-1]
+    # step 3
+    for suf in ("hetslov", "slov", "elov", "lov", "eleg", "elig",
+                "leg", "eig", "lig", "els", "ig"):
+        if w.endswith(suf) and len(w) - len(suf) >= r1:
+            w = w[: -len(suf)]
+            break
+    return w

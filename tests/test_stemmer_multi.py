@@ -22,16 +22,13 @@ def _check_goldens(lang, fn):
     assert not bad, bad[:10]
 
 
-def test_german_goldens():
-    from ferret_ray.analysis.stemmer_multi import german_stem
+@pytest.mark.parametrize(
+    "lang", ["german", "russian", "swedish", "danish", "norwegian"]
+)
+def test_snowball_goldens(lang):
+    from ferret_ray.analysis.stemmer_multi import snowball_stem
 
-    _check_goldens("german", german_stem)
-
-
-def test_russian_goldens():
-    from ferret_ray.analysis.stemmer_multi import russian_stem
-
-    _check_goldens("russian", russian_stem)
+    _check_goldens(lang, snowball_stem(lang))
 
 
 def test_algorithm_registry():
