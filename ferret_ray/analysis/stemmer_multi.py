@@ -279,10 +279,12 @@ def snowball_stem(algorithm: str):
         return danish_stem
     if key in ("norwegian", "no"):
         return norwegian_stem
+    if key in ("spanish", "es"):
+        return spanish_stem
     raise ValueError(
         f"unknown Snowball stemming algorithm: {algorithm!r} "
         "(supported: english, german, russian, swedish, danish, "
-        "norwegian)"
+        "norwegian, spanish)"
     )
 
 
@@ -430,3 +432,207 @@ def norwegian_stem(word: str) -> str:
             w = w[: -len(suf)]
             break
     return w
+
+
+# --------------------------------------------------------------------------
+# Spanish (Snowball spanish)
+# --------------------------------------------------------------------------
+
+_ES_VOWELS = set("aeiouáéíóúü")
+_ES_DEACCENT = str.maketrans("áéíóú", "aeiou")
+
+_ES_PRON = ("selas", "selos", "sela", "selo", "las", "les", "los",
+            "nos", "me", "se", "la", "le", "lo")
+_ES_PRE_A = ("iéndo", "ándo", "ár", "ér", "ír")
+_ES_PRE_B = ("ando", "iendo", "ar", "er", "ir")
+
+_ES_S1_DEL_R2 = (
+    "amientos", "imientos", "amiento", "imiento", "anzas", "ismos",
+    "ables", "ibles", "istas", "anza", "icos", "icas", "ismo", "able",
+    "ible", "ista", "osos", "osas", "ico", "ica", "oso", "osa",
+)
+_ES_S1_ADOR = ("aciones", "adoras", "adores", "ancias", "adora",
+               "ación", "antes", "ancia", "ador", "ante")
+_ES_S1_IDAD = ("idades", "idad")
+_ES_S1_IVA = ("ivas", "ivos", "iva", "ivo")
+_ES_S2A = ("yeron", "yendo", "yamos", "yais", "yan", "yen", "yas",
+           "yes", "ya", "ye", "yo", "yó")
+_ES_S2B_GU = ("emos", "éis", "en", "es")
+_ES_S2B = (
+    "aríamos", "eríamos", "iríamos", "iéramos", "iésemos", "aríais",
+    "aremos", "eríais", "eremos", "iríais", "iremos", "ierais",
+    "ieseis", "asteis", "isteis", "ábamos", "áramos", "ásemos",
+    "arían", "arías", "aríais"[:0] or "aréis", "erían", "erías",
+    "eréis", "irían", "irías", "iréis", "ieran", "iesen", "ieron",
+    "iendo", "ieras", "ieses", "abais", "arais", "aseis", "íamos",
+    "arán", "arás", "aría", "erán", "erás", "ería", "irán", "irás",
+    "iría", "iera", "iese", "aste", "iste", "aban", "aran", "asen",
+    "aron", "ando", "ados", "idos", "amos", "imos", "ará", "aré", "erá",
+    "eré", "irá", "iré", "aba", "ada", "ida", "ara", "ase", "ían",
+    "ado", "ido", "ías", "áis", "ía", "ad", "ed", "id", "an", "ió",
+    "ar", "er", "ir", "as", "ís",
+)
+_ES_S3 = ("os", "a", "o", "á", "í", "ó")
+
+
+def _es_rv(w: str) -> int:
+    n = len(w)
+    if n < 3:
+        return n
+    if w[1] not in _ES_VOWELS:
+        # next following vowel
+        for i in range(2, n):
+            if w[i] in _ES_VOWELS:
+                return i + 1
+        return n
+    if w[0] in _ES_VOWELS and w[1] in _ES_VOWELS:
+        # next following consonant
+        for i in range(2, n):
+            if w[i] not in _ES_VOWELS:
+                return i + 1
+        return n
+    return 3  # consonant-vowel start
+
+
+def spanish_stem(word: str) -> str:
+    w = word
+    rv = _es_rv(w)
+    r1, r2 = _regions(w, _ES_VOWELS)
+
+    # ---- step 0: attached pronoun
+    for pron in _ES_PRON:
+        if not w.endswith(pron):
+            continue
+        base = w[: -len(pron)]
+        cut = len(base)
+        done = False
+        for pre in _ES_PRE_A:
+            if base.endswith(pre) and cut - len(pre) >= 0 and \
+                    cut >= rv and (cut - len(pre)) >= rv - 0 and \
+                    len(base) - len(pre) >= rv - len(pre) and \
+                    (len(w) - len(pron) - len(pre)) >= rv:
+                w = base.translate(_ES_DEACCENT)
+                done = True
+                break
+        if not done:
+            for pre in _ES_PRE_B:
+                if base.endswith(pre) and \
+                        (len(base) - len(pre)) >= rv:
+                    w = base
+                    done = True
+                    break
+        if not done and base.endswith("yendo") and \
+                len(base) >= 6 and base[-6] == "u":
+            w = base
+            done = True
+        break
+    rv = min(rv, len(w))
+
+    # ---- step 1: standard suffixes
+    n0 = len(w)
+
+    def longest(sufs):
+        best = None
+        for s in sufs:
+            if w.endswith(s) and (best is None or len(s) > len(best)):
+                best = s
+        return best
+
+    removed = False
+    cands = []
+    for fam, sufs in (
+        ("del", _ES_S1_DEL_R2), ("ador", _ES_S1_ADOR),
+        ("logia", ("logías", "logía")), ("ucion", ("uciones", "ución")),
+        ("encia", ("encias", "encia")), ("amente", ("amente",)),
+        ("mente", ("mente",)), ("idad", _ES_S1_IDAD),
+        ("iva", _ES_S1_IVA),
+    ):
+        s = longest(sufs)
+        if s:
+            cands.append((len(s), fam, s))
+    if cands:
+        _, fam, s = max(cands)
+        pos = len(w) - len(s)
+        if fam == "del" and pos >= r2:
+            w = w[:pos]
+        elif fam == "ador" and pos >= r2:
+            w = w[:pos]
+            if w.endswith("ic") and len(w) - 2 >= r2:
+                w = w[:-2]
+        elif fam == "logia" and pos >= r2:
+            w = w[:pos] + "log"
+        elif fam == "ucion" and pos >= r2:
+            w = w[:pos] + "u"
+        elif fam == "encia" and pos >= r2:
+            w = w[:pos] + "ente"
+        elif fam == "amente" and pos >= r1:
+            w = w[:pos]
+            if w.endswith("iv") and len(w) - 2 >= r2:
+                w = w[:-2]
+                if w.endswith("at") and len(w) - 2 >= r2:
+                    w = w[:-2]
+            else:
+                for pre in ("os", "ic", "ad"):
+                    if w.endswith(pre) and len(w) - 2 >= r2:
+                        w = w[:-2]
+                        break
+        elif fam == "mente" and pos >= r2:
+            w = w[:pos]
+            for pre in ("ante", "able", "ible"):
+                if w.endswith(pre) and len(w) - len(pre) >= r2:
+                    w = w[: -len(pre)]
+                    break
+        elif fam == "idad" and pos >= r2:
+            w = w[:pos]
+            for pre in ("abil", "ic", "iv"):
+                if w.endswith(pre) and len(w) - len(pre) >= r2:
+                    w = w[: -len(pre)]
+                    break
+        elif fam == "iva" and pos >= r2:
+            w = w[:pos]
+            if w.endswith("at") and len(w) - 2 >= r2:
+                w = w[:-2]
+    removed = len(w) != n0
+
+    # ---- step 2a: verb suffixes beginning y (only if step 1 removed
+    # nothing); the preceding u need not be in RV
+    if not removed:
+        n1 = len(w)
+        best = None
+        for s in _ES_S2A:
+            if w.endswith(s) and len(w) - len(s) >= rv and \
+                    (best is None or len(s) > len(best)):
+                best = s
+        if best and len(w) > len(best) and w[-len(best) - 1] == "u":
+            w = w[: -len(best)]
+        # ---- step 2b: only if 2a failed
+        if len(w) == n1:
+            best = None
+            fam = None
+            for s in _ES_S2B_GU:
+                if w.endswith(s) and len(w) - len(s) >= rv and \
+                        (best is None or len(s) > len(best)):
+                    best, fam = s, "gu"
+            for s in _ES_S2B:
+                if w.endswith(s) and len(w) - len(s) >= rv and \
+                        (best is None or len(s) > len(best)):
+                    best, fam = s, "plain"
+            if best:
+                w = w[: -len(best)]
+                if fam == "gu" and w.endswith("gu"):
+                    w = w[:-1]
+
+    # ---- step 3: residual suffix
+    best = None
+    for s in _ES_S3:
+        if w.endswith(s) and len(w) - len(s) >= rv and \
+                (best is None or len(s) > len(best)):
+            best = s
+    if best:
+        w = w[: -len(best)]
+    elif w.endswith(("e", "é")) and len(w) - 1 >= rv:
+        w = w[:-1]
+        if w.endswith("gu") and len(w) - 1 >= rv:
+            w = w[:-1]
+
+    return w.translate(_ES_DEACCENT)

@@ -23,7 +23,8 @@ def _check_goldens(lang, fn):
 
 
 @pytest.mark.parametrize(
-    "lang", ["german", "russian", "swedish", "danish", "norwegian"]
+    "lang", ["german", "russian", "swedish", "danish", "norwegian",
+             "spanish"]
 )
 def test_snowball_goldens(lang):
     from ferret_ray.analysis.stemmer_multi import snowball_stem
