@@ -281,10 +281,12 @@ def snowball_stem(algorithm: str):
         return norwegian_stem
     if key in ("spanish", "es"):
         return spanish_stem
+    if key in ("portuguese", "pt"):
+        return portuguese_stem
     raise ValueError(
         f"unknown Snowball stemming algorithm: {algorithm!r} "
         "(supported: english, german, russian, swedish, danish, "
-        "norwegian, spanish)"
+        "norwegian, spanish, portuguese)"
     )
 
 
@@ -636,3 +638,187 @@ def spanish_stem(word: str) -> str:
             w = w[:-1]
 
     return w.translate(_ES_DEACCENT)
+
+
+# --------------------------------------------------------------------------
+# Portuguese (Snowball portuguese — the libstemmer snapshot the reference
+# vendors, which keeps accents and carries the early logía/ución entries)
+# --------------------------------------------------------------------------
+
+_PT_VOWELS = set("aeiouáéíóúâêô")
+
+# (suffix, action-code) in the reference's among order; longest match
+# wins and a failed region test fails the whole step (no fallback)
+_PT_A5 = (
+    ("ica", 1), ("ância", 1), ("ência", 4), ("ira", 9), ("adora", 1),
+    ("osa", 1), ("ista", 1), ("iva", 8), ("eza", 1), ("logía", 2),
+    ("idade", 7), ("ante", 1), ("mente", 6), ("amente", 5),
+    ("ável", 1), ("ível", 1), ("ución", 3), ("ico", 1), ("ismo", 1),
+    ("oso", 1), ("amento", 1), ("imento", 1), ("ivo", 8),
+    ("aça~o", 1), ("ador", 1), ("icas", 1), ("ências", 4),
+    ("iras", 9), ("adoras", 1), ("osas", 1), ("istas", 1),
+    ("ivas", 8), ("ezas", 1), ("logías", 2), ("idades", 7),
+    ("uciones", 3), ("adores", 1), ("antes", 1), ("aço~es", 1),
+    ("icos", 1), ("ismos", 1), ("osos", 1), ("amentos", 1),
+    ("imentos", 1), ("ivos", 8),
+)
+_PT_VERB = (
+    "ada", "ida", "ia", "aria", "eria", "iria", "ara", "era", "ira",
+    "ava", "asse", "esse", "isse", "aste", "este", "iste", "ei",
+    "arei", "erei", "irei", "am", "iam", "ariam", "eriam", "iriam",
+    "aram", "eram", "iram", "avam", "em", "arem", "erem", "irem",
+    "assem", "essem", "issem", "ado", "ido", "ando", "endo", "indo",
+    "ara~o", "era~o", "ira~o", "ar", "er", "ir", "as", "adas",
+    "idas", "ias", "arias", "erias", "irias", "aras", "eras",
+    "iras", "avas", "es", "ardes", "erdes", "irdes", "ares", "eres",
+    "ires", "asses", "esses", "isses", "astes", "estes", "istes",
+    "is", "ais", "eis", "areis", "ereis", "ireis", "áreis",
+    "éreis", "íreis", "ásseis", "ésseis", "ísseis", "áveis",
+    "íeis", "aríeis", "eríeis", "iríeis", "ados", "idos", "amos",
+    "áramos", "éramos", "íramos", "ávamos", "íamos", "aríamos",
+    "eríamos", "iríamos", "emos", "aremos", "eremos", "iremos",
+    "ássemos", "êssemos", "íssemos", "imos", "armos", "ermos",
+    "irmos", "ámos", "arás", "erás", "irás", "eu", "iu", "ou",
+    "ará", "erá", "irá",
+)
+_PT_RESIDUAL = ("os", "a", "i", "o", "á", "í", "ó")
+
+
+def _pt_rv_r1_r2(w: str) -> tuple[int, int, int]:
+    n = len(w)
+    if n < 3:
+        rv = n
+    elif w[1] not in _PT_VOWELS:
+        rv = n
+        for i in range(2, n):
+            if w[i] in _PT_VOWELS:
+                rv = i + 1
+                break
+    elif w[0] in _PT_VOWELS and w[1] in _PT_VOWELS:
+        rv = n
+        for i in range(2, n):
+            if w[i] not in _PT_VOWELS:
+                rv = i + 1
+                break
+    else:
+        rv = 3
+    r1, r2 = _regions(w, _PT_VOWELS)
+    return rv, r1, r2
+
+
+def portuguese_stem(word: str) -> str:
+    w = word.replace("ã", "a~").replace("õ", "o~")
+    rv, r1, r2 = _pt_rv_r1_r2(w)
+
+    def try_del(sufs, bound):
+        """Longest of ``sufs`` ending w and starting inside bound."""
+        nonlocal w
+        best = None
+        for s in sufs:
+            if w.endswith(s) and (best is None or len(s) > len(best)):
+                best = s
+        if best and len(w) - len(best) >= bound:
+            w = w[: -len(best)]
+            return True
+        return False
+
+    def standard_suffix() -> bool:
+        nonlocal w
+        best = None
+        code = 0
+        for s, c in _PT_A5:
+            if w.endswith(s) and (best is None or len(s) > len(best)):
+                best, code = s, c
+        if best is None:
+            return False
+        pos = len(w) - len(best)
+        if code == 1:
+            if pos < r2:
+                return False
+            w = w[:pos]
+        elif code == 2:
+            if pos < r2:
+                return False
+            w = w[:pos] + "log"
+        elif code == 3:
+            if pos < r2:
+                return False
+            w = w[:pos] + "u"
+        elif code == 4:
+            if pos < r2:
+                return False
+            w = w[:pos] + "ente"
+        elif code == 5:   # amente
+            if pos < r1:
+                return False
+            w = w[:pos]
+            best2 = None
+            for s in ("ic", "ad", "os", "iv"):
+                if w.endswith(s) and (best2 is None or
+                                      len(s) > len(best2)):
+                    best2 = s
+            if best2 and len(w) - len(best2) >= r2:
+                w = w[: -len(best2)]
+                if best2 == "iv" and w.endswith("at") and \
+                        len(w) - 2 >= r2:
+                    w = w[:-2]
+        elif code == 6:   # mente
+            if pos < r2:
+                return False
+            w = w[:pos]
+            try_del(("ante", "avel", "ível"), r2)
+        elif code == 7:   # idade(s)
+            if pos < r2:
+                return False
+            w = w[:pos]
+            try_del(("ic", "abil", "iv"), r2)
+        elif code == 8:   # iva ivo ivas ivos
+            if pos < r2:
+                return False
+            w = w[:pos]
+            try_del(("at",), r2)
+        elif code == 9:   # ira iras -> ir, RV + preceded by e
+            if pos < rv or pos < 1 or w[pos - 1] != "e":
+                return False
+            w = w[:pos] + "ir"
+        return True
+
+    def verb_suffix() -> bool:
+        nonlocal w
+        best = None
+        for s in _PT_VERB:
+            if w.endswith(s) and len(w) - len(s) >= rv and \
+                    (best is None or len(s) > len(best)):
+                best = s
+        if best:
+            w = w[: -len(best)]
+            return True
+        return False
+
+    altered = standard_suffix() or verb_suffix()
+    if altered:
+        # final i preceded by c, in RV
+        if w.endswith("ci") and len(w) - 1 >= rv:
+            w = w[:-1]
+    else:
+        # residual suffix
+        best = None
+        for s in _PT_RESIDUAL:
+            if w.endswith(s) and len(w) - len(s) >= rv and \
+                    (best is None or len(s) > len(best)):
+                best = s
+        if best:
+            w = w[: -len(best)]
+
+    # residual form: e/é/ê in RV (then gu->g / ci->c u-i trim in RV),
+    # or ç -> c
+    if w[-1:] in ("e", "é", "ê"):
+        if len(w) - 1 >= rv:
+            w = w[:-1]
+            if (w.endswith("gu") or w.endswith("ci")) and \
+                    len(w) - 1 >= rv:
+                w = w[:-1]
+    elif w.endswith("ç"):
+        w = w[:-1] + "c"
+
+    return w.replace("a~", "ã").replace("o~", "õ")
