@@ -283,10 +283,12 @@ def snowball_stem(algorithm: str):
         return spanish_stem
     if key in ("portuguese", "pt"):
         return portuguese_stem
+    if key in ("italian", "it"):
+        return italian_stem
     raise ValueError(
         f"unknown Snowball stemming algorithm: {algorithm!r} "
         "(supported: english, german, russian, swedish, danish, "
-        "norwegian, spanish, portuguese)"
+        "norwegian, spanish, portuguese, italian)"
     )
 
 
@@ -822,3 +824,191 @@ def portuguese_stem(word: str) -> str:
         w = w[:-1] + "c"
 
     return w.replace("a~", "ã").replace("o~", "õ")
+
+
+# --------------------------------------------------------------------------
+# Italian (Snowball italian)
+# --------------------------------------------------------------------------
+
+_IT_VOWELS = set("aeiouàèìòù")
+_IT_PRON = (
+    "gliela", "gliele", "glieli", "glielo", "gliene", "cela", "cele",
+    "celi", "celo", "cene", "mela", "mele", "meli", "melo", "mene",
+    "sene", "tela", "tele", "teli", "telo", "tene", "vela", "vele",
+    "veli", "velo", "vene", "gli", "la", "le", "ne", "ci", "li",
+    "mi", "si", "ti", "vi", "lo",
+)
+_IT_A6 = (
+    ("ica", 1), ("logia", 3), ("osa", 1), ("ista", 1), ("iva", 9),
+    ("anza", 1), ("enza", 5), ("ice", 1), ("atrice", 1), ("iche", 1),
+    ("logie", 3), ("abile", 1), ("ibile", 1), ("usione", 4),
+    ("azione", 2), ("uzione", 4), ("atore", 2), ("ose", 1),
+    ("ante", 1), ("mente", 1), ("amente", 7), ("iste", 1),
+    ("ive", 9), ("anze", 1), ("enze", 5), ("ici", 1), ("atrici", 1),
+    ("ichi", 1), ("abili", 1), ("ibili", 1), ("ismi", 1),
+    ("usioni", 4), ("azioni", 2), ("uzioni", 4), ("atori", 2),
+    ("osi", 1), ("anti", 1), ("amenti", 6), ("imenti", 6),
+    ("isti", 1), ("ivi", 9), ("ico", 1), ("ismo", 1), ("oso", 1),
+    ("amento", 6), ("imento", 6), ("ivo", 9), ("ità", 8),
+    ("istà", 1), ("istè", 1), ("istì", 1),
+)
+_IT_VERB = (
+    "isca", "enda", "ata", "ita", "uta", "ava", "eva", "iva",
+    "erebbe", "irebbe", "isce", "ende", "are", "ere", "ire", "asse",
+    "ate", "avate", "evate", "ivate", "ete", "erete", "irete",
+    "ite", "ereste", "ireste", "ute", "erai", "irai", "isci",
+    "endi", "erei", "irei", "assi", "ati", "iti", "eresti",
+    "iresti", "uti", "avi", "evi", "ivi", "isco", "ando", "endo",
+    "Yamo", "iamo", "avamo", "evamo", "ivamo", "eremo", "iremo",
+    "assimo", "ammo", "emmo", "eremmo", "iremmo", "immo", "ano",
+    "iscano", "avano", "evano", "ivano", "eranno", "iranno", "ono",
+    "iscono", "arono", "erono", "irono", "erebbero", "irebbero",
+    "assero", "essero", "issero", "ato", "ito", "uto", "avo",
+    "evo", "ivo", "ar", "ir", "erà", "irà", "erò", "irò",
+)
+_IT_ACUTE = str.maketrans("áéíóú", "àèìòù")
+
+
+def italian_stem(word: str) -> str:
+    # prelude: acute -> grave, qu -> qU, u/i between vowels -> U/I
+    w = word.translate(_IT_ACUTE).replace("qu", "qU")
+    # sequential scan: a just-marked U/I is a consonant for the next
+    # pattern's left-vowel test (Snowball goto-v cursor semantics)
+    out = list(w)
+    for i in range(1, len(w) - 1):
+        if w[i] in "ui" and out[i - 1] in _IT_VOWELS and \
+                w[i + 1] in _IT_VOWELS:
+            out[i] = w[i].upper()
+    w = "".join(out)
+    rv, r1, r2 = _it_regions(w)
+
+    # ---- attached pronoun
+    best = None
+    for s in _IT_PRON:
+        if w.endswith(s) and (best is None or len(s) > len(best)):
+            best = s
+    if best:
+        base = w[: -len(best)]
+        m = None
+        for pre, code in (("ando", 1), ("endo", 1), ("ar", 2),
+                          ("er", 2), ("ir", 2)):
+            if base.endswith(pre) and len(base) - len(pre) >= rv and \
+                    (m is None or len(pre) > len(m[0])):
+                m = (pre, code)
+        if m:
+            w = base if m[1] == 1 else base + "e"
+
+    # ---- standard suffix, else verb suffix
+    def standard_suffix() -> bool:
+        nonlocal w
+        best = None
+        code = 0
+        for s, c in _IT_A6:
+            if w.endswith(s) and (best is None or len(s) > len(best)):
+                best, code = s, c
+        if best is None:
+            return False
+        pos = len(w) - len(best)
+        if code == 1:
+            if pos < r2:
+                return False
+            w = w[:pos]
+        elif code == 2:  # azione/azioni/atore/atori (+ic)
+            if pos < r2:
+                return False
+            w = w[:pos]
+            if w.endswith("ic") and len(w) - 2 >= r2:
+                w = w[:-2]
+        elif code == 3:
+            if pos < r2:
+                return False
+            w = w[:pos] + "log"
+        elif code == 4:
+            if pos < r2:
+                return False
+            w = w[:pos] + "u"
+        elif code == 5:
+            if pos < r2:
+                return False
+            w = w[:pos] + "ente"
+        elif code == 6:  # amento/amenti/imento/imenti: RV
+            if pos < rv:
+                return False
+            w = w[:pos]
+        elif code == 7:  # amente: R1 (+ ic/abil/os/iv, iv+at)
+            if pos < r1:
+                return False
+            w = w[:pos]
+            best2 = None
+            for s in ("ic", "abil", "os", "iv"):
+                if w.endswith(s) and (best2 is None or
+                                      len(s) > len(best2)):
+                    best2 = s
+            if best2 and len(w) - len(best2) >= r2:
+                w = w[: -len(best2)]
+                if best2 == "iv" and w.endswith("at") and \
+                        len(w) - 2 >= r2:
+                    w = w[:-2]
+        elif code == 8:  # ità (+ ic/abil/iv)
+            if pos < r2:
+                return False
+            w = w[:pos]
+            best2 = None
+            for s in ("ic", "abil", "iv"):
+                if w.endswith(s) and (best2 is None or
+                                      len(s) > len(best2)):
+                    best2 = s
+            if best2 and len(w) - len(best2) >= r2:
+                w = w[: -len(best2)]
+        elif code == 9:  # iva/ive/ivi/ivo (+at, then +ic)
+            if pos < r2:
+                return False
+            w = w[:pos]
+            if w.endswith("at") and len(w) - 2 >= r2:
+                w = w[:-2]
+                if w.endswith("ic") and len(w) - 2 >= r2:
+                    w = w[:-2]
+        return True
+
+    if not standard_suffix():
+        best = None
+        for s in _IT_VERB:
+            if w.endswith(s) and len(w) - len(s) >= rv and \
+                    (best is None or len(s) > len(best)):
+                best = s
+        if best:
+            w = w[: -len(best)]
+
+    # ---- vowel suffix: final a/e/i/o/à/è/ì/ò in RV, then a further
+    # final i in RV; then ch/gh -> c/g (final h after c/g in RV)
+    if w[-1:] in "aeioàèìò" and len(w) - 1 >= rv:
+        w = w[:-1]
+        if w[-1:] == "i" and len(w) - 1 >= rv:
+            w = w[:-1]
+    # the consumed c/g must itself lie in RV (backwards-cursor test)
+    if w[-1:] == "h" and w[-2:-1] in ("c", "g") and len(w) - 2 >= rv:
+        w = w[:-1]
+
+    return w.replace("I", "i").replace("U", "u")
+
+
+def _it_regions(w: str) -> tuple[int, int, int]:
+    n = len(w)
+    if n < 3:
+        rv = n
+    elif w[1] not in _IT_VOWELS:
+        rv = n
+        for i in range(2, n):
+            if w[i] in _IT_VOWELS:
+                rv = i + 1
+                break
+    elif w[0] in _IT_VOWELS and w[1] in _IT_VOWELS:
+        rv = n
+        for i in range(2, n):
+            if w[i] not in _IT_VOWELS:
+                rv = i + 1
+                break
+    else:
+        rv = 3
+    r1, r2 = _regions(w, _IT_VOWELS)
+    return rv, r1, r2
