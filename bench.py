@@ -204,6 +204,28 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     entrymod.q_term_df_top20(sf_dir)
     timings["term_df_top20"] = round(time.time() - t0, 3)
 
+    # ---- 4. shard-partitioned serving (multi-range docs index) ---------
+    from ferret_ray.search.partitioned import PartitionedSearcherPool
+
+    part_dir = entrymod._partitioned_index_for(sf_dir)
+    pool = PartitionedSearcherPool(
+        part_dir, n_partitions=3, default_field="text"
+    )
+    pqueries = ["spark", "+table +hash", '"table hash"', "sca*",
+                "dup merge"] * 8
+    pool.search_batch(pqueries[:5], k=10)  # warm actors
+    part_sec = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        pdf = pool.search_batch(pqueries, k=10)
+        part_sec = min(part_sec, time.time() - t0)
+    dict_bytes = pool.dictionary_bytes()
+    pool.shutdown()
+    timings["partitioned_qps"] = round(len(pqueries) / part_sec, 1)
+    timings["partitioned_dict_max_over_total"] = round(
+        max(dict_bytes) / max(1, sum(dict_bytes)), 3
+    )
+
     return {
         "metric": "index_build_docs_per_sec",
         "value": round(docs_per_sec, 1),
