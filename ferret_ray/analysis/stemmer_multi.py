@@ -285,10 +285,12 @@ def snowball_stem(algorithm: str):
         return portuguese_stem
     if key in ("italian", "it"):
         return italian_stem
+    if key in ("dutch", "nl"):
+        return dutch_stem
     raise ValueError(
         f"unknown Snowball stemming algorithm: {algorithm!r} "
         "(supported: english, german, russian, swedish, danish, "
-        "norwegian, spanish, portuguese, italian)"
+        "norwegian, spanish, portuguese, italian, dutch)"
     )
 
 
@@ -1012,3 +1014,122 @@ def _it_regions(w: str) -> tuple[int, int, int]:
         rv = 3
     r1, r2 = _regions(w, _IT_VOWELS)
     return rv, r1, r2
+
+
+# --------------------------------------------------------------------------
+# Dutch (Snowball dutch)
+# --------------------------------------------------------------------------
+
+_NL_VOWELS = set("aeiouyè")
+_NL_UMLAUT = str.maketrans("äëïöüáéíóú", "aeiouaeiou")
+
+
+def _nl_prelude(word: str) -> str:
+    w = word.translate(_NL_UMLAUT)
+    out = list(w)
+    n = len(w)
+    for i in range(n):
+        c = out[i]
+        if c == "y" and (i == 0 or out[i - 1] in _NL_VOWELS):
+            out[i] = "Y"
+        elif c == "i" and 0 < i < n - 1 and out[i - 1] in _NL_VOWELS \
+                and w[i + 1] in _NL_VOWELS:
+            out[i] = "I"
+    return "".join(out)
+
+
+def _nl_undouble(w: str) -> str:
+    if w[-2:] in ("kk", "dd", "tt"):
+        return w[:-1]
+    return w
+
+
+def dutch_stem(word: str) -> str:
+    w = _nl_prelude(word)
+    r1, r2 = _regions(w, _NL_VOWELS)
+    # this libstemmer snapshot clamps the Dutch R1 at BYTE offset 3
+    # (literal `I[0] = 3`, unlike the skip_utf8 char hop every other
+    # language uses) — find the first char position at >= 3 bytes
+    b = 0
+    for i, ch in enumerate(w):
+        if b >= 3:
+            clamp = i
+            break
+        b += len(ch.encode())
+    else:
+        clamp = len(w) if b < 3 else len(w)
+    if r1 < clamp:
+        r1 = clamp
+
+    e_removed = False
+
+    # ---- step 1
+    if w.endswith("heden"):
+        if len(w) - 5 >= r1:
+            w = w[:-5] + "heid"
+    elif w.endswith("ene") or w.endswith("en"):
+        ln = 3 if w.endswith("ene") else 2
+        pos = len(w) - ln
+        # valid en-ending: a non-vowel, and not the 'gem' exception
+        if pos >= r1 and pos >= 1 and w[pos - 1] not in _NL_VOWELS \
+                and w[max(0, pos - 3): pos] != "gem":
+            w = _nl_undouble(w[:pos])
+    elif w.endswith("se") or w.endswith("s"):
+        ln = 2 if w.endswith("se") else 1
+        pos = len(w) - ln
+        if pos >= r1 and pos >= 1 and w[pos - 1] not in _NL_VOWELS \
+                and w[pos - 1] != "j":
+            w = w[:pos]
+
+    # ---- step 2: final e after a non-vowel, in R1; undouble
+    if w.endswith("e") and len(w) - 1 >= r1 and len(w) >= 2 and \
+            w[-2] not in _NL_VOWELS:
+        w = _nl_undouble(w[:-1])
+        e_removed = True
+
+    # ---- step 3a: heid (not preceded by c), then en-treatment
+    if w.endswith("heid") and len(w) - 4 >= r2 and \
+            (len(w) < 5 or w[-5] != "c"):
+        w = w[:-4]
+        if w.endswith("en"):
+            pos = len(w) - 2
+            if pos >= r1 and pos >= 1 and \
+                    w[pos - 1] not in _NL_VOWELS and \
+                    w[max(0, pos - 3): pos] != "gem":
+                w = _nl_undouble(w[:pos])
+
+    # ---- step 3b: d-suffixes
+    if w.endswith("end") or w.endswith("ing"):
+        if len(w) - 3 >= r2:
+            w = w[:-3]
+            if w.endswith("ig") and len(w) - 2 >= r2 and \
+                    (len(w) < 3 or w[-3] != "e"):
+                w = w[:-2]
+            else:
+                w = _nl_undouble(w)
+    elif w.endswith("ig"):
+        if len(w) - 2 >= r2 and (len(w) < 3 or w[-3] != "e"):
+            w = w[:-2]
+    elif w.endswith("lijk"):
+        if len(w) - 4 >= r2:
+            w = w[:-4]
+            # repeat step 2
+            if w.endswith("e") and len(w) - 1 >= r1 and \
+                    len(w) >= 2 and w[-2] not in _NL_VOWELS:
+                w = _nl_undouble(w[:-1])
+    elif w.endswith("baar"):
+        if len(w) - 4 >= r2:
+            w = w[:-4]
+    elif w.endswith("bar"):
+        if len(w) - 3 >= r2 and e_removed:
+            w = w[:-3]
+
+    # ---- step 4: undouble vowel — C V V D with D a non-vowel != I
+    if len(w) >= 4:
+        c, v1, v2, d = w[-4], w[-3], w[-2], w[-1]
+        if c not in _NL_VOWELS and v1 == v2 and \
+                v1 in ("a", "e", "o", "u") and \
+                d not in _NL_VOWELS and d != "I":
+            w = w[:-2] + d
+
+    return w.replace("Y", "y").replace("I", "i")
