@@ -287,10 +287,12 @@ def snowball_stem(algorithm: str):
         return italian_stem
     if key in ("dutch", "nl"):
         return dutch_stem
+    if key == "porter":
+        return porter_stem
     raise ValueError(
         f"unknown Snowball stemming algorithm: {algorithm!r} "
         "(supported: english, german, russian, swedish, danish, "
-        "norwegian, spanish, portuguese, italian, dutch)"
+        "norwegian, spanish, portuguese, italian, dutch, porter)"
     )
 
 
@@ -1133,3 +1135,147 @@ def dutch_stem(word: str) -> str:
             w = w[:-2] + d
 
     return w.replace("Y", "y").replace("I", "i")
+
+
+# --------------------------------------------------------------------------
+# Porter (the classic Porter algorithm, Snowball "porter" variant with
+# Y-marking of consonant y)
+# --------------------------------------------------------------------------
+
+def _po_is_vowel(w: str, i: int) -> bool:
+    c = w[i]
+    if c in "aeiou":
+        return True
+    # Snowball porter marks initial y and y-after-vowel as consonant Y;
+    # so y is a vowel only when non-initial and after a consonant
+    if c == "y":
+        return i > 0 and not _po_is_vowel(w, i - 1)
+    return False
+
+
+def _po_measure(w: str, upto: int) -> int:
+    """Number of VC sequences in w[:upto] (the Porter m)."""
+    m = 0
+    prev_v = False
+    for i in range(upto):
+        v = _po_is_vowel(w, i)
+        if prev_v and not v:
+            m += 1
+        prev_v = v
+    return m
+
+
+def _po_has_vowel(w: str, upto: int) -> bool:
+    return any(_po_is_vowel(w, i) for i in range(upto))
+
+
+def _po_cvc(w: str, upto: int) -> bool:
+    """*o: stem ends cvc where the last c is not w, x or y."""
+    if upto < 3:
+        return False
+    return (
+        not _po_is_vowel(w, upto - 3)
+        and _po_is_vowel(w, upto - 2)
+        and not _po_is_vowel(w, upto - 1)
+        and w[upto - 1] not in "wxy"
+    )
+
+
+def _po_double_cons(w: str, upto: int) -> bool:
+    return (
+        upto >= 2 and w[upto - 1] == w[upto - 2]
+        and not _po_is_vowel(w, upto - 1)
+    )
+
+
+_PO_STEP2 = (
+    ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+    ("anci", "ance"), ("izer", "ize"), ("abli", "able"),
+    ("alli", "al"), ("entli", "ent"), ("eli", "e"),
+    ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+    ("ator", "ate"), ("alism", "al"), ("iveness", "ive"),
+    ("fulness", "ful"), ("ousness", "ous"), ("aliti", "al"),
+    ("iviti", "ive"), ("biliti", "ble"),
+)
+_PO_STEP3 = (
+    ("icate", "ic"), ("ative", ""), ("alize", "al"),
+    ("iciti", "ic"), ("ical", "ic"), ("ful", ""), ("ness", ""),
+)
+_PO_STEP4 = (
+    "al", "ance", "ence", "er", "ic", "able", "ible", "ant",
+    "ement", "ment", "ent", "ou", "ism", "ate", "iti", "ous",
+    "ive", "ize",
+)
+
+
+def porter_stem(word: str) -> str:
+    w = word
+
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("s") and not w.endswith("ss"):
+        w = w[:-1]
+
+    # step 1b
+    if w.endswith("eed"):
+        if _po_measure(w, len(w) - 3) > 0:
+            w = w[:-1]
+    else:
+        hit = None
+        for suf in ("ed", "ing"):
+            if w.endswith(suf) and _po_has_vowel(w, len(w) - len(suf)):
+                hit = suf
+                break
+        if hit:
+            w = w[: -len(hit)]
+            if w.endswith(("at", "bl", "iz")):
+                w += "e"
+            elif _po_double_cons(w, len(w)) and w[-1] in "bdfgmnprt":
+                # snowball porter undoubles only these letters
+                w = w[:-1]
+            elif _po_measure(w, len(w)) == 1 and _po_cvc(w, len(w)):
+                w += "e"
+
+    # step 1c: y -> i when the stem has a vowel
+    if w.endswith("y") and _po_has_vowel(w, len(w) - 1):
+        w = w[:-1] + "i"
+
+    # step 2
+    for suf, rep in _PO_STEP2:
+        if w.endswith(suf):
+            if _po_measure(w, len(w) - len(suf)) > 0:
+                w = w[: -len(suf)] + rep
+            break
+
+    # step 3
+    for suf, rep in _PO_STEP3:
+        if w.endswith(suf):
+            if _po_measure(w, len(w) - len(suf)) > 0:
+                w = w[: -len(suf)] + rep
+            break
+
+    # step 4 ("ion" additionally needs a preceding s or t)
+    for suf in sorted(_PO_STEP4, key=len, reverse=True):
+        if w.endswith(suf):
+            if _po_measure(w, len(w) - len(suf)) > 1:
+                w = w[: -len(suf)]
+            break
+    else:
+        if w.endswith("ion") and len(w) >= 4 and w[-4] in "st" and \
+                _po_measure(w, len(w) - 3) > 1:
+            w = w[:-3]
+
+    # step 5a
+    if w.endswith("e"):
+        m = _po_measure(w, len(w) - 1)
+        if m > 1 or (m == 1 and not _po_cvc(w, len(w) - 1)):
+            w = w[:-1]
+
+    # step 5b
+    if w.endswith("ll") and _po_measure(w, len(w)) > 1:
+        w = w[:-1]
+
+    return w
