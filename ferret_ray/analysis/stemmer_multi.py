@@ -289,10 +289,13 @@ def snowball_stem(algorithm: str):
         return dutch_stem
     if key == "porter":
         return porter_stem
+    if key in ("french", "fr"):
+        return french_stem
     raise ValueError(
         f"unknown Snowball stemming algorithm: {algorithm!r} "
         "(supported: english, german, russian, swedish, danish, "
-        "norwegian, spanish, portuguese, italian, dutch, porter)"
+        "norwegian, spanish, portuguese, italian, dutch, porter, "
+        "french)"
     )
 
 
@@ -1279,3 +1282,310 @@ def porter_stem(word: str) -> str:
         w = w[:-1]
 
     return w
+
+
+# --------------------------------------------------------------------------
+# French (Snowball french)
+# --------------------------------------------------------------------------
+
+_FR_VOWELS = set("aeiouyàâèéêëîïôùû")
+_FR_KEEP_S = set("aiosuè")
+
+_FR_A4 = (
+    ("iqUe", 1), ("atrice", 2), ("ance", 1), ("ence", 5),
+    ("logie", 3), ("able", 1), ("isme", 1), ("euse", 11),
+    ("iste", 1), ("ive", 8), ("if", 8), ("usion", 4), ("ation", 2),
+    ("ution", 4), ("ateur", 2), ("iqUes", 1), ("atrices", 2),
+    ("ances", 1), ("ences", 5), ("logies", 3), ("ables", 1),
+    ("ismes", 1), ("euses", 11), ("istes", 1), ("ives", 8),
+    ("ifs", 8), ("usions", 4), ("ations", 2), ("utions", 4),
+    ("ateurs", 2), ("ments", 15), ("ements", 6), ("issements", 12),
+    ("ités", 7), ("ment", 15), ("ement", 6), ("issement", 12),
+    ("amment", 13), ("emment", 14), ("aux", 10), ("eaux", 9),
+    ("eux", 1), ("ité", 7),
+)
+_FR_IVERB = (
+    "issaIent", "issantes", "iraIent", "issante", "issants",
+    "issions", "irions", "issais", "issait", "issant", "issent",
+    "issiez", "issons", "irais", "irait", "irent", "iriez",
+    "irons", "iront", "isses", "issez", "îmes", "îtes", "irai",
+    "iras", "irez", "isse", "ira", "ies", "ir", "is", "it", "ie",
+    "i", "ît", "irais"[:0] or "irais",
+)
+_FR_VERB2 = (
+    "eraIent", "erions", "erais", "erait", "eriez", "erons",
+    "eront", "erai", "eras", "erez", "èrent", "era", "ées", "iez",
+    "ée", "és", "er", "ez", "é",
+)
+_FR_VERB3 = (
+    "assions", "assiez", "assent", "asses", "antes", "aIent",
+    "asse", "ante", "ants", "âmes", "âtes", "ais", "ait", "ant",
+    "as", "ai", "ât", "a",
+)
+
+
+def _fr_prelude(word: str) -> str:
+    out = list(word)
+    n = len(out)
+    i = 0
+    while i < n:
+        c = out[i]
+        replaced = False
+        if c in _FR_VOWELS and i + 1 < n:
+            nxt = out[i + 1]
+            if nxt == "u" and i + 2 < n and out[i + 2] in _FR_VOWELS:
+                out[i + 1] = "U"
+                replaced = True
+            elif nxt == "i" and i + 2 < n and \
+                    out[i + 2] in _FR_VOWELS:
+                out[i + 1] = "I"
+                replaced = True
+            elif nxt == "y":
+                out[i + 1] = "Y"
+                replaced = True
+        if not replaced and out[i] == "y" and i + 1 < n and \
+                out[i + 1] in _FR_VOWELS:
+            out[i] = "Y"
+        elif not replaced and out[i] == "q" and i + 1 < n and \
+                out[i + 1] == "u":
+            out[i + 1] = "U"
+        i += 1
+    return "".join(out)
+
+
+def _fr_regions(w: str) -> tuple[int, int, int]:
+    n = len(w)
+    rv = n
+    if n >= 2 and w[0] in _FR_VOWELS and w[1] in _FR_VOWELS:
+        rv = min(3, n)
+    elif w[:3] in ("col", "par", "tap"):
+        rv = 3
+    else:
+        for i in range(1, n):
+            if w[i] in _FR_VOWELS:
+                rv = i + 1
+                break
+    r1, r2 = _regions(w, _FR_VOWELS)
+    return rv, r1, r2
+
+
+def french_stem(word: str) -> str:
+    w = _fr_prelude(word)
+    rv, r1, r2 = _fr_regions(w)
+
+    def std() -> bool:
+        """standard_suffix: True = success; None = matched-but-fail
+        (amment/emment/ment rewrites that continue to the verb steps);
+        False = no match."""
+        nonlocal w
+        best, code = None, 0
+        for s, c in _FR_A4:
+            if w.endswith(s) and (best is None or len(s) > len(best)):
+                best, code = s, c
+        if best is None:
+            return False
+        pos = len(w) - len(best)
+        if code == 1:
+            if pos < r2:
+                return False
+            w = w[:pos]
+        elif code == 2:
+            if pos < r2:
+                return False
+            w = w[:pos]
+            if w.endswith("ic"):
+                if len(w) - 2 >= r2:
+                    w = w[:-2]
+                else:
+                    w = w[:-2] + "iqU"
+        elif code == 3:
+            if pos < r2:
+                return False
+            w = w[:pos] + "log"
+        elif code == 4:
+            if pos < r2:
+                return False
+            w = w[:pos] + "u"
+        elif code == 5:
+            if pos < r2:
+                return False
+            w = w[:pos] + "ent"
+        elif code == 6:   # ement(s): RV, then the a_2 sub-suffixes
+            if pos < rv:
+                return False
+            w = w[:pos]
+            for s2, c2 in (("iqU", 3), ("abl", 3), ("Ièr", 4),
+                           ("ièr", 4), ("eus", 2), ("iv", 1)):
+                if not w.endswith(s2):
+                    continue
+                p2 = len(w) - len(s2)
+                if c2 == 1 and p2 >= r2:
+                    w = w[:p2]
+                    if w.endswith("at") and len(w) - 2 >= r2:
+                        w = w[:-2]
+                elif c2 == 2:
+                    if p2 >= r2:
+                        w = w[:p2]
+                    elif p2 >= r1:
+                        w = w[:p2] + "eux"
+                elif c2 == 3 and p2 >= r2:
+                    w = w[:p2]
+                elif c2 == 4 and p2 >= rv:
+                    w = w[:p2] + "i"
+                break
+        elif code == 7:   # ité(s): + abil/ic/iv
+            if pos < r2:
+                return False
+            w = w[:pos]
+            for s2 in ("abil", "ic", "iv"):
+                if not w.endswith(s2):
+                    continue
+                p2 = len(w) - len(s2)
+                if s2 == "abil":
+                    w = w[:p2] if p2 >= r2 else w[:p2] + "abl"
+                elif s2 == "ic":
+                    w = w[:p2] if p2 >= r2 else w[:p2] + "iqU"
+                elif p2 >= r2:
+                    w = w[:p2]
+                break
+        elif code == 8:   # if/ive(s): + at (+ ic)
+            if pos < r2:
+                return False
+            w = w[:pos]
+            if w.endswith("at") and len(w) - 2 >= r2:
+                w = w[:-2]
+                if w.endswith("ic"):
+                    if len(w) - 2 >= r2:
+                        w = w[:-2]
+                    else:
+                        w = w[:-2] + "iqU"
+        elif code == 9:   # eaux -> eau
+            w = w[:pos] + "eau"
+        elif code == 10:  # aux -> al (R1)
+            if pos < r1:
+                return False
+            w = w[:pos] + "al"
+        elif code == 11:  # euse(s): R2 del or R1 -> eux
+            if pos >= r2:
+                w = w[:pos]
+            elif pos >= r1:
+                w = w[:pos] + "eux"
+            else:
+                return False
+        elif code == 12:  # issement(s): R1 + preceded by non-vowel
+            if pos < r1 or pos < 1 or w[pos - 1] in _FR_VOWELS:
+                return False
+            w = w[:pos]
+        elif code == 13:  # amment -> ant (RV), then treat as verb
+            if pos < rv:
+                return False
+            w = w[:pos] + "ant"
+            return None
+        elif code == 14:  # emment -> ent (RV), then treat as verb
+            if pos < rv:
+                return False
+            w = w[:pos] + "ent"
+            return None
+        elif code == 15:  # ment(s) preceded by a vowel in RV
+            if pos < 1 or w[pos - 1] not in _FR_VOWELS or \
+                    pos - 1 < rv:
+                return False
+            w = w[:pos]
+            return None
+        return True
+
+    def i_verb() -> bool:
+        nonlocal w
+        best = None
+        for s in _FR_IVERB:
+            if w.endswith(s) and len(w) - len(s) >= rv and \
+                    (best is None or len(s) > len(best)):
+                best = s
+        if best:
+            p = len(w) - len(best)
+            if p - 1 >= rv and w[p - 1] not in _FR_VOWELS:
+                w = w[:p]
+                return True
+        return False
+
+    def verb() -> bool:
+        nonlocal w
+        best, code = None, 0
+        if w.endswith("ions") and len(w) - 4 >= rv:
+            best, code = "ions", 1
+        for s in _FR_VERB2:
+            if w.endswith(s) and len(w) - len(s) >= rv and \
+                    (best is None or len(s) > len(best)):
+                best, code = s, 2
+        for s in _FR_VERB3:
+            if w.endswith(s) and len(w) - len(s) >= rv and \
+                    (best is None or len(s) > len(best)):
+                best, code = s, 3
+        if best is None:
+            return False
+        pos = len(w) - len(best)
+        if code == 1:
+            if pos < r2:
+                return False
+            w = w[:pos]
+        elif code == 2:
+            w = w[:pos]
+        else:
+            w = w[:pos]
+            if w.endswith("e") and len(w) - 1 >= rv:
+                w = w[:-1]
+        return True
+
+    res = std()
+    altered = res is True
+    if res is False:
+        altered = i_verb() or verb()
+    if altered or res is None:
+        if res is None:
+            # amment/emment/ment rewrites continue into the verb steps
+            altered = i_verb() or verb() or True
+        # post step: Y -> i, ç -> c
+        if w.endswith("Y"):
+            w = w[:-1] + "i"
+        elif w.endswith("ç"):
+            w = w[:-1] + "c"
+    else:
+        # residual suffix
+        if w.endswith("s") and len(w) >= 2 and \
+                w[-2] not in _FR_KEEP_S:
+            w = w[:-1]
+        best, code = None, 0
+        for s, c in (("Ière", 2), ("ière", 2), ("ion", 1), ("Ier", 2),
+                     ("ier", 2), ("e", 3), ("ë", 4)):
+            if w.endswith(s) and len(w) - len(s) >= rv and \
+                    (best is None or len(s) > len(best)):
+                best, code = s, c
+        if best is not None:
+            pos = len(w) - len(best)
+            if code == 1:
+                if pos >= r2 and pos >= 1 and w[pos - 1] in "st" and \
+                        pos - 1 >= rv:
+                    w = w[:pos]
+            elif code == 2:
+                w = w[:pos] + "i"
+            elif code == 3:
+                w = w[:pos]
+            elif code == 4 and w.endswith("guë") and pos - 2 >= rv:
+                w = w[:pos]
+
+    # un_double: after ell/eill/enn/onn/ett drop the last letter
+    for d in ("eill", "ell", "enn", "onn", "ett"):
+        if w.endswith(d):
+            w = w[:-1]
+            break
+
+    # un_accent: é/è followed by >=1 trailing non-vowels -> e
+    i = len(w) - 1
+    ncons = 0
+    while i >= 0 and w[i] not in _FR_VOWELS:
+        ncons += 1
+        i -= 1
+    if ncons >= 1 and i >= 0 and w[i] in ("é", "è"):
+        w = w[:i] + "e" + w[i + 1:]
+
+    return w.replace("I", "i").replace("U", "u").replace("Y", "y")
