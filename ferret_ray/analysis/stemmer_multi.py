@@ -291,11 +291,13 @@ def snowball_stem(algorithm: str):
         return porter_stem
     if key in ("french", "fr"):
         return french_stem
+    if key in ("finnish", "fi"):
+        return finnish_stem
     raise ValueError(
         f"unknown Snowball stemming algorithm: {algorithm!r} "
         "(supported: english, german, russian, swedish, danish, "
         "norwegian, spanish, portuguese, italian, dutch, porter, "
-        "french)"
+        "french, finnish)"
     )
 
 
@@ -1589,3 +1591,191 @@ def french_stem(word: str) -> str:
         w = w[:i] + "e" + w[i + 1:]
 
     return w.replace("I", "i").replace("U", "u").replace("Y", "y")
+
+
+# --------------------------------------------------------------------------
+# Finnish (Snowball finnish)
+# --------------------------------------------------------------------------
+
+_FI_V1 = set("aeiouyäö")
+_FI_V2 = set("aeiouäö")
+_FI_AEI = set("aeiä")
+_FI_PARTICLE_END = set("aeinotuyäö")
+_FI_LONG = ("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+_FI_CASE_PLAIN = (
+    "seen", "tten", "siin", "lla", "ssa", "lta", "sta", "lle",
+    "ine", "ksi", "den", "llä", "ssä", "ltä", "stä", "na", "ta",
+    "nä", "tä",
+)
+_FI_CASE_H = (("han", "a"), ("hen", "e"), ("hin", "i"), ("hon", "o"),
+              ("hän", "ä"), ("hön", "ö"))
+
+
+def finnish_stem(word: str) -> str:
+    w = word
+    r1, r2 = _regions(w, _FI_V1)
+    ending_removed = False
+
+    # ---- particle etc (within R1)
+    best, code = None, 0
+    for s, c in (("kaan", 1), ("kään", 1), ("sti", 2), ("han", 1),
+                 ("kin", 1), ("hän", 1), ("pa", 1), ("ko", 1),
+                 ("pä", 1), ("kö", 1)):
+        if w.endswith(s) and len(w) - len(s) >= r1 and \
+                (best is None or len(s) > len(best)):
+            best, code = s, c
+    if best:
+        pos = len(w) - len(best)
+        if code == 1:
+            # condition chars are tested UNLIMITED: the setlimit in the
+            # reference covers only the among match itself
+            if pos >= 1 and w[pos - 1] in _FI_PARTICLE_END:
+                w = w[:pos]
+        elif pos >= r2:
+            w = w[:pos]
+
+    # ---- possessive (within R1)
+    best, code = None, 0
+    for s, c in (("nsa", 3), ("mme", 3), ("nne", 3), ("nsä", 3),
+                 ("ni", 2), ("si", 1), ("an", 4), ("en", 6),
+                 ("än", 5)):
+        if w.endswith(s) and len(w) - len(s) >= r1 and \
+                (best is None or len(s) > len(best)):
+            best, code = s, c
+    if best:
+        pos = len(w) - len(best)
+        if code == 1:
+            if not (pos >= 1 and w[pos - 1] == "k"):
+                w = w[:pos]
+        elif code == 2:
+            w = w[:pos]
+            if w.endswith("kse"):
+                w = w[:-3] + "ksi"
+        elif code == 3:
+            w = w[:pos]
+        elif code == 4:
+            if any(w[:pos].endswith(p) for p in
+                   ("lla", "na", "ssa", "ta", "lta", "sta")):
+                w = w[:pos]
+        elif code == 5:
+            if any(w[:pos].endswith(p) for p in
+                   ("llä", "nä", "ssä", "tä", "ltä", "stä")):
+                w = w[:pos]
+        elif code == 6:
+            if w[:pos].endswith(("lle", "ine")):
+                w = w[:pos]
+
+    # ---- case ending (suffix must FIT inside R1; among semantics:
+    # longest fitting row wins, rows with a condition function (den/
+    # seen/tten/siin) fall back to their parent row 'n' when the
+    # condition fails, while switch-checked rows (vowel harmony, tta,
+    # a/ä) fail the whole step)
+    rows = [
+        ("seen", "n", "LONG"), ("tten", "n", "VI"),
+        ("siin", "n", "VI"), ("den", "n", "VI"),
+        ("han", 1, None), ("hen", 2, None), ("hin", 3, None),
+        ("hon", 4, None), ("hän", 5, None), ("hön", 6, None),
+        ("lla", "plain", None), ("ssa", "plain", None),
+        ("lta", "plain", None), ("sta", "plain", None),
+        ("lle", "plain", None), ("ine", "plain", None),
+        ("ksi", "plain", None), ("llä", "plain", None),
+        ("ssä", "plain", None), ("ltä", "plain", None),
+        ("stä", "plain", None), ("tta", 9, None), ("ttä", 9, None),
+        ("na", "plain", None), ("ta", "plain", None),
+        ("nä", "plain", None), ("tä", "plain", None),
+        ("n", 7, None), ("a", 8, None), ("ä", 8, None),
+    ]
+    best = None
+    for s, code, cond in rows:
+        if w.endswith(s) and len(w) - len(s) >= r1 and \
+                (best is None or len(s) > len(best[0])):
+            best = (s, code, cond)
+    if best:
+        s, code, cond = best
+        pos = len(w) - len(s)
+        head = w[:pos]
+        if cond == "VI" and not (
+            head.endswith("i") and len(head) >= 2
+            and head[-2] in _FI_V2
+        ):
+            s, code, cond = "n", 7, None
+            pos = len(w) - 1
+            head = w[:pos]
+        elif cond == "LONG" and head[-2:] not in _FI_LONG:
+            s, code, cond = "n", 7, None
+            pos = len(w) - 1
+            head = w[:pos]
+        ok = False
+        extra = 0
+        if code == "plain" or cond in ("VI", "LONG"):
+            ok = True
+        elif code in (1, 2, 3, 4, 5, 6):
+            pre = "aeioäö"[code - 1]
+            ok = pos >= 1 and w[pos - 1] == pre
+        elif code == 9:
+            ok = pos >= 1 and w[pos - 1] == "e"
+        elif code == 8:
+            ok = (pos >= 2 and w[pos - 1] in _FI_V1
+                  and w[pos - 2] not in _FI_V1)
+        elif code == 7:
+            ok = True
+        if ok and code == 7:
+            # n: if preceded by LONG or 'ie', delete one more char
+            if head[-2:] in _FI_LONG or head.endswith("ie"):
+                extra = 1
+        if ok:
+            w = w[: pos - extra]
+            ending_removed = True
+
+    # ---- other endings (within R2)
+    best, code = None, 0
+    for s, c in (("imma", -1), ("impa", -1), ("immi", -1),
+                 ("impi", -1), ("immä", -1), ("impä", -1),
+                 ("eja", -1), ("ejä", -1), ("mma", 1), ("mpa", 1),
+                 ("mmi", 1), ("mpi", 1), ("mmä", 1), ("mpä", 1)):
+        if w.endswith(s) and len(w) - len(s) >= r2 and \
+                (best is None or len(s) > len(best)):
+            best, code = s, c
+    if best:
+        pos = len(w) - len(best)
+        if code == 1:
+            if not w[:pos].endswith("po"):
+                w = w[:pos]
+        else:
+            w = w[:pos]
+
+    # ---- i/t plural
+    if ending_removed:
+        if w[-1:] in ("i", "j") and len(w) - 1 >= r1:
+            w = w[:-1]
+    else:
+        # the V1 test before t is INSIDE the limit here (t_plural keeps
+        # its setlimit across the test), so the vowel must sit >= r1
+        if w.endswith("t") and len(w) - 2 >= r1 and \
+                w[-2] in _FI_V1:
+            w = w[:-1]
+            # then mma/imma within R2 (not preceded by po for mma)
+            if w.endswith("imma") and len(w) - 4 >= r2:
+                w = w[:-4]
+            elif w.endswith("mma") and len(w) - 3 >= r2 and \
+                    not w[:-3].endswith("po"):
+                w = w[:-3]
+
+    # ---- tidy (within R1: both chars of each bigram test must sit
+    # inside the limited region)
+    if w[-2:] in _FI_LONG and len(w) - 2 >= r1:
+        w = w[:-1]
+    if w[-1:] in _FI_AEI and len(w) - 2 >= r1 and \
+            w[-2] not in _FI_V1:
+        w = w[:-1]
+    if w.endswith(("oj", "uj")) and len(w) - 2 >= r1:
+        w = w[:-1]
+    if w.endswith("jo") and len(w) - 2 >= r1:
+        w = w[:-1]
+    # undouble: a double consonant before the trailing vowels loses one
+    i = len(w) - 1
+    while i >= 0 and w[i] in _FI_V1:
+        i -= 1
+    if i >= 1 and w[i] not in _FI_V1 and w[i - 1] == w[i]:
+        w = w[:i] + w[i + 1:]
+    return w
