@@ -293,11 +293,13 @@ def snowball_stem(algorithm: str):
         return french_stem
     if key in ("finnish", "fi"):
         return finnish_stem
+    if key in ("hungarian", "hu"):
+        return hungarian_stem
     raise ValueError(
         f"unknown Snowball stemming algorithm: {algorithm!r} "
         "(supported: english, german, russian, swedish, danish, "
         "norwegian, spanish, portuguese, italian, dutch, porter, "
-        "french, finnish)"
+        "french, finnish, hungarian)"
     )
 
 
@@ -1778,4 +1780,172 @@ def finnish_stem(word: str) -> str:
         i -= 1
     if i >= 1 and w[i] not in _FI_V1 and w[i - 1] == w[i]:
         w = w[:i] + w[i + 1:]
+    return w
+
+
+# --------------------------------------------------------------------------
+# Hungarian (Snowball hungarian — this snapshot spells õ/û for ő/ű)
+# --------------------------------------------------------------------------
+
+_HU_V = set("aeiouáéíóõöúûü")
+_HU_DIGRAPHS = ("dzs", "cs", "gy", "ly", "ny", "sz", "ty", "zs")
+_HU_DOUBLES = (
+    "ccs", "ggy", "lly", "nny", "ssz", "tty", "zzs", "bb", "cc",
+    "dd", "ff", "gg", "jj", "kk", "ll", "mm", "nn", "pp", "rr",
+    "ss", "tt", "vv", "zz",
+)
+_HU_CASE = (
+    "anként", "enként", "onként", "képpen", "ként", "képp", "ban",
+    "ben", "nak", "nek", "val", "vel", "nál", "nél", "ból", "ról",
+    "tól", "bõl", "rõl", "tõl", "hez", "hoz", "höz", "ért", "kor",
+    "ba", "ra", "be", "re", "ig", "ul", "ül", "an", "en", "on",
+    "ön", "at", "et", "ot", "öt", "vá", "vé", "n", "t",
+)
+_HU_OWNED = (
+    ("áéi", "a"), ("ééi", "e"), ("éi", ""), ("aké", ""),
+    ("eké", ""), ("oké", ""), ("áké", "a"), ("éké", "e"),
+    ("öké", ""), ("éé", "e"), ("ké", ""), ("é", ""),
+)
+_HU_SING = (
+    ("ájuk", "a"), ("éjük", "e"), ("unk", ""), ("ánk", "a"),
+    ("énk", "e"), ("ünk", ""), ("juk", ""), ("jük", ""),
+    ("ja", ""), ("je", ""), ("ad", ""), ("ed", ""), ("od", ""),
+    ("ád", "a"), ("éd", "e"), ("öd", ""), ("nk", ""), ("uk", ""),
+    ("ük", ""), ("am", ""), ("em", ""), ("om", ""), ("ám", "a"),
+    ("ém", "e"), ("a", ""), ("d", ""), ("e", ""), ("m", ""),
+    ("o", ""), ("á", "a"), ("é", "e"),
+)
+_HU_PLUR = (
+    ("jaitok", ""), ("jeitek", ""), ("áitok", "a"), ("éitek", "e"),
+    ("jaink", ""), ("jeink", ""), ("aitok", ""), ("eitek", ""),
+    ("jaid", ""), ("jeid", ""), ("jaim", ""), ("jeim", ""),
+    ("jai", ""), ("jei", ""), ("jaik", ""), ("jeik", ""),
+    ("aink", ""), ("eink", ""), ("áink", "a"), ("éink", "e"),
+    ("itek", ""), ("aid", ""), ("eid", ""), ("áid", "a"),
+    ("éid", "e"), ("aik", ""), ("eik", ""), ("áik", "a"),
+    ("éik", "e"), ("aim", ""), ("eim", ""), ("áim", "a"),
+    ("éim", "e"), ("ink", ""), ("ai", ""), ("ei", ""),
+    ("ái", "a"), ("éi", "e"), ("id", ""), ("ik", ""), ("im", ""),
+    ("i", ""),
+)
+_HU_PLURAL = (
+    ("ák", "a"), ("ék", "e"), ("ök", ""), ("ak", ""), ("ek", ""),
+    ("ok", ""), ("k", ""),
+)
+
+
+def _hu_r1(w: str) -> int:
+    n = len(w)
+    if n and w[0] in _HU_V:
+        # after the first consonant (or consonant digraph)
+        i = 1
+        while i < n and w[i] in _HU_V:
+            i += 1
+        if i >= n:
+            return n
+        for d in _HU_DIGRAPHS:
+            if w.startswith(d, i):
+                return i + len(d)
+        return i + 1
+    # starts with a consonant: after the first vowel
+    for i in range(n):
+        if w[i] in _HU_V:
+            return i + 1
+    return n
+
+
+def hungarian_stem(word: str) -> str:
+    w = word
+    r1 = _hu_r1(w)
+
+    def v_ending() -> None:
+        nonlocal w
+        if w[-1:] == "á" and len(w) - 1 >= r1:
+            w = w[:-1] + "a"
+        elif w[-1:] == "é" and len(w) - 1 >= r1:
+            w = w[:-1] + "e"
+
+    def ends_double(s: str) -> str | None:
+        for d in _HU_DOUBLES:
+            if s.endswith(d):
+                return d
+        return None
+
+    def undouble() -> None:
+        # delete the second-to-last character
+        nonlocal w
+        if len(w) >= 2:
+            w = w[:-2] + w[-1]
+
+    # instrum: al/el in R1, preceded by a double; delete + undouble
+    # (no limit on the match: the longest matching row is chosen, then
+    # the R1/double checks hard-fail the step)
+    for suf in ("al", "el"):
+        if w.endswith(suf):
+            if len(w) - 2 >= r1 and ends_double(w[:-2]):
+                w = w[:-2]
+                undouble()
+            break
+
+    # case: longest a_4 suffix; R1 hard check -> delete, then v_ending
+    best = None
+    for s in _HU_CASE:
+        if w.endswith(s) and (best is None or len(s) > len(best)):
+            best = s
+    if best and len(w) - len(best) >= r1:
+        w = w[: -len(best)]
+        v_ending()
+
+    # case_special: án/én/ánként -> a/e/a in R1
+    for s, rep in (("ánként", "a"), ("án", "a"), ("én", "e")):
+        if w.endswith(s):
+            if len(w) - len(s) >= r1:
+                w = w[: -len(s)] + rep
+            break
+
+    # case_other: stul/stül/astul/estül del; ástul->a éstül->e (R1)
+    for s, rep in (("astul", ""), ("estül", ""), ("ástul", "a"),
+                   ("éstül", "e"), ("stul", ""), ("stül", "")):
+        if w.endswith(s):
+            if len(w) - len(s) >= r1:
+                w = w[: -len(s)] + rep
+            break
+
+    # factive: á/é in R1, preceded by a double; delete + undouble
+    if w[-1:] in ("á", "é") and len(w) - 1 >= r1 and \
+            ends_double(w[:-1]):
+        w = w[:-1]
+        undouble()
+
+    # owned
+    best = None
+    for s, rep in _HU_OWNED:
+        if w.endswith(s) and (best is None or len(s) > len(best[0])):
+            best = (s, rep)
+    if best and len(w) - len(best[0]) >= r1:
+        w = w[: -len(best[0])] + best[1]
+
+    # sing_owner
+    best = None
+    for s, rep in _HU_SING:
+        if w.endswith(s) and (best is None or len(s) > len(best[0])):
+            best = (s, rep)
+    if best and len(w) - len(best[0]) >= r1:
+        w = w[: -len(best[0])] + best[1]
+
+    # plur_owner
+    best = None
+    for s, rep in _HU_PLUR:
+        if w.endswith(s) and (best is None or len(s) > len(best[0])):
+            best = (s, rep)
+    if best and len(w) - len(best[0]) >= r1:
+        w = w[: -len(best[0])] + best[1]
+
+    # plural
+    best = None
+    for s, rep in _HU_PLURAL:
+        if w.endswith(s) and (best is None or len(s) > len(best[0])):
+            best = (s, rep)
+    if best and len(w) - len(best[0]) >= r1:
+        w = w[: -len(best[0])] + best[1]
     return w
