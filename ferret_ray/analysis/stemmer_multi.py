@@ -295,11 +295,13 @@ def snowball_stem(algorithm: str):
         return finnish_stem
     if key in ("hungarian", "hu"):
         return hungarian_stem
+    if key in ("romanian", "ro"):
+        return romanian_stem
     raise ValueError(
         f"unknown Snowball stemming algorithm: {algorithm!r} "
         "(supported: english, german, russian, swedish, danish, "
         "norwegian, spanish, portuguese, italian, dutch, porter, "
-        "french, finnish, hungarian)"
+        "french, finnish, hungarian, romanian)"
     )
 
 
@@ -1949,3 +1951,180 @@ def hungarian_stem(word: str) -> str:
     if best and len(w) - len(best[0]) >= r1:
         w = w[: -len(best[0])] + best[1]
     return w
+
+
+# --------------------------------------------------------------------------
+# Romanian (Snowball romanian — this snapshot spells ţ with cedilla)
+# --------------------------------------------------------------------------
+
+_RO_VOWELS = set("aeiouâîă")
+_RO_STEP0 = (
+    ("iilor", "i"), ("ilor", "i"), ("elor", "e"), ("ului", ""),
+    ("iile", "i"), ("aţia", "aţi"), ("aţie", "aţi"), ("atei", "at"),
+    ("aua", "a"), ("iua", "i"), ("iei", "i"), ("ele", "e"),
+    ("ile", "i"), ("ii", "i"), ("ul", ""), ("ea", "e"),
+)
+_RO_COMBO = (
+    ("abilitate", "abil"), ("abilitati", "abil"),
+    ("abilităi", "abil"), ("abilităţi", "abil"),
+    ("ibilitate", "ibil"),
+    ("ivitate", "iv"), ("ivitati", "iv"), ("ivităi", "iv"),
+    ("ivităţi", "iv"),
+    ("icitate", "ic"), ("icitati", "ic"), ("icităi", "ic"),
+    ("icităţi", "ic"), ("icatori", "ic"), ("icator", "ic"),
+    ("icala", "ic"), ("icale", "ic"), ("icali", "ic"),
+    ("icală", "ic"), ("iciva", "ic"), ("icive", "ic"),
+    ("icivi", "ic"), ("icivă", "ic"), ("ical", "ic"), ("iciv", "ic"),
+    ("aţiune", "at"), ("atoare", "at"), ("ătoare", "at"),
+    ("ativa", "at"), ("ative", "at"), ("ativi", "at"),
+    ("ativă", "at"), ("atori", "at"), ("ători", "at"),
+    ("ativ", "at"), ("ator", "at"), ("ător", "at"),
+    ("iţiune", "it"), ("itoare", "it"), ("itiva", "it"),
+    ("itive", "it"), ("itivi", "it"), ("itivă", "it"),
+    ("itori", "it"), ("itiv", "it"), ("itor", "it"),
+)
+_RO_STD_DEL = (
+    "itate", "itati", "ităţi", "abila", "abile", "abili", "abilă",
+    "ibila", "ibile", "ibili", "ibilă", "atori", "ităi", "abil",
+    "ibil", "oasa", "oasă", "oase", "anta", "ante", "anti", "antă",
+    "ator", "ica", "ice", "ici", "ică", "ata", "ată", "ati", "ate",
+    "uta", "ută", "uti", "ute", "ita", "ită", "iti", "ite", "iva",
+    "ive", "ivi", "ivă", "osi", "oşi", "ant", "ic", "at", "ut",
+    "it", "os", "iv",
+)
+_RO_STD_IST = ("işti", "ista", "iste", "isti", "istă", "isme",
+               "iuni", "ism", "ist", "iune")
+_RO_VERB_COND = (
+    # case-1 rows of a_4: delete when preceded (within RV) by a
+    # non-vowel or u
+    "aserăţi", "iserăţi", "userăţi", "âserăţi", "arăţi", "irăţi",
+    "urăţi", "ârăţi", "aserăm", "iserăm", "userăm", "âserăm",
+    "arăm", "irăm", "urăm", "ârăm", "aseră", "iseră", "useră",
+    "âseră", "ară", "iră", "ură", "âră", "aseşi", "iseşi",
+    "useşi", "âseşi", "ească", "eaţi", "iaţi", "eşte", "ăşte",
+    "eşti", "ăşti", "indu", "ându", "ind", "ând", "are", "ere",
+    "ire", "âre", "ase", "ise", "use", "âse", "eze", "ezi",
+    "eai", "iai", "aşi", "işi", "uşi", "âşi", "eam", "iam",
+    "asem", "isem", "usem", "âsem", "eau", "iau", "esc", "ăsc",
+    "ează", "ea", "ia", "ai", "ui", "âi", "am", "au", "ez",
+)
+_RO_VERB_PLAIN = (
+    # case-2 rows: plain delete within RV
+    "seserăţi", "serăţi", "seserăm", "serăm", "seseşi", "seşi",
+    "seseră", "seră", "sesem", "sese", "sei", "se", "aţi", "eţi",
+    "iţi", "âţi", "em", "im", "ăm", "âm",
+)
+
+
+def _ro_prelude(word: str) -> str:
+    out = list(word)
+    n = len(out)
+    for i in range(1, n - 1):
+        if out[i] in "ui" and out[i - 1] in _RO_VOWELS and \
+                word[i + 1] in _RO_VOWELS:
+            out[i] = out[i].upper()
+    return "".join(out)
+
+
+def romanian_stem(word: str) -> str:
+    w = _ro_prelude(word)
+    n = len(w)
+    if n < 3:
+        rv = n
+    elif w[1] not in _RO_VOWELS:
+        rv = n
+        for i in range(2, n):
+            if w[i] in _RO_VOWELS:
+                rv = i + 1
+                break
+    elif w[0] in _RO_VOWELS and w[1] in _RO_VOWELS:
+        rv = n
+        for i in range(2, n):
+            if w[i] not in _RO_VOWELS:
+                rv = i + 1
+                break
+    else:
+        rv = 3
+    r1, r2 = _regions(w, _RO_VOWELS)
+
+    def longest(pairs):
+        best = None
+        for item in pairs:
+            s = item[0] if isinstance(item, tuple) else item
+            if w.endswith(s) and (best is None or
+                                  len(s) > len(best[0])):
+                best = (s, item[1] if isinstance(item, tuple) else None)
+        return best
+
+    # ---- step 0 (R1)
+    b = longest(_RO_STEP0)
+    if b and len(w) - len(b[0]) >= r1:
+        s, rep = b
+        if s == "ile" and w[: -3].endswith("ab"):
+            pass  # 'ile' unless preceded by ab
+        else:
+            w = w[: -len(s)] + rep
+
+    # ---- standard suffix: repeat combo, then a_3 in R2
+    removed = False
+    while True:
+        b = longest(_RO_COMBO)
+        if b and len(w) - len(b[0]) >= r1:
+            w = w[: -len(b[0])] + b[1]
+            removed = True
+            continue
+        break
+    cands = []
+    bd = longest([(s, None) for s in _RO_STD_DEL])
+    if bd:
+        cands.append((len(bd[0]), bd[0], "del"))
+    bi = longest([(s, None) for s in _RO_STD_IST])
+    if bi:
+        cands.append((len(bi[0]), bi[0], "ist"))
+    if w.endswith("iune") or w.endswith("iuni"):
+        cands.append((4, w[-4:], "iune"))
+    if cands:
+        _, s, kind = max(cands)
+        pos = len(w) - len(s)
+        if pos >= r2:
+            if kind == "del":
+                w = w[:pos]
+                removed = True
+            elif kind == "ist":
+                w = w[:pos] + "ist"
+                removed = True
+            elif kind == "iune" and pos >= 1 and w[pos - 1] == "ţ":
+                w = w[: pos - 1] + "t"
+                removed = True
+
+    # ---- verb suffix (within RV) when no standard suffix was removed
+    if not removed:
+        best, kind = None, None
+        for s in _RO_VERB_COND:
+            if w.endswith(s) and len(w) - len(s) >= rv and \
+                    (best is None or len(s) > len(best)):
+                best, kind = s, "cond"
+        for s in _RO_VERB_PLAIN:
+            if w.endswith(s) and len(w) - len(s) >= rv and \
+                    (best is None or len(s) > len(best)):
+                best, kind = s, "plain"
+        if best:
+            pos = len(w) - len(best)
+            if kind == "plain":
+                w = w[:pos]
+            else:
+                # preceded (within RV) by a non-vowel or by u
+                if pos - 1 >= rv and (w[pos - 1] not in _RO_VOWELS
+                                      or w[pos - 1] == "u"):
+                    w = w[:pos]
+
+    # ---- vowel suffix: longest MATCH of a/e/i/ă/ie, then a hard RV
+    # check (no setlimit here — a too-early 'ie' blocks the step)
+    b = None
+    for s in ("ie", "a", "e", "i", "ă"):
+        if w.endswith(s) and (b is None or len(s) > len(b)):
+            b = s
+    if b and len(w) - len(b) >= rv:
+        w = w[: -len(b)]
+
+    return w.replace("I", "i").replace("U", "u")
