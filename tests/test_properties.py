@@ -134,10 +134,18 @@ def test_clean_str_balances(raw):
 
     depth, min_depth, quote_parity = _balance(cleaned)
     if depth != 0 or quote_parity != 0:
-        # only acceptable cause: an appended closer was escaped by a
-        # trailing backslash in the original (reference behavior,
-        # q_parser.y:1299-1304 appends closers blindly)
-        assert _ends_escaped(cleaned) or "\\)" in cleaned, cleaned
+        # acceptable causes, both faithful reference quirks:
+        # - an appended closer was escaped by a trailing backslash in
+        #   the original (q_parser.y:1299-1304 appends closers blindly)
+        # - a '\\' inside quotes collapses to one '\' (q_parser.y:1233-1239
+        #   emits the escaped char bare when quote_open), which then
+        #   escapes the very next '"' in the OUTPUT — e.g. '"\\\\":' ->
+        #   '"\\":' — flipping quote parity as seen by a parser walk.
+        #   qp_clean_str tracks quote state on the RAW input, so it never
+        #   notices and appends no fix-up quote.
+        assert (
+            _ends_escaped(cleaned) or "\\)" in cleaned or '\\"' in cleaned
+        ), cleaned
         return
     assert min_depth >= 0
 
