@@ -297,11 +297,13 @@ def snowball_stem(algorithm: str):
         return hungarian_stem
     if key in ("romanian", "ro"):
         return romanian_stem
+    if key in ("turkish", "tr"):
+        return turkish_stem
     raise ValueError(
         f"unknown Snowball stemming algorithm: {algorithm!r} "
         "(supported: english, german, russian, swedish, danish, "
         "norwegian, spanish, portuguese, italian, dutch, porter, "
-        "french, finnish, hungarian, romanian)"
+        "french, finnish, hungarian, romanian, turkish)"
     )
 
 
@@ -2128,3 +2130,673 @@ def romanian_stem(word: str) -> str:
         w = w[: -len(b)]
 
     return w.replace("I", "i").replace("U", "u")
+
+
+# --------------------------------------------------------------------------
+# Turkish (Snowball turkish, Evren Kapusuz Cilden's algorithm)
+#
+# Suffix-stripping over nominal verb suffixes then noun suffixes, gated
+# by vowel harmony, with optional buffer consonants (y/n/s) and optional
+# U vowels, a recursive suffix chain behind "ki", and a post-process
+# that appends a harmony U to stems ending d/g and devoices the final
+# consonant (b->p c->c, d->t g<breve>->k).  Reference behavior:
+# c/lib/libstemmer_c/src_c/stem_UTF_8_turkish.c (validated byte-exact
+# on 145k golden words in tests/goldens_stems_turkish.tsv).
+#
+# Snowball backwards-mode cursor semantics: positions are saved as
+# distance-from-end, which stays valid across suffix-side deletions
+# (so a "restore" after a committed slice is a cursor no-op and the
+# deletion sticks, exactly like the generated C).
+# --------------------------------------------------------------------------
+
+_TR_VOWELS = set("aeıioöuü")
+_TR_U = set("ıiuü")
+# vowel harmony: suffix vowel -> compatible earlier vowels
+_TR_HARMONY = {
+    "a": set("aıou"), "e": set("eiöü"), "ı": set("aı"), "i": set("ei"),
+    "o": set("ou"), "ö": set("öü"), "u": set("ou"), "ü": set("öü"),
+}
+
+
+class _TrCursor:
+    __slots__ = ("w", "c")
+
+    def __init__(self, w: str):
+        self.w = w
+        self.c = len(w)
+
+    def dist(self) -> int:
+        return len(self.w) - self.c
+
+    def restore(self, d: int) -> None:
+        self.c = len(self.w) - d
+
+    def ends(self, s: str) -> bool:
+        if self.w[: self.c].endswith(s):
+            self.c -= len(s)
+            return True
+        return False
+
+    def among(self, sufs: tuple) -> bool:
+        # find_among_b: longest match wins (sufs pre-sorted long-first)
+        for s in sufs:
+            if self.ends(s):
+                return True
+        return False
+
+    def goto_vowel(self, group: set) -> bool:
+        # backwards `goto G`: skip left over chars not in G; stop with
+        # the G char adjacent (unconsumed); fail at the limit
+        i = self.c
+        w = self.w
+        while i > 0 and w[i - 1] not in group:
+            i -= 1
+        if i == 0:
+            return False
+        self.c = i
+        return True
+
+    def delete_to(self, ket_dist: int) -> None:
+        ket = len(self.w) - ket_dist
+        self.w = self.w[: self.c] + self.w[ket:]
+
+
+def _tr_first(t: _TrCursor, *marks) -> bool:
+    d = t.dist()
+    for m in marks:
+        t.restore(d)
+        if m(t):
+            return True
+    t.restore(d)
+    return False
+
+
+def _tr_harmony(t: _TrCursor) -> bool:
+    # check_vowel_harmony: test-only (cursor restored)
+    d = t.dist()
+    ok = False
+    if t.goto_vowel(_TR_VOWELS):
+        pair = _TR_HARMONY.get(t.w[t.c - 1])
+        if pair is not None:
+            t.c -= 1
+            ok = t.goto_vowel(pair)
+    t.restore(d)
+    return ok
+
+
+def _tr_opt_cons(t: _TrCursor, ch: str) -> bool:
+    # mark_suffix_with_optional_{n,s,y}_consonant: if the next char is
+    # ch, consume it and require a vowel before; else require (without
+    # consuming) that the char before the next one is a vowel
+    w, c = t.w, t.c
+    if c > 0 and w[c - 1] == ch:
+        if c > 1 and w[c - 2] in _TR_VOWELS:
+            t.c -= 1
+            return True
+        return False
+    return c > 1 and w[c - 2] in _TR_VOWELS
+
+
+def _tr_opt_U(t: _TrCursor) -> bool:
+    # mark_suffix_with_optional_U_vowel: mirror image with U vowels and
+    # a required NON-vowel one further in
+    w, c = t.w, t.c
+    if c > 0 and w[c - 1] in _TR_U:
+        if c > 1 and w[c - 2] not in _TR_VOWELS:
+            t.c -= 1
+            return True
+        return False
+    return c > 1 and w[c - 2] not in _TR_VOWELS
+
+
+_TR_POSS = ("miz", "niz", "muz", "nuz", "mız", "nız", "müz", "nüz", "m", "n")
+_TR_YDU = (
+    "dık", "dik", "duk", "dük", "tık", "tik", "tuk", "tük",
+    "dım", "dim", "dum", "düm", "tım", "tim", "tum", "tüm",
+    "dın", "din", "dun", "dün", "tın", "tin", "tun", "tün",
+    "dı", "di", "du", "dü", "tı", "ti", "tu", "tü",
+)
+_TR_YSA = ("sak", "sek", "sam", "sem", "san", "sen", "sa", "se")
+
+
+def _tr_mk_possessives(t):
+    d = t.dist()
+    if t.among(_TR_POSS) and _tr_opt_U(t):
+        return True
+    t.restore(d)
+    return False
+
+
+def _tr_mk_sU(t):
+    d = t.dist()
+    if _tr_harmony(t) and t.c > 0 and t.w[t.c - 1] in _TR_U:
+        t.c -= 1
+        if _tr_opt_cons(t, "s"):
+            return True
+    t.restore(d)
+    return False
+
+
+def _tr_mk_lArI(t):
+    return t.among(("ları", "leri"))
+
+
+def _tr_mk_yU(t):
+    d = t.dist()
+    if _tr_harmony(t) and t.c > 0 and t.w[t.c - 1] in _TR_U:
+        t.c -= 1
+        if _tr_opt_cons(t, "y"):
+            return True
+    t.restore(d)
+    return False
+
+
+def _tr_mk_nU(t):
+    return _tr_harmony(t) and t.among(("nı", "ni", "nu", "nü"))
+
+
+def _tr_mk_nUn(t):
+    d = t.dist()
+    if (_tr_harmony(t) and t.among(("ın", "in", "un", "ün"))
+            and _tr_opt_cons(t, "n")):
+        return True
+    t.restore(d)
+    return False
+
+
+def _tr_mk_yA(t):
+    d = t.dist()
+    if _tr_harmony(t) and t.among(("a", "e")) and _tr_opt_cons(t, "y"):
+        return True
+    t.restore(d)
+    return False
+
+
+def _tr_mk_nA(t):
+    return _tr_harmony(t) and t.among(("na", "ne"))
+
+
+def _tr_mk_DA(t):
+    return _tr_harmony(t) and t.among(("da", "de", "ta", "te"))
+
+
+def _tr_mk_ndA(t):
+    return _tr_harmony(t) and t.among(("nda", "nde"))
+
+
+def _tr_mk_DAn(t):
+    return _tr_harmony(t) and t.among(("dan", "den", "tan", "ten"))
+
+
+def _tr_mk_ndAn(t):
+    return _tr_harmony(t) and t.among(("ndan", "nden"))
+
+
+def _tr_mk_ylA(t):
+    d = t.dist()
+    if _tr_harmony(t) and t.among(("la", "le")) and _tr_opt_cons(t, "y"):
+        return True
+    t.restore(d)
+    return False
+
+
+def _tr_mk_ki(t):
+    return t.ends("ki")
+
+
+def _tr_mk_ncA(t):
+    d = t.dist()
+    if _tr_harmony(t) and t.among(("ca", "ce")) and _tr_opt_cons(t, "n"):
+        return True
+    t.restore(d)
+    return False
+
+
+def _tr_mk_yUm(t):
+    d = t.dist()
+    if (_tr_harmony(t) and t.among(("ım", "im", "um", "üm"))
+            and _tr_opt_cons(t, "y")):
+        return True
+    t.restore(d)
+    return False
+
+
+def _tr_mk_sUn(t):
+    return _tr_harmony(t) and t.among(("sın", "sin", "sun", "sün"))
+
+
+def _tr_mk_yUz(t):
+    d = t.dist()
+    if (_tr_harmony(t) and t.among(("ız", "iz", "uz", "üz"))
+            and _tr_opt_cons(t, "y")):
+        return True
+    t.restore(d)
+    return False
+
+
+def _tr_mk_sUnUz(t):
+    return t.among(("sınız", "siniz", "sunuz", "sünüz"))
+
+
+def _tr_mk_lAr(t):
+    return _tr_harmony(t) and t.among(("lar", "ler"))
+
+
+def _tr_mk_nUz(t):
+    return _tr_harmony(t) and t.among(("nız", "niz", "nuz", "nüz"))
+
+
+def _tr_mk_DUr(t):
+    return _tr_harmony(t) and t.among(
+        ("dır", "dir", "dur", "dür", "tır", "tir", "tur", "tür"))
+
+
+def _tr_mk_cAsInA(t):
+    return t.among(("casına", "cesine"))
+
+
+def _tr_mk_yDU(t):
+    d = t.dist()
+    if _tr_harmony(t) and t.among(_TR_YDU) and _tr_opt_cons(t, "y"):
+        return True
+    t.restore(d)
+    return False
+
+
+def _tr_mk_ysA(t):
+    # NOTE: no harmony check (faithful to the reference)
+    d = t.dist()
+    if t.among(_TR_YSA) and _tr_opt_cons(t, "y"):
+        return True
+    t.restore(d)
+    return False
+
+
+def _tr_mk_ymUs(t):
+    d = t.dist()
+    if (_tr_harmony(t) and t.among(("mış", "miş", "muş", "müş"))
+            and _tr_opt_cons(t, "y")):
+        return True
+    t.restore(d)
+    return False
+
+
+def _tr_mk_yken(t):
+    d = t.dist()
+    if t.ends("ken") and _tr_opt_cons(t, "y"):
+        return True
+    t.restore(d)
+    return False
+
+
+def _tr_nominal_verb(t: _TrCursor, flags: list) -> None:
+    ket = t.dist()
+    flags[0] = True
+    d = t.dist()
+    matched = False
+    # (ymUs | yDU | ysA | yken)
+    if _tr_first(t, _tr_mk_ymUs, _tr_mk_yDU, _tr_mk_ysA, _tr_mk_yken):
+        matched = True
+    if not matched:
+        t.restore(d)
+        # cAsInA (person-suffix)? ymUs
+        if _tr_mk_cAsInA(t):
+            _tr_first(t, _tr_mk_sUnUz, _tr_mk_lAr, _tr_mk_yUm, _tr_mk_sUn,
+                      _tr_mk_yUz)
+            if _tr_mk_ymUs(t):
+                matched = True
+    if not matched:
+        t.restore(d)
+        # lAr, delete, try(DUr|yDU|ysA|ymUs), stop noun stemming
+        if _tr_mk_lAr(t):
+            t.delete_to(ket)
+            ket = t.dist()
+            dd = t.dist()
+            if not _tr_first(t, _tr_mk_DUr, _tr_mk_yDU, _tr_mk_ysA,
+                             _tr_mk_ymUs):
+                t.restore(dd)
+            flags[0] = False
+            matched = True
+    if not matched:
+        t.restore(d)
+        # nUz (yDU | ysA)
+        if _tr_mk_nUz(t) and _tr_first(t, _tr_mk_yDU, _tr_mk_ysA):
+            matched = True
+    if not matched:
+        t.restore(d)
+        # (sUnUz|yUz|sUn|yUm), delete, try(ymUs)
+        if _tr_first(t, _tr_mk_sUnUz, _tr_mk_yUz, _tr_mk_sUn, _tr_mk_yUm):
+            t.delete_to(ket)
+            ket = t.dist()
+            dd = t.dist()
+            if not _tr_mk_ymUs(t):
+                t.restore(dd)
+            matched = True
+    if not matched:
+        t.restore(d)
+        # DUr, delete, try((person)? ymUs)
+        if _tr_mk_DUr(t):
+            t.delete_to(ket)
+            ket = t.dist()
+            dd = t.dist()
+            _tr_first(t, _tr_mk_sUnUz, _tr_mk_lAr, _tr_mk_yUm, _tr_mk_sUn,
+                      _tr_mk_yUz)
+            if not _tr_mk_ymUs(t):
+                t.restore(dd)
+            matched = True
+    if matched:
+        t.delete_to(ket)
+
+
+def _tr_chain_ki(t: _TrCursor) -> bool:
+    ket = t.dist()
+    if not _tr_mk_ki(t):
+        return False
+    d = t.dist()
+    # alt A: DA
+    if _tr_mk_DA(t):
+        t.delete_to(ket)
+        dd = t.dist()
+        ket2 = t.dist()
+        if _tr_mk_lAr(t):
+            t.delete_to(ket2)
+            dd2 = t.dist()
+            if not _tr_chain_ki(t):
+                t.restore(dd2)
+        else:
+            t.restore(dd)
+            if _tr_mk_possessives(t):
+                t.delete_to(ket2)
+                dd3 = t.dist()
+                ket3 = t.dist()
+                if _tr_mk_lAr(t):
+                    t.delete_to(ket3)
+                    if not _tr_chain_ki(t):
+                        t.restore(dd3)
+                else:
+                    t.restore(dd3)
+            else:
+                t.restore(dd)
+        return True
+    t.restore(d)
+    # alt B: nUn
+    if _tr_mk_nUn(t):
+        t.delete_to(ket)
+        dd = t.dist()
+        ket2 = t.dist()
+        if _tr_mk_lArI(t):
+            t.delete_to(ket2)
+        else:
+            t.restore(dd)
+            if _tr_first(t, _tr_mk_possessives, _tr_mk_sU):
+                t.delete_to(ket2)
+                dd2 = t.dist()
+                ket3 = t.dist()
+                if _tr_mk_lAr(t):
+                    t.delete_to(ket3)
+                    if not _tr_chain_ki(t):
+                        t.restore(dd2)
+                else:
+                    t.restore(dd2)
+            else:
+                t.restore(dd)
+                if not _tr_chain_ki(t):
+                    t.restore(dd)
+        return True
+    t.restore(d)
+    # alt C: ndA (required)
+    if _tr_mk_ndA(t):
+        dd = t.dist()
+        if _tr_mk_lArI(t):
+            t.delete_to(ket)
+            return True
+        t.restore(dd)
+        if _tr_mk_sU(t):
+            t.delete_to(ket)
+            dd2 = t.dist()
+            ket2 = t.dist()
+            if _tr_mk_lAr(t):
+                t.delete_to(ket2)
+                if not _tr_chain_ki(t):
+                    t.restore(dd2)
+            else:
+                t.restore(dd2)
+            return True
+        t.restore(dd)
+        return _tr_chain_ki(t)
+    return False
+
+
+def _tr_noun_suffixes(t: _TrCursor) -> None:
+    d = t.dist()
+    ket = t.dist()
+    # 1: lAr, delete, try(chain)
+    if _tr_mk_lAr(t):
+        t.delete_to(ket)
+        dd = t.dist()
+        if not _tr_chain_ki(t):
+            t.restore(dd)
+        return
+    t.restore(d)
+    # 2: ncA, delete, try(lArI,del | (poss|sU),del,try(lAr,del,chain)
+    #                     | lAr,del,chain)
+    if _tr_mk_ncA(t):
+        t.delete_to(ket)
+        dd = t.dist()
+        ket2 = t.dist()
+        if _tr_mk_lArI(t):
+            t.delete_to(ket2)
+        else:
+            t.restore(dd)
+            if _tr_first(t, _tr_mk_possessives, _tr_mk_sU):
+                t.delete_to(ket2)
+                dd2 = t.dist()
+                ket3 = t.dist()
+                if _tr_mk_lAr(t):
+                    t.delete_to(ket3)
+                    if not _tr_chain_ki(t):
+                        t.restore(dd2)
+                else:
+                    t.restore(dd2)
+            else:
+                t.restore(dd)
+                if _tr_mk_lAr(t):
+                    t.delete_to(ket2)
+                    if not _tr_chain_ki(t):
+                        t.restore(dd)
+                else:
+                    t.restore(dd)
+        return
+    t.restore(d)
+    # 3: (ndA|nA) (lArI,del | sU,del,try(lAr,del,chain) | chain)
+    if _tr_first(t, _tr_mk_ndA, _tr_mk_nA):
+        dd = t.dist()
+        if _tr_mk_lArI(t):
+            t.delete_to(ket)
+            return
+        t.restore(dd)
+        if _tr_mk_sU(t):
+            t.delete_to(ket)
+            dd2 = t.dist()
+            ket2 = t.dist()
+            if _tr_mk_lAr(t):
+                t.delete_to(ket2)
+                if not _tr_chain_ki(t):
+                    t.restore(dd2)
+            else:
+                t.restore(dd2)
+            return
+        t.restore(dd)
+        if _tr_chain_ki(t):
+            return
+    t.restore(d)
+    # 4: (ndAn|nU) (sU,del,try(lAr,del,chain) | lArI (no delete —
+    #    faithful to the generated C, which returns without slicing))
+    if _tr_first(t, _tr_mk_ndAn, _tr_mk_nU):
+        dd = t.dist()
+        if _tr_mk_sU(t):
+            t.delete_to(ket)
+            dd2 = t.dist()
+            ket2 = t.dist()
+            if _tr_mk_lAr(t):
+                t.delete_to(ket2)
+                if not _tr_chain_ki(t):
+                    t.restore(dd2)
+            else:
+                t.restore(dd2)
+            return
+        t.restore(dd)
+        if _tr_mk_lArI(t):
+            return
+    t.restore(d)
+    # 5: DAn, delete, try(poss,del,try(lAr,del,chain)
+    #                     | lAr,del,try(chain) | chain)
+    if _tr_mk_DAn(t):
+        t.delete_to(ket)
+        dd = t.dist()
+        ket2 = t.dist()
+        if _tr_mk_possessives(t):
+            t.delete_to(ket2)
+            dd2 = t.dist()
+            ket3 = t.dist()
+            if _tr_mk_lAr(t):
+                t.delete_to(ket3)
+                if not _tr_chain_ki(t):
+                    t.restore(dd2)
+            else:
+                t.restore(dd2)
+        else:
+            t.restore(dd)
+            if _tr_mk_lAr(t):
+                t.delete_to(ket2)
+                dd3 = t.dist()
+                if not _tr_chain_ki(t):
+                    t.restore(dd3)
+            else:
+                t.restore(dd)
+                if not _tr_chain_ki(t):
+                    t.restore(dd)
+        return
+    t.restore(d)
+    # 6: (nUn|ylA), delete, try(lAr,del,chain(required)
+    #                          | (poss|sU),del,try(lAr,del,chain) | chain)
+    if _tr_first(t, _tr_mk_nUn, _tr_mk_ylA):
+        t.delete_to(ket)
+        dd = t.dist()
+        ok = False
+        ket2 = t.dist()
+        if _tr_mk_lAr(t):
+            t.delete_to(ket2)
+            if _tr_chain_ki(t):
+                ok = True
+        if not ok:
+            t.restore(dd)
+            ket3 = t.dist()
+            if _tr_first(t, _tr_mk_possessives, _tr_mk_sU):
+                t.delete_to(ket3)
+                dd2 = t.dist()
+                ket4 = t.dist()
+                if _tr_mk_lAr(t):
+                    t.delete_to(ket4)
+                    if not _tr_chain_ki(t):
+                        t.restore(dd2)
+                else:
+                    t.restore(dd2)
+                ok = True
+        if not ok:
+            t.restore(dd)
+            if not _tr_chain_ki(t):
+                t.restore(dd)
+        return
+    t.restore(d)
+    # 7: lArI, delete
+    if _tr_mk_lArI(t):
+        t.delete_to(ket)
+        return
+    t.restore(d)
+    # 8: the ki chain alone
+    if _tr_chain_ki(t):
+        return
+    t.restore(d)
+    # 9: (DA|yU|yA), delete, try(((poss,del,try(lAr)) | lAr), del,
+    #                            chain(else restore))
+    if _tr_first(t, _tr_mk_DA, _tr_mk_yU, _tr_mk_yA):
+        t.delete_to(ket)
+        dd = t.dist()
+        ket2 = t.dist()
+        matched = False
+        ket_fin = ket2
+        if _tr_mk_possessives(t):
+            t.delete_to(ket2)
+            dd2 = t.dist()
+            ket_fin = t.dist()
+            if not _tr_mk_lAr(t):
+                t.restore(dd2)
+            matched = True
+        else:
+            t.restore(dd)
+            if _tr_mk_lAr(t):
+                matched = True
+            else:
+                t.restore(dd)
+        if matched:
+            t.delete_to(ket_fin)
+            dd3 = t.dist()
+            if not _tr_chain_ki(t):
+                t.restore(dd3)
+        return
+    t.restore(d)
+    # 10: (poss|sU), delete, try(lAr,del,chain)
+    if _tr_first(t, _tr_mk_possessives, _tr_mk_sU):
+        t.delete_to(ket)
+        dd = t.dist()
+        ket2 = t.dist()
+        if _tr_mk_lAr(t):
+            t.delete_to(ket2)
+            if not _tr_chain_ki(t):
+                t.restore(dd)
+        else:
+            t.restore(dd)
+
+
+def turkish_stem(word: str) -> str:
+    if sum(ch in _TR_VOWELS for ch in word) < 2:
+        return word
+    t = _TrCursor(word)
+    flags = [True]
+    _tr_nominal_verb(t, flags)
+    if not flags[0]:
+        # a -lAr verb form was removed: skip noun suffixes AND postlude
+        return t.w
+    t.c = len(t.w)
+    _tr_noun_suffixes(t)
+    w = t.w
+    # is_reserved_word guard (the generated C's length==limit check
+    # reduces to these two exact words)
+    if w in ("ad", "soyad"):
+        return w
+    # append_U_to_stems_ending_with_d_or_g
+    if w and w[-1] in "dg":
+        for ch in reversed(w):
+            if ch in _TR_VOWELS:
+                if ch in "aı":
+                    w += "ı"
+                elif ch in "ei":
+                    w += "i"
+                elif ch in "ou":
+                    w += "u"
+                else:
+                    w += "ü"
+                break
+    # post_process_last_consonants
+    if w:
+        last = w[-1]
+        if last == "b":
+            w = w[:-1] + "p"
+        elif last == "c":
+            w = w[:-1] + "ç"
+        elif last == "d":
+            w = w[:-1] + "t"
+        elif last == "ğ":
+            w = w[:-1] + "k"
+    return w

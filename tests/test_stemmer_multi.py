@@ -25,7 +25,7 @@ def _check_goldens(lang, fn):
 @pytest.mark.parametrize(
     "lang", ["german", "russian", "swedish", "danish", "norwegian",
              "spanish", "portuguese", "italian", "dutch", "porter", "french",
-             "finnish", "hungarian", "romanian"]
+             "finnish", "hungarian", "romanian", "turkish"]
 )
 def test_snowball_goldens(lang):
     from ferret_ray.analysis.stemmer_multi import snowball_stem
