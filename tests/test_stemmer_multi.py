@@ -88,3 +88,27 @@ def test_analyzer_spec_round_trip(ray_session, tmp_path):
 
     with pytest.raises(ValueError):
         analyzer_for("stem:klingon")
+
+
+def test_stemmers_total_over_arbitrary_text():
+    """Every registered algorithm is total: arbitrary unicode input
+    (symbols, combining marks, empty, huge) returns a str, never
+    raises — analyzers feed stemmers whatever the tokenizer emits."""
+    from hypothesis import given, settings, strategies as st
+
+    from ferret_ray.analysis.stemmer_multi import snowball_stem
+
+    algos = ["english", "porter", "german", "russian", "swedish",
+             "danish", "norwegian", "spanish", "portuguese", "italian",
+             "dutch", "french", "finnish", "hungarian", "romanian",
+             "turkish"]
+    fns = [snowball_stem(a) for a in algos]
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=40))
+    def check(w):
+        for fn in fns:
+            out = fn(w)
+            assert isinstance(out, str)
+
+    check()
