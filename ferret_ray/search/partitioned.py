@@ -323,6 +323,22 @@ class PartitionedSearcherPool:
         from .fql import FQLParser
 
         self.n = n_partitions
+        # The pool is gang-scheduled: every query batch ray.get()s all N
+        # actors, so a reservation the cluster can't co-schedule hangs
+        # forever (seen: n_partitions=3 x 1 CPU in a 2-CPU session).
+        # Auto-fit the per-actor reservation, loudly.
+        total_cpu = float(ray.cluster_resources().get("CPU", 0) or 0)
+        if total_cpu and num_cpus * n_partitions > total_cpu:
+            import logging
+
+            fitted = max(0.05, round(total_cpu / (n_partitions + 1), 2))
+            logging.getLogger(__name__).warning(
+                "PartitionedSearcherPool: %d x num_cpus=%.2f exceeds the "
+                "cluster's %.0f CPUs and would never co-schedule; "
+                "lowering per-actor reservation to %.2f",
+                n_partitions, num_cpus, total_cpu, fitted,
+            )
+            num_cpus = fitted
         worker_cls = ray.remote(num_cpus=num_cpus)(PartitionWorker)
         self.workers = [
             worker_cls.remote(index_dir, i, n_partitions, similarity)

@@ -278,3 +278,23 @@ def test_dictionary_bytes_scale_inverse(multirange_index):
     total = b1[0]
     assert sum(b3) == total          # exact partition of the files
     assert max(b3) < 0.55 * total    # no actor holds most of the index
+
+
+def test_pool_autofits_oversubscribed_reservation(multirange_index):
+    """A gang reservation the cluster can't co-schedule must not hang
+    (the 2-CPU scaling level deadlocked on 3 x 1-CPU actors): the pool
+    lowers the per-actor num_cpus loudly and still answers queries."""
+    import ray
+
+    from ferret_ray.search.partitioned import PartitionedSearcherPool
+
+    total = float(ray.cluster_resources()["CPU"])
+    pool = PartitionedSearcherPool(
+        multirange_index, n_partitions=3, default_field="content",
+        num_cpus=total,  # 3 x total can never co-schedule unfitted
+    )
+    try:
+        df = pool.search_batch(["int"], k=5)
+        assert len(df) == 5
+    finally:
+        pool.shutdown()
