@@ -621,7 +621,11 @@ def _partitioned_index_for(sf_dir: str) -> str:
         },
         id_columns=("n_chars",),
         num_shards=4,
-        salt_doc_range=256,
+        # 64-doc bands: even the 500-row sf0.01 documents table splits
+        # into ~8 ownable ranges (sf0.1: ~79), so the bench's
+        # partitioned_dict_max_over_total reflects a real 1/N split at
+        # every scale factor (VERDICT r4 #1 acceptance metric)
+        salt_doc_range=64,
     )
     index_dir = os.path.join(
         "/tmp/ferret_ray_indexes",

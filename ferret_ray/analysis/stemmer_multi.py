@@ -2141,7 +2141,9 @@ def romanian_stem(word: str) -> str:
 # that appends a harmony U to stems ending d/g and devoices the final
 # consonant (b->p c->c, d->t g<breve>->k).  Reference behavior:
 # c/lib/libstemmer_c/src_c/stem_UTF_8_turkish.c (validated byte-exact
-# on 145k golden words in tests/goldens_stems_turkish.tsv).
+# on the ~4.5k committed goldens in tests/goldens_stems_turkish.tsv
+# plus ~140k ephemeral fuzz words checked against the compiled
+# reference during development).
 #
 # Snowball backwards-mode cursor semantics: positions are saved as
 # distance-from-end, which stays valid across suffix-side deletions

@@ -75,17 +75,25 @@ def build_index(
     fragments, input_fp = list_fragments(input_paths)
     if cfg.dynamic:
         cfg = cfg.with_discovered(_input_schemas(fragments))
-    if cfg.merge_buckets is None:
-        # deterministic (function of the input inventory), resolved
-        # BEFORE fingerprinting so the manifest records the integer
+    if cfg.merge_buckets is None or cfg.salt_doc_range is None:
+        # deterministic (functions of the input inventory), resolved
+        # BEFORE fingerprinting so the manifest records the integers
         from dataclasses import replace
 
-        from ..schema import auto_merge_buckets
+        from ..schema import auto_merge_buckets, auto_salt_doc_range
 
+        total_rows = sum(f["num_rows"] for f in fragments)
         cfg = replace(
             cfg,
-            merge_buckets=auto_merge_buckets(
-                sum(f["num_rows"] for f in fragments)
+            merge_buckets=(
+                cfg.merge_buckets
+                if cfg.merge_buckets is not None
+                else auto_merge_buckets(total_rows)
+            ),
+            salt_doc_range=(
+                cfg.salt_doc_range
+                if cfg.salt_doc_range is not None
+                else auto_salt_doc_range(total_rows)
             ),
         )
     cfg_fp = _config_fingerprint(cfg)
@@ -103,7 +111,7 @@ def build_index(
     # deterministic grouping (split at salt-range boundaries) => resumable
     # checkpoints + byte-identical outputs at any parallelism
     groups = _group_fragments(
-        fragments, cfg.fragments_per_task, cfg.salt_doc_range
+        fragments, cfg.fragments_per_task, cfg.resolved_salt_doc_range
     )
     frag_ds = ray.data.from_items(groups, override_num_blocks=len(groups))
     # invert_num_cpus reserves CPUs per task (cfg knob; >1 caps per-node
@@ -239,7 +247,11 @@ def _group_fragments(
 # from the wrong shard.
 # v3: field_mix XOR term-shard hash (was crc-init mixing).
 # v4: manifest records "format" for the read-time guard.
-INDEX_FORMAT_VERSION = 4
+# v5: salt by docid band inside invert (postings split at
+#     doc // salt_doc_range run boundaries, not at the fragment-group
+#     base) + salt_doc_range auto-fit default — 1/N range ownership no
+#     longer depends on the input's row-group layout.
+INDEX_FORMAT_VERSION = 5
 
 
 def _config_fingerprint(cfg: IndexConfig) -> str:

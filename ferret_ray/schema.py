@@ -70,7 +70,14 @@ class IndexConfig:
     # skew handling: a term whose df within one input fragment exceeds
     # hot_df_per_fragment gets salted sub-groups of salt_doc_range docs
     hot_df_per_fragment: int = 4096
-    salt_doc_range: int = 1 << 22
+    # doc-band size of the salted shuffle: postings are split at
+    # ``doc // salt_doc_range`` boundaries INSIDE invert (vectorized
+    # run-boundary mask), so 1/N range ownership in partitioned serving
+    # never depends on the input's file/row-group layout.  ``None``
+    # (default) auto-fits from the corpus size at build time
+    # (:func:`auto_salt_doc_range`, deterministic — the manifest records
+    # the resolved integer, like ``merge_buckets``).
+    salt_doc_range: int | None = None
     similarity: str = "default"  # "default" (Ferret TF-IDF) | "bm25"
     # map-side shuffle fan-out: invert tasks write one segment file per
     # bucket (= shard_salt % merge_buckets); the merge is one task per
@@ -118,6 +125,17 @@ class IndexConfig:
         if not overrides:
             return "zstd"
         return {c: overrides.get(c, "zstd") for c in column_names}
+
+    @property
+    def resolved_salt_doc_range(self) -> int:
+        """salt_doc_range with the ``None`` fallback for direct stage
+        use (tests driving invert/merge without the build pipeline); the
+        build pipeline resolves it from the input size first
+        (:func:`auto_salt_doc_range`) so a manifest always records the
+        integer."""
+        return (
+            1 << 22 if self.salt_doc_range is None else self.salt_doc_range
+        )
 
     @property
     def resolved_merge_buckets(self) -> int:
@@ -202,6 +220,22 @@ class IndexConfig:
                 )
             )
         return new
+
+
+def auto_salt_doc_range(num_docs: int) -> int:
+    """Doc-band size sized from the corpus: ~32 bands (power of two,
+    floor 2^11, cap 2^30) so partitioned serving always has real ranges
+    to own (N actors each take ~32/N bands) while a term's read-time
+    file fan-in (= num_docs / salt_doc_range range files) stays bounded
+    — 2^30 at 10^12 docs ≈ 1k range files per term, matching the sizing
+    note on :class:`IndexConfig`.  Deterministic function of the input
+    row count; resolved before fingerprinting so retries/resumes agree."""
+    import math
+
+    if num_docs <= 0:
+        return 1 << 11
+    target = max(1, num_docs // 32)
+    return 1 << min(30, max(11, math.ceil(math.log2(target))))
 
 
 def auto_merge_buckets(num_docs: int) -> int:

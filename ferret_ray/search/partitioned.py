@@ -326,12 +326,30 @@ class PartitionedSearcherPool:
         # The pool is gang-scheduled: every query batch ray.get()s all N
         # actors, so a reservation the cluster can't co-schedule hangs
         # forever (seen: n_partitions=3 x 1 CPU in a 2-CPU session).
-        # Auto-fit the per-actor reservation, loudly.
-        total_cpu = float(ray.cluster_resources().get("CPU", 0) or 0)
+        # Auto-fit the per-actor reservation, loudly.  Skipped when Ray
+        # isn't up yet — the first .remote() call auto-initializes it,
+        # and the fresh local session always fits the default 1.0.
+        total_cpu = (
+            float(ray.cluster_resources().get("CPU", 0) or 0)
+            if ray.is_initialized()
+            else 0.0
+        )
         if total_cpu and num_cpus * n_partitions > total_cpu:
             import logging
+            import math
 
-            fitted = max(0.05, round(total_cpu / (n_partitions + 1), 2))
+            # floor to 0.01 granularity so n x fitted <= total_cpu holds
+            # EXACTLY (ray rejects fractional reservations finer than
+            # 1e-4; 0.01 keeps the arithmetic legible in logs)
+            fitted = math.floor(100.0 * total_cpu / (n_partitions + 1)) / 100
+            fitted = min(num_cpus, fitted)
+            if fitted <= 0 or fitted * n_partitions > total_cpu:
+                raise ValueError(
+                    f"PartitionedSearcherPool: {n_partitions} partitions "
+                    f"cannot co-schedule on {total_cpu:.0f} CPUs even at "
+                    f"the minimum per-actor reservation; lower "
+                    f"n_partitions or grow the cluster"
+                )
             logging.getLogger(__name__).warning(
                 "PartitionedSearcherPool: %d x num_cpus=%.2f exceeds the "
                 "cluster's %.0f CPUs and would never co-schedule; "

@@ -13,12 +13,15 @@ positions, and writes
   columns, content sha256 for the per-row invariant, per-field token count
   and Ferret float8 norm byte, c/src/index.c:5676-5681).
 
-Partition key: ``shard_salt = (doc_base // salt_doc_range) * num_shards +
+Partition key: ``shard_salt = (doc // salt_doc_range) * num_shards +
 (crc32(term) ^ field_mix(field)) % num_shards`` — a *skew-aware* salted
 term-hash (field mixed by XOR so the per-term crc is field-independent
-and batchable; format v3, see build.INDEX_FORMAT_VERSION): every
-group covers a single doc range, so hot-term groups are bounded by the
-range size and merged blocks concatenate in doc order exactly.
+and batchable; format v5, see build.INDEX_FORMAT_VERSION): postings are
+split at docid-band boundaries INSIDE the vectorized run-boundary mask,
+so every group covers a single doc band regardless of the input's
+row-group layout — hot-term groups are bounded by the band size, merged
+blocks concatenate in doc order exactly, and partitioned serving's 1/N
+range ownership holds even for a single-fragment input (VERDICT r4 #1).
 
 Determinism: docid = fragment doc_base + row index; outputs are pure
 functions of (fragment bytes, config) — retries and resumes are exact.
@@ -226,10 +229,18 @@ def _encode_field_postings(
     freqs = np.diff(np.concatenate((d_starts_tok, [n])))
     m = u_tid.size
 
-    # term boundaries, posting level
+    # run boundaries, posting level: a new run starts when the term OR
+    # the doc band (doc // salt_doc_range) changes — format v5: salting
+    # by docid band, not by the fragment-group base, so one coarse input
+    # fragment still splits into real 1/N-ownable doc ranges
+    # (VERDICT r4 #1).  Postings are doc-sorted within a term, so band
+    # boundaries split each term's run contiguously.
+    bands = u_doc // cfg.resolved_salt_doc_range
     tb = np.empty(m, dtype=bool)
     tb[0] = True
-    np.not_equal(u_tid[1:], u_tid[:-1], out=tb[1:])
+    np.logical_or(
+        u_tid[1:] != u_tid[:-1], bands[1:] != bands[:-1], out=tb[1:]
+    )
     t_starts = np.flatnonzero(tb)
     t_ends = np.concatenate((t_starts[1:], [m]))
 
@@ -272,7 +283,6 @@ def _encode_field_postings(
     tf_sums = np.add.reduceat(freqs, t_starts)
     max_tfs = np.maximum.reduceat(freqs, t_starts)
     num_shards = cfg.num_shards
-    salt_base = (doc_base // cfg.salt_doc_range) * num_shards
     nt = t_starts.size
 
     # one vectorized crc over the unique-term dictionary (field mixed in
@@ -308,7 +318,8 @@ def _encode_field_postings(
             ),
             "term": pc.take(term_dict, pa.array(first_tids)),
             "shard_salt": pa.array(
-                salt_base + crc_arr[first_tids], type=pa.int64()
+                bands[t_starts] * num_shards + crc_arr[first_tids],
+                type=pa.int64(),
             ),
             "doc_base": pa.array(
                 np.full(nt, doc_base, dtype=np.int64), type=pa.int64()

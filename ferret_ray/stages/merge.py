@@ -465,7 +465,7 @@ def rebase_shard_rows(
 
     crcs = crc32_batch(shard_table.column("term")).astype(np.int64)
     salts = ((crcs ^ field_mix(new_fields)) % cfg.num_shards) + (
-        new_first // cfg.salt_doc_range
+        new_first // cfg.resolved_salt_doc_range
     ) * cfg.num_shards
     from .invert import SEGMENT_SCHEMA
 

@@ -132,6 +132,25 @@ def test_clean_str_balances(raw):
         body = s[:-1]
         return (len(body) - len(body.rstrip("\\"))) % 2 == 1
 
+    def _raw_backslash_escape_in_quotes(s: str) -> bool:
+        # does the RAW input contain '\\' (an escaped backslash) inside
+        # quotes?  That is the one collapse quirk below — any other
+        # escaped quote in the OUTPUT must not bypass the assertion.
+        in_q = False
+        i = 0
+        while i < len(s):
+            ch = s[i]
+            if ch == '"':
+                in_q = not in_q
+                i += 1
+            elif ch == "\\" and i + 1 < len(s):
+                if in_q and s[i + 1] == "\\":
+                    return True
+                i += 2
+            else:
+                i += 1
+        return False
+
     depth, min_depth, quote_parity = _balance(cleaned)
     if depth != 0 or quote_parity != 0:
         # acceptable causes, both faithful reference quirks:
@@ -142,9 +161,13 @@ def test_clean_str_balances(raw):
         #   escapes the very next '"' in the OUTPUT — e.g. '"\\\\":' ->
         #   '"\\":' — flipping quote parity as seen by a parser walk.
         #   qp_clean_str tracks quote state on the RAW input, so it never
-        #   notices and appends no fix-up quote.
+        #   notices and appends no fix-up quote.  Gated on the RAW input
+        #   actually containing the in-quote '\\' (ADVICE r4: any escaped
+        #   quote in the output must not void the property).
         assert (
-            _ends_escaped(cleaned) or "\\)" in cleaned or '\\"' in cleaned
+            _ends_escaped(cleaned)
+            or "\\)" in cleaned
+            or _raw_backslash_escape_in_quotes(raw)
         ), cleaned
         return
     assert min_depth >= 0
