@@ -18,6 +18,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _as_arrow(blk) -> pa.Table:
+    """Dataset blocks are Arrow in every path we build, but a
+    from_pandas source can hand back pandas blocks — normalize."""
+    return blk if isinstance(blk, pa.Table) else pa.Table.from_pandas(blk)
+
+
 def _normalize(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=-1, keepdims=True)
     n[n == 0] = 1.0
@@ -390,9 +396,11 @@ def embedding_dedup(
       all-pairs for low thresholds (measured knob table in BASELINE.md).
 
     The dropped-id set (bounded by the duplicate count) is the only
-    driver-side collection; survivors stream through a broadcast
-    filter.  Math in float64 so the threshold boundary agrees with the
-    SQL oracle."""
+    driver-side collection: blocks are staged IN the object store
+    (Ray Data block refs, per-block spans computed by co-located tasks)
+    and never pass through the driver process.  Survivors stream
+    through a broadcast filter.  Math in float64 so the threshold
+    boundary agrees with the SQL oracle."""
     import ray
     import ray.data
 
@@ -425,18 +433,39 @@ def embedding_dedup(
         ).sort("_ivf_cl")
         spans = []
 
+    # --- distributed block staging (VERDICT r4 #2) ------------------------
+    # Blocks never flow through the driver: the pipeline materializes in
+    # the OBJECT STORE and the strips read Ray Data's own block refs.
+    # (The previous version iter_batches()'d every normalized embedding
+    # block into the driver process and ray.put it back — 100% of
+    # embedding bytes through one process.)  Only tiny per-block spans
+    # reach the driver, computed by remote tasks co-located with the
+    # blocks.
+    import math
+
+    mat = src.materialize()
+    n_rows = mat.count()
+    nb_target = max(1, math.ceil(n_rows / block_size)) if n_rows else 0
+    if nb_target and mat.num_blocks() != nb_target:
+        # split/coalesce only (no shuffle; order-preserving, so the ivf
+        # sort's cluster-coherence survives): ~block_size rows per block
+        # keeps tile work at O((n/B)^2) regardless of input block layout
+        mat = mat.repartition(nb_target).materialize()
     refs = []
-    for batch in src.iter_batches(
-        batch_size=block_size, batch_format="pyarrow"
-    ):
-        ids = batch.column(id_col).to_numpy().astype(np.int64)
-        m = _normalize(
-            _vecs_np(batch.column(vec_col)).astype(np.float64)
-        )
-        refs.append((ray.put(ids), ray.put(m)))
-        if spans is not None:
-            cl = batch.column("_ivf_cl").to_numpy()
-            spans.append((int(cl.min()), int(cl.max())))
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in zip(bundle.block_refs, bundle.metadata):
+            if meta.num_rows:
+                refs.append(ref)
+    if spans is not None and refs:
+
+        @ray.remote(num_cpus=0.25)
+        def _cl_span(blk) -> tuple:
+            cl = np.asarray(
+                _as_arrow(blk).column("_ivf_cl").to_numpy()
+            )
+            return int(cl.min()), int(cl.max())
+
+        spans = ray.get([_cl_span.remote(r) for r in refs])
     nb = len(refs)
     # balanced strips over the lower triangle: task t handles block
     # rows t and nb-1-t — (t+1) + (nb-t) = nb+1 tiles each
@@ -445,6 +474,17 @@ def embedding_dedup(
         for t in range((nb + 1) // 2)
     ]
 
+    def _block_mats(tbl) -> tuple[np.ndarray, np.ndarray]:
+        """(ids, row-normalized float64 matrix) of one Arrow block.
+
+        Normalization here (per fetch) instead of a prep pass costs
+        O(rows*dim) against the tile matmul's O(rows^2*dim) — ~1/B,
+        noise — and keeps the staged blocks zero-copy Arrow."""
+        tbl = _as_arrow(tbl)
+        ids = tbl.column(id_col).to_numpy().astype(np.int64)
+        m = _normalize(_vecs_np(tbl.column(vec_col)).astype(np.float64))
+        return ids, m
+
     def strip(batch) -> dict:
         import ray as _ray
 
@@ -452,14 +492,14 @@ def embedding_dedup(
         tiles = 0
         for rows in batch["rows"]:
             for i in (int(r) for r in np.atleast_1d(rows)):
-                ida, ma = (_ray.get(r) for r in refs[i])
+                ida, ma = _block_mats(_ray.get(refs[i]))
                 for j in range(i + 1):
                     if spans is not None:
                         lo_i, hi_i = spans[i]
                         lo_j, hi_j = spans[j]
                         if hi_j < lo_i or hi_i < lo_j:
                             continue  # no shared cluster possible
-                    idb, mb = (_ray.get(r) for r in refs[j])
+                    idb, mb = _block_mats(_ray.get(refs[j]))
                     tiles += 1
                     c = ma @ mb.T
                     pi, qj = np.nonzero(c >= thr)
