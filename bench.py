@@ -24,6 +24,52 @@ import sys
 import time
 
 
+# Reference probe timings from a nominal (unthrottled) window of this
+# sandbox host — the denominators of calib_score.  Measured best-of-6:
+# 128 MB numpy cumsum+copy 106 ms, 64 MB zlib.crc32 19 ms.  The same
+# probe observed 104,000 ms (!) for the equivalent memory pass in a
+# throttled window — the 2-3x round-to-round docs/s swings documented
+# in BASELINE.md are host weather, and this probe measures it.
+CALIB_REF_MEM_MS = 106.0
+CALIB_REF_CPU_MS = 19.0
+
+
+def calibrate(trials: int = 5) -> dict:
+    """Seeded CPU + memory-bandwidth microbenchmark (VERDICT r4 #4).
+
+    Returns best-of-N millisecond timings plus ``calib_score`` = the
+    geometric mean of (reference / measured) — 1.0 in a nominal window,
+    <1 when the shared host is throttled.  Headline throughputs divide
+    by this score to give a cross-round-comparable calibrated number:
+    ``calibrated = raw / calib_score``.
+    """
+    import zlib
+
+    import numpy as np
+
+    mems, cpus = [], []
+    for _ in range(trials):
+        a = np.arange(16 * 1024 * 1024, dtype=np.float64)  # 128 MB
+        t0 = time.perf_counter()
+        s = float(np.cumsum(a)[-1])
+        b = a.copy()
+        b[0] = s  # keep both passes live
+        mems.append((time.perf_counter() - t0) * 1000)
+        buf = a[: 8 * 1024 * 1024].tobytes()  # 64 MB
+        t0 = time.perf_counter()
+        zlib.crc32(buf)
+        cpus.append((time.perf_counter() - t0) * 1000)
+    mem_ms, cpu_ms = min(mems), min(cpus)
+    score = (
+        (CALIB_REF_MEM_MS / mem_ms) * (CALIB_REF_CPU_MS / cpu_ms)
+    ) ** 0.5
+    return {
+        "calib_mem_ms": round(mem_ms, 1),
+        "calib_cpu_ms": round(cpu_ms, 1),
+        "calib_score": round(score, 3),
+    }
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     import re
 
@@ -49,6 +95,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timings: dict[str, float] = {}
     # host-state diagnostic (shared sandbox host; see BASELINE.md noise notes)
     load_avg_start = [round(x, 2) for x in os.getloadavg()]
+    calib_start = calibrate()
 
     # Warm the Ray worker pool (process spawn + library import) before any
     # timed section, identically at every parallelism level: the metrics
@@ -226,6 +273,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         max(dict_bytes) / max(1, sum(dict_bytes)), 3
     )
 
+    calib_end = calibrate()
+    # per-run host-weather normalizer: mean of the start/end windows
+    calib_score = round(
+        (calib_start["calib_score"] + calib_end["calib_score"]) / 2, 3
+    )
     return {
         "metric": "index_build_docs_per_sec",
         "value": round(docs_per_sec, 1),
@@ -244,6 +296,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "build_trials": trial_stats,
         "build_docs_per_sec_median": round(n_docs / med, 1),
         "load_avg_start": load_avg_start,
+        # host-weather calibration (VERDICT r4 #4): probe timings at run
+        # start/end vs a nominal window; calibrated = raw / calib_score
+        "calib_start": calib_start,
+        "calib_end": calib_end,
+        "calib_score": calib_score,
+        "calibrated_docs_per_sec": round(docs_per_sec / calib_score, 1),
     }
 
 
@@ -300,6 +358,12 @@ def run_scaling(sf_dir: str, lo: int, hi: int, trials: int = 1) -> dict:
         "trials_lo": out[lo].get("build_trials"),
         "trials_hi": out[hi].get("build_trials"),
         "load_avg_at_level_start": {str(k): v for k, v in loads.items()},
+        # host-weather probes of each level's winning process: a large
+        # lo/hi score gap means the two levels saw different host
+        # windows and the efficiency number is weather, not pipeline
+        "calib_at_level": {
+            str(k): v.get("calib_score") for k, v in out.items()
+        },
         "num_docs": out[lo].get("num_docs"),
         "sf": out[lo]["sf"],
         "num_cpus": hi,
