@@ -1335,9 +1335,10 @@ def oracle_sql() -> dict[str, str]:
                  OR list_contains({tokens}, 'merge')
             ) ORDER BY query, doc_id
         """,
-        # dedup_minhash / simhash_pairs / ann_lsh_top10 / fingerprints:
-        # hash-sketch ops (crc32/minhash) with no SQL equivalent ->
-        # rows-only checks.  tfidf_top10 / wand_topk: Ferret-default
+        # fingerprints: a rolling-hash sketch (crc32 chain) with no SQL
+        # equivalent -> rows-only check.  simhash_pairs: oracle below
+        # (signatures injected as VALUES, blocking reproduced in SQL).
+        # tfidf_top10 / wand_topk: Ferret-default
         # scoring depends on the float8-QUANTIZED norm byte
         # (c/src/helper.c:41-63) which SQL cannot reproduce; rank
         # identity is instead proven bit-exact against the compiled
@@ -1393,7 +1394,68 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY doc_id
     """
     sql["ann_lsh_top10"] = _lsh_oracle_sql()
+    sql["simhash_pairs"] = _simhash_oracle_sql()
     return sql
+
+
+#: the scale factor the driver's side-by-side oracle compare runs at —
+#: the simhash oracle injects per-doc signatures computed from this dir
+#: (crc32 is not expressible in DuckDB SQL; VERDICT r4 #6 endorses the
+#: VALUES-injection pattern, mirroring how _lsh_oracle_sql injects its
+#: hyperplanes).  The signature KERNEL itself is pinned separately by
+#: pytest (scalar-vs-batch bit-equality + distribution guards); the SQL
+#: exercises everything downstream of it: the 4x16 band decomposition,
+#: bucket blocking, pair generation, hamming<=3 via xor+popcount, and
+#: cross-band dedup.
+_ORACLE_SF_DIR = os.environ.get(
+    "GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+)
+
+
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """Full SQL reproduction of simhash_dedup's blocking semantics over
+    injected per-doc signatures (see _ORACLE_SF_DIR note above).
+
+    Assumes no bucket exceeds the operator's max_bucket=512 truncation
+    cap at oracle scale (500 docs; the operator logs loudly if it ever
+    truncates)."""
+    import pyarrow.parquet as pq
+
+    from ferret_ray.functions.dedup import simhash64_batch
+
+    t = pq.read_table(
+        os.path.join(_ORACLE_SF_DIR, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    sims = simhash64_batch(t.column("text").combine_chunks()).view(
+        np.int64
+    )
+    ids = t.column("doc_id").to_numpy()
+    values = ",".join(
+        f"({int(i)},{int(s)})" for i, s in zip(ids, sims)
+    )
+    return f"""
+        WITH sims(doc_id, sim) AS (VALUES {values}),
+        u AS (  -- unsigned view for band extraction
+            SELECT doc_id, sim,
+                   CASE WHEN sim < 0
+                        THEN sim::HUGEINT + 18446744073709551616::HUGEINT
+                        ELSE sim::HUGEINT END AS usim
+            FROM sims
+        ),
+        bands AS (
+            SELECT doc_id, sim, band,
+                   ((usim // (1::HUGEINT << (16 * band)))
+                    % 65536)::BIGINT AS bucket
+            FROM u, (SELECT unnest(range(4)) AS band)
+        )
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+               bit_count(xor(x.sim, y.sim))::BIGINT AS hamming
+        FROM bands x JOIN bands y USING (band, bucket)
+        WHERE x.doc_id < y.doc_id
+          AND bit_count(xor(x.sim, y.sim)) <= {max_hamming}
+        ORDER BY a, b, hamming
+    """
 
 
 def _lsh_oracle_sql(num_bits: int = 12, dim: int = 64,
