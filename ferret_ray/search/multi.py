@@ -70,6 +70,19 @@ class MultiReader:
     def max_doc(self) -> int:
         return self.num_docs
 
+    def match_all_docs(self) -> np.ndarray:
+        """MatchAll doc universe: sub-reader universes with doc-base
+        offsets (partition views compose — each delta contributes only
+        its owned bands)."""
+        parts = [
+            r.match_all_docs() + base
+            for r, base in zip(self.readers, self.bases)
+        ]
+        return (
+            np.concatenate(parts)
+            if parts else np.empty(0, dtype=np.int64)
+        )
+
     def field_num(self, field: str) -> int:
         try:
             return self.field_names.index(field)

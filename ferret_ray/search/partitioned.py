@@ -34,10 +34,14 @@ Raw Ray actors (not Dataset map_batches) are used deliberately: the
 two-round broadcast/gather exchange per batch is shared-state
 coordination the Dataset API cannot express.
 
-Not supported: ``MatchAllQuery`` (it scores every doc of the GLOBAL
-doc space in each partition — duplicate hits), explicit ``sort=`` (the
-string/byte sort ranks are partition-relative), and ``post_filter``
-(driver-side callables don't ship).  The replica pool serves those.
+Round 5 closes the two former gaps: ``MatchAllQuery`` (each partition
+reader now scores only its OWNED doc bands via ``match_all_docs``, so
+every doc is scored exactly once) and explicit ``sort=`` (partitions
+ship per-hit sort-field VALUES and the driver merges on the values
+through the Searcher's own key function — the FieldDoc merge of
+``msea_search``, c/src/search.c:1550-1750).  Still not supported:
+``post_filter`` (driver-side callables don't ship) — the replica pool
+serves it.
 """
 
 from __future__ import annotations
@@ -149,11 +153,11 @@ def _probe_scorer_enums(searcher, q) -> None:
     from .searcher import range_expand
 
     if isinstance(q, MatchAllQuery):
-        raise ValueError(
-            "MatchAllQuery is not supported by partitioned serving "
-            "(it scores the global doc space in every partition); use "
-            "the replica pool"
-        )
+        # supported since round 5: each partition reader scores only
+        # its OWNED doc bands (reader.match_all_docs), so every doc is
+        # scored in exactly one partition and the merged result equals
+        # the single searcher's
+        return
     if isinstance(q, RangeQuery):
         range_expand(searcher.reader, q)
     elif isinstance(q, BooleanQuery):
@@ -178,9 +182,19 @@ def _probe_filter(searcher, f) -> None:
 
 
 def _owned_ranges(manifest: dict, part: int, n_parts: int) -> set[int]:
+    """Round-robin split of ALL doc bands (0..n_bands-1), not just the
+    bands that happen to have shard files: MatchAll doc ownership must
+    cover every doc, including docs in a band with no postings (e.g.
+    all-empty-text docs).  A shardless band carries no dictionary bytes,
+    so the byte split is unchanged."""
     ns = manifest["config"]["num_shards"]
-    ranges = sorted({ss // ns for ss in manifest["shards"]})
-    return set(ranges[part::n_parts])
+    band = int(manifest["config"]["salt_doc_range"])
+    existing = {ss // ns for ss in manifest["shards"]}
+    n_bands = max(
+        -(-int(manifest["num_docs"]) // band) if band else 0,
+        (max(existing) + 1) if existing else 0,
+    )
+    return set(range(n_bands)[part::n_parts])
 
 
 def open_partition_reader(index_dir: str, part: int, n_parts: int):
@@ -248,20 +262,44 @@ class PartitionWorker:
         return dfs, exps
 
     def topk(self, queries: list, df_map: dict, exp_map: dict,
-             need: int) -> list[tuple]:
-        """Per-query local top-``need`` with GLOBAL weights."""
+             need: int, sort: list | None = None) -> list[tuple]:
+        """Per-query local top-``need`` with GLOBAL weights.
+
+        With ``sort``, each entry additionally carries the hits' raw
+        sort-field VALUES (one list per sort field; None for score/doc
+        fields) — the FieldDoc values the driver's value-based merge
+        re-ranks on (msea_search, c/src/search.c:1550-1750).  Local
+        ranks are partition-relative but rank order IS value order, so
+        the local top-``need`` is always a superset of this partition's
+        contribution to the global top-``need``."""
         import copy
 
         self._overlay.df_map = df_map
         self._overlay.exp_map = exp_map
         out = []
         for q in queries:
-            td = self.searcher.search(copy.deepcopy(q), 0, need)
+            td = self.searcher.search(
+                copy.deepcopy(q), 0, need, sort=sort
+            )
+            docs = np.array([h.doc for h in td.hits], dtype=np.int64)
+            vals = None
+            if sort:
+                vals = []
+                for sf in sort:
+                    if sf.type in ("score", "doc"):
+                        vals.append(None)
+                        continue
+                    col = self.base.docs_column(sf.field)
+                    vals.append(
+                        [col[d] for d in docs] if col is not None
+                        else None
+                    )
             out.append((
-                np.array([h.doc for h in td.hits], dtype=np.int64),
+                docs,
                 np.array([h.score for h in td.hits], dtype=np.float32),
                 td.total_hits,
                 td.max_score,
+                vals,
             ))
         return out
 
@@ -294,14 +332,41 @@ def merge_stats(
 
 
 def merge_topk(
-    per_actor: list[tuple], first_doc: int, num_docs: int
+    per_actor: list[tuple], first_doc: int, num_docs: int,
+    sort: list | None = None,
 ) -> tuple[list[tuple[int, float]], int, float]:
-    """hit_lt merge of per-partition candidates (score desc, doc asc)."""
+    """hit_lt merge of per-partition candidates (score desc, doc asc),
+    or — with ``sort`` — the FieldDoc-VALUE merge of msea_search
+    (c/src/search.c:1550-1750): per-hit column values shipped by the
+    partitions are re-keyed through the Searcher's own
+    sort_key_from_values, so the merged order is identical to a single
+    searcher's (ranks recomputed over the merged candidate set are
+    order-isomorphic to ranks over the full corpus)."""
     docs = np.concatenate([p[0] for p in per_actor])
     scores = np.concatenate([p[1] for p in per_actor])
     total = int(sum(p[2] for p in per_actor))
     max_score = float(max((p[3] for p in per_actor), default=0.0))
-    order = np.lexsort((docs, -scores))
+    if sort:
+        from .searcher import sort_key_from_values
+
+        keys: list[np.ndarray] = [docs]
+        for fi in reversed(range(len(sort))):
+            sf = sort[fi]
+            vals = None
+            if sf.type not in ("score", "doc"):
+                per = [p[4][fi] for p in per_actor]
+                if any(v is not None for v in per):
+                    vals = np.concatenate([
+                        np.asarray(
+                            v if v is not None else [None] * len(p[0]),
+                            dtype=object,
+                        )
+                        for p, v in zip(per_actor, per)
+                    ]) if docs.size else np.empty(0, dtype=object)
+            keys.append(sort_key_from_values(sf, vals, docs, scores))
+        order = np.lexsort(keys)
+    else:
+        order = np.lexsort((docs, -scores))
     sel = order[first_doc: first_doc + num_docs]
     return (
         [(int(docs[i]), float(scores[i])) for i in sel],
@@ -388,21 +453,30 @@ class PartitionedSearcherPool:
         return out
 
     def search_queries(self, queries: list, first_doc: int = 0,
-                       num_docs: int = 10) -> list[tuple]:
-        """Parsed-query batch -> [(hits, total_hits, max_score)]."""
+                       num_docs: int = 10,
+                       sort: list | None = None) -> list[tuple]:
+        """Parsed-query batch -> [(hits, total_hits, max_score)].
+
+        ``sort`` (list[SortField]) applies to every query in the batch;
+        per-partition candidates carry their sort-field values and the
+        driver merges on the VALUES (msea_search semantics), so results
+        are bit-identical to the single searcher for every sort type
+        incl. string/byte fields."""
         import ray
 
         need = first_doc + num_docs
         stats = ray.get([w.stats.remote(queries) for w in self.workers])
         df_map, exp_map = merge_stats(stats)
         results = ray.get([
-            w.topk.remote(queries, df_map, exp_map, need)
+            w.topk.remote(queries, df_map, exp_map, need, sort)
             for w in self.workers
         ])
         out = []
         for qi in range(len(queries)):
             out.append(
-                merge_topk([r[qi] for r in results], first_doc, num_docs)
+                merge_topk(
+                    [r[qi] for r in results], first_doc, num_docs, sort
+                )
             )
         return out
 

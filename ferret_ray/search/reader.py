@@ -270,6 +270,26 @@ class IndexReader:
     def max_doc(self) -> int:
         return self.num_docs
 
+    def match_all_docs(self) -> np.ndarray:
+        """The doc universe a MatchAllQuery scores through this reader:
+        every doc for a whole-index reader; for a doc-range partition
+        view, only the docs of the OWNED salt bands — each doc scored
+        in exactly one partition, so the partitioned pool's merged
+        MatchAll equals the single searcher's."""
+        if self.owned_ranges is None:
+            return np.arange(self.num_docs, dtype=np.int64)
+        band = int(self.manifest["config"]["salt_doc_range"])
+        parts = []
+        for r in sorted(self.owned_ranges):
+            lo = r * band
+            hi = min((r + 1) * band, self.num_docs)
+            if hi > lo:
+                parts.append(np.arange(lo, hi, dtype=np.int64))
+        return (
+            np.concatenate(parts)
+            if parts else np.empty(0, dtype=np.int64)
+        )
+
     def deleted_docs(self) -> set[int]:
         """Tombstoned docids of this index (the .del bitvector union)."""
         from ..pipelines.deletes import load_deleted

@@ -136,6 +136,62 @@ _INT_RE = __import__("re").compile(r"[-+]?\d+$")
 _FLT_RE = __import__("re").compile(r"[-+]?\d*\.?\d+([eE][-+]?\d+)?$")
 
 
+def sort_key_from_values(
+    sf: "SortField", vals, docs: np.ndarray, scores: np.ndarray
+) -> np.ndarray:
+    """One lexsort key column for a SortField given the per-candidate
+    column VALUES (``vals``; None for score/doc types or a missing
+    column).  Shared by the in-process Searcher and the partitioned
+    pool's value-based top-k merge — the FieldDoc-value merge of the
+    reference's msea_search (c/src/search.c:1550-1750): ranks are
+    computed over whatever candidate set is passed in, and rank order
+    is value order, so merging partitions' candidates through this
+    function reproduces the single-searcher ordering exactly."""
+    t = sf.type
+    if t == "score":
+        # natural order is score DESC; reverse flips
+        return scores if sf.reverse else -scores
+    if t == "doc":
+        return -docs if sf.reverse else docs
+    if vals is None:
+        return np.zeros(docs.size, dtype=np.int64)
+    if t == "auto":
+        t = _sniff_sort_type(vals)
+    if t == "byte":
+        # BYTE_FIELD_INDEX (c/src/field_index.c:95-129): each doc's
+        # sort value is its term's ordinal in term-enum (sorted)
+        # order; 0 = missing, so missing sorts SMALLEST ascending —
+        # unlike the string index
+        sv = [v if v else None for v in vals]
+        present = sorted({x for x in sv if x is not None})
+        rank = {x: i + 1 for i, x in enumerate(present)}
+        out = np.array(
+            [rank.get(x, 0) for x in sv], dtype=np.int64
+        )
+        return -out if sf.reverse else out
+    if t in ("integer", "float"):
+        out = np.full(len(vals), np.inf)
+        for i, v in enumerate(vals):
+            if v is None:
+                continue
+            try:
+                out[i] = float(v)
+            except (TypeError, ValueError):
+                pass
+        return -out if sf.reverse else out
+    # string: rank by term order; missing/empty sorts greatest
+    # ascending (reference string-index behavior)
+    sv = np.array(
+        [v if v else None for v in vals], dtype=object
+    )
+    uniq = sorted({v for v in sv if v is not None})
+    rank_map = {v: i for i, v in enumerate(uniq)}
+    ranks = np.array(
+        [rank_map.get(v, len(uniq)) for v in sv], dtype=np.int64
+    )
+    return -ranks if sf.reverse else ranks
+
+
 def _sniff_sort_type(vals) -> str:
     """sort_field_auto type sniffing (c/src/sort.c:367-421): inspect the
     first present value — int-looking -> integer, float-looking -> float,
@@ -510,10 +566,14 @@ class Searcher:
         if isinstance(q, MultiTermQuery):
             return self._multi_term_scorer(w)
         if isinstance(q, MatchAllQuery):
-            n = self.max_doc()
-            docs = np.arange(n, dtype=np.int64)
+            # the reader's doc universe: all docs for a whole-index
+            # reader, the owned doc BANDS for a partition view — so
+            # partitioned serving scores each doc in exactly one
+            # partition (msea_search doc-space split, c/src/search.c)
+            docs = self.reader.match_all_docs()
             return ScoredDocs(
-                docs, np.full(n, F32(w.value), dtype=np.float32)
+                docs,
+                np.full(docs.size, F32(w.value), dtype=np.float32),
             )
         from .spans import SpanQuery
 
@@ -903,50 +963,11 @@ class Searcher:
         self, sf: SortField, docs: np.ndarray, scores: np.ndarray
     ) -> np.ndarray:
         t = sf.type
-        if t == "score":
-            # natural order is score DESC; reverse flips
-            return scores if sf.reverse else -scores
-        if t == "doc":
-            return -docs if sf.reverse else docs
-        vals = self.reader.docs_column(sf.field)
-        if vals is None:
-            return np.zeros(docs.size, dtype=np.int64)
-        vals = vals[docs]
-        if t == "auto":
-            t = _sniff_sort_type(vals)
-        if t == "byte":
-            # BYTE_FIELD_INDEX (c/src/field_index.c:95-129): each doc's
-            # sort value is its term's ordinal in term-enum (sorted)
-            # order; 0 = missing, so missing sorts SMALLEST ascending —
-            # unlike the string index
-            sv = [v if v else None for v in vals]
-            present = sorted({x for x in sv if x is not None})
-            rank = {x: i + 1 for i, x in enumerate(present)}
-            out = np.array(
-                [rank.get(x, 0) for x in sv], dtype=np.int64
-            )
-            return -out if sf.reverse else out
-        if t in ("integer", "float"):
-            out = np.full(vals.size, np.inf)
-            for i, v in enumerate(vals):
-                if v is None:
-                    continue
-                try:
-                    out[i] = float(v)
-                except (TypeError, ValueError):
-                    pass
-            return -out if sf.reverse else out
-        # string: rank by term order; missing/empty sorts greatest
-        # ascending (reference string-index behavior)
-        sv = np.array(
-            [v if v else None for v in vals], dtype=object
-        )
-        uniq = sorted({v for v in sv if v is not None})
-        rank_map = {v: i for i, v in enumerate(uniq)}
-        ranks = np.array(
-            [rank_map.get(v, len(uniq)) for v in sv], dtype=np.int64
-        )
-        return -ranks if sf.reverse else ranks
+        vals = None
+        if t not in ("score", "doc"):
+            col = self.reader.docs_column(sf.field)
+            vals = col[docs] if col is not None else None
+        return sort_key_from_values(sf, vals, docs, scores)
 
     def explain(self, query: Query, doc: int) -> "Explanation":
         """Score decomposition for one doc (searcher_explain,
