@@ -303,6 +303,21 @@ class PartitionWorker:
             ))
         return out
 
+    def wand(self, field: str, terms: list[str], df_map: dict,
+             k: int) -> tuple[list[tuple[int, float]], dict]:
+        """Block-max WAND top-k over this partition's OWNED doc bands
+        with GLOBAL term weights (df overlay).  Each doc lives in
+        exactly one partition and wand_topk is exact per reader, so the
+        driver's (score desc, doc asc) merge of per-partition top-k
+        lists IS the global exact top-k — same result, 1/N of the
+        postings decoded and pruned per actor."""
+        from .wand import wand_topk
+
+        self._overlay.df_map = df_map
+        self._overlay.exp_map = {}
+        r = wand_topk(self.searcher, field, terms, k)
+        return r.hits, r.stats
+
     def dictionary_bytes(self) -> int:
         """Bytes of shard (dictionary+postings) files this partition
         owns — the 1/N_actors memory-evidence metric."""
@@ -479,6 +494,34 @@ class PartitionedSearcherPool:
                 )
             )
         return out
+
+    def wand_topk(self, field: str, terms: list[str], k: int = 10):
+        """Distributed block-max WAND: exact top-k of the coord-disabled
+        SHOULD-disjunction of ``terms`` (same contract as
+        wand.wand_topk on a whole-index reader, asserted identical by
+        tests).  Phase 1 exchanges per-term df (TermQuery probes through
+        the recorder); phase 2 runs per-partition WAND with the global
+        weights; the driver merges N top-k lists by (score desc, doc
+        asc) — exact because partitions' doc spaces are disjoint."""
+        import ray
+
+        from .query import TermQuery
+        from .wand import WandResult
+
+        probes = [TermQuery(field, t) for t in terms]
+        stats = ray.get([w.stats.remote(probes) for w in self.workers])
+        df_map, _ = merge_stats(stats)
+        results = ray.get([
+            w.wand.remote(field, terms, df_map, k)
+            for w in self.workers
+        ])
+        hits = [h for r in results for h in r[0]]
+        hits.sort(key=lambda x: (-x[1], x[0]))
+        agg: dict = {}
+        for _, st in results:
+            for key, v in st.items():
+                agg[key] = agg.get(key, 0) + v
+        return WandResult(hits[:k], agg.get("docs_scored", 0), agg)
 
     def search_batch(self, queries: list[str], k: int = 10):
         """FQL string batch -> pandas frame with the replica-pool

@@ -30,6 +30,7 @@ from ..codec.postings import (
     decode_positions,
     decode_positions_all,
 )
+from ..codec.vint import vint_decode
 from ..stages.invert import term_shard
 from ..state.fs import (
     fs_listdir,
@@ -166,8 +167,8 @@ class _Shard:
             return i
         return None
 
-    def _blob(self, name: str, i: int) -> bytes:
-        rg = int(np.searchsorted(self._rg_off, i, side="right") - 1)
+    def _rg_table(self, rg: int, name: str):
+        """Cached two-column (docs+freqs or prx+lens) row-group read."""
         cols = self.BLOB_GROUPS[name]
         key = (rg, cols[0])
         tbl = self._rg_cache.get(key)
@@ -178,7 +179,54 @@ class _Shard:
                 self._rg_cache.popitem(last=False)
         else:
             self._rg_cache.move_to_end(key)
-        return tbl.column(name)[i - int(self._rg_off[rg])].as_py()
+        return tbl
+
+    def gather_blobs(
+        self, name: str, rows: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(concatenated bytes, per-row byte lengths) for sorted dict
+        ``rows`` — a zero-copy gather over the Arrow offsets/data
+        buffers (no per-row ``.as_py()`` copies), so a bulk expansion
+        decode is ONE VInt pass over one contiguous buffer instead of
+        one small decode per term (safe because VInt values never span
+        blobs: every blob ends on a value boundary)."""
+        pieces: list[np.ndarray] = []
+        lens = np.empty(rows.size, dtype=np.int64)
+        rgs = np.searchsorted(self._rg_off, rows, side="right") - 1
+        k = 0
+        for rg in np.unique(rgs):
+            tbl = self._rg_table(int(rg), name)
+            col = tbl.column(name)
+            arr = (
+                col.chunk(0) if col.num_chunks == 1
+                else col.combine_chunks()
+            )
+            bufs = arr.buffers()
+            off = np.frombuffer(
+                bufs[1], dtype=np.int64, count=len(arr) + 1,
+                offset=arr.offset * 8,
+            )
+            data = (
+                np.frombuffer(bufs[2], dtype=np.uint8)
+                if bufs[2] is not None else np.empty(0, dtype=np.uint8)
+            )
+            for i in rows[rgs == rg] - int(self._rg_off[rg]):
+                pieces.append(data[off[i]: off[i + 1]])
+                lens[k] = off[i + 1] - off[i]
+                k += 1
+        buf = (
+            np.concatenate(pieces) if pieces
+            else np.empty(0, dtype=np.uint8)
+        )
+        return buf, lens
+
+    def _blob(self, name: str, i: int) -> bytes:
+        rg = int(np.searchsorted(self._rg_off, i, side="right") - 1)
+        return (
+            self._rg_table(rg, name)
+            .column(name)[i - int(self._rg_off[rg])]
+            .as_py()
+        )
 
 
 class IndexReader:
@@ -418,12 +466,50 @@ class IndexReader:
                         di += 1
                     if di < len(dict_slice) and dict_slice[di] == t:
                         parts.setdefault(t, []).append((sh, i + di))
+        # bulk decode: ONE VInt pass per (shard, stream) over the
+        # concatenated blob bytes of every matched row (zero-copy
+        # gather), then segmented-cumsum the doc deltas — instead of a
+        # per-term decode_docs_freqs call.  Cold-expansion hot path
+        # (VERDICT r4 #3): a 1k-term prefix expansion decodes ~2 buffers
+        # per shard, not ~2k blobs.
+        by_sh: dict[int, tuple] = {}
+        for t, rows in parts.items():
+            for sh, ri in rows:
+                by_sh.setdefault(id(sh), (sh, set()))[1].add(ri)
+        seg: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+        for sid, (sh, ris) in by_sh.items():
+            rws = np.fromiter(sorted(ris), dtype=np.int64, count=len(ris))
+            dbuf, dlens = sh.gather_blobs("docs_enc", rws)
+            fbuf, _flens = sh.gather_blobs("freqs_enc", rws)
+            deltas = vint_decode(dbuf)
+            freqs_all = vint_decode(fbuf)
+            # per-row value counts from the stream itself (number of
+            # terminator bytes per row) — exact whatever df semantics
+            is_last = (dbuf & 0x80) == 0
+            row_of_byte = np.repeat(
+                np.arange(rws.size, dtype=np.int64), dlens
+            )
+            counts = np.bincount(
+                row_of_byte[is_last], minlength=rws.size
+            )
+            bounds = np.concatenate(([0], np.cumsum(counts)))
+            if deltas.size:
+                c = np.cumsum(deltas)
+                nz = counts > 0
+                starts = bounds[:-1][nz]
+                corr = c[starts] - deltas[starts]
+                docs_all = c - np.repeat(corr, counts[nz])
+            else:
+                docs_all = deltas
+            for k in range(rws.size):
+                seg[(sid, int(rws[k]))] = (
+                    docs_all[bounds[k]: bounds[k + 1]],
+                    freqs_all[bounds[k]: bounds[k + 1]],
+                )
         for t, rows in parts.items():
             docs_l, freqs_l, prx_parts = [], [], []
             for sh, ri in rows:
-                d, f = decode_docs_freqs(
-                    sh.docs_enc[ri], sh.freqs_enc[ri]
-                )
+                d, f = seg[(id(sh), ri)]
                 docs_l.append(d)
                 freqs_l.append(f)
                 # deferred position blobs — fetched only if a caller

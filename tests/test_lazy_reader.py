@@ -82,3 +82,33 @@ def test_range_scans_still_work(code_index):
     wild = r.terms_matching("content", lambda t: t.endswith("77"),
                             prefix="tok7")
     assert "tok77" in wild
+
+
+def test_postings_many_bulk_equals_per_term(code_index):
+    """The bulk expansion path (one zero-copy gather + one VInt decode
+    per shard stream, segmented cumsum) returns byte-identical postings
+    to the per-term decode for every term of a wide prefix expansion —
+    including multi-shard terms, absent terms, and positions."""
+    import numpy as np
+
+    from ferret_ray.search.reader import IndexReader
+
+    r = IndexReader(code_index)
+    terms = r.terms_with_prefix("content", "tok")
+    assert len(terms) > 50
+    got = r.postings_many("content", terms + ["zzz_absent"])
+    assert "zzz_absent" not in got
+    assert set(got) == set(terms)
+    for t in terms[:40] + terms[-10:]:
+        want = r.postings("content", t)
+        p = got[t]
+        assert np.array_equal(p.docs, want.docs), t
+        assert np.array_equal(p.freqs, want.freqs), t
+        assert p.docs.dtype == want.docs.dtype
+        # deferred position blobs decode identically
+        sel = np.arange(min(5, p.docs.size))
+        g_pos = r.positions_for(p, sel)
+        w_pos = r.positions_for(want, sel)
+        assert len(g_pos) == len(w_pos)
+        for a, b in zip(g_pos, w_pos):
+            assert np.array_equal(a, b), t

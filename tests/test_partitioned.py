@@ -219,6 +219,40 @@ def test_partitioned_sort_by_field(multirange_index):
                 assert got[1] == td.total_hits
 
 
+@pytest.mark.parametrize("n_parts", [2, 3])
+def test_partitioned_wand(multirange_index, n_parts):
+    """Distributed block-max WAND == single-reader wand_topk, bit-exact:
+    per-partition WAND with global df over disjoint doc bands, merged by
+    (score desc, doc asc)."""
+    from ferret_ray.search.partitioned import merge_stats
+    from ferret_ray.search.reader import IndexReader
+    from ferret_ray.search.searcher import Searcher
+    from ferret_ray.search.wand import wand_topk
+
+    s = Searcher(IndexReader(multirange_index))
+    term_sets = [
+        ["int", "return", "void"],
+        ["tok10", "tok11", "tok12", "tok13"],
+        ["int"],
+        ["zzz_absent", "int"],
+    ]
+    for terms in term_sets:
+        want = wand_topk(s, "content", terms, k=10)
+        workers = [
+            PartitionWorker(multirange_index, i, n_parts)
+            for i in range(n_parts)
+        ]
+        probes = [TermQuery("content", t) for t in terms]
+        df_map, _ = merge_stats([w.stats(probes) for w in workers])
+        per = [w.wand("content", terms, df_map, 10) for w in workers]
+        hits = [h for r in per for h in r[0]]
+        hits.sort(key=lambda x: (-x[1], x[0]))
+        got = [(d, np.float32(sc)) for d, sc in hits[:10]]
+        assert got == [
+            (d, np.float32(sc)) for d, sc in want.hits
+        ], terms
+
+
 def test_partitioned_paging(multirange_index):
     import copy
 
