@@ -744,6 +744,35 @@ def q_wand_topk(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_partitioned_wand(sf_dir: str) -> pd.DataFrame:
+    """Distributed block-max WAND: per-partition WAND over owned doc
+    bands with exchanged global df, merged by (score desc, doc asc) —
+    exact because the bands are disjoint.  Asserted equal to the
+    single-reader wand_topk here; same SQL oracle as wand_topk."""
+    from ferret_ray.search.partitioned import PartitionedSearcherPool
+    from ferret_ray.search.wand import wand_topk
+
+    terms = ["spark", "table", "hash", "dup"]
+    _, _, searcher = _index_for(sf_dir)
+    want = wand_topk(searcher, "text", terms, k=10)
+    pool = PartitionedSearcherPool(
+        _partitioned_index_for(sf_dir), n_partitions=3,
+        default_field="text",
+    )
+    try:
+        res = pool.wand_topk("text", terms, k=10)
+    finally:
+        pool.shutdown()
+    assert [d for d, _ in res.hits] == [d for d, _ in want.hits]
+    return pd.DataFrame(
+        {
+            "rank": np.arange(len(res.hits), dtype="int64"),
+            "doc_id": pd.Series([d for d, _ in res.hits],
+                                dtype="int64"),
+        }
+    )
+
+
 def q_highlight(sf_dir: str) -> pd.DataFrame:
     """Highlighter excerpts for the top term-query hits (rows-only)."""
     from ferret_ray.schema import analyzer_for
@@ -851,6 +880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_search": q_fuzzy_search,
         "span_near_search": q_span_near_search,
         "wand_topk": q_wand_topk,
+        "partitioned_wand": q_partitioned_wand,
         "highlight": q_highlight,
     }
 
@@ -1235,6 +1265,11 @@ def oracle_sql() -> dict[str, str]:
         # WAND top-k == exhaustive coord-less TF-IDF top-k by
         # construction (the assert inside q_wand_topk pins equality)
         "wand_topk": _tfidf_oracle_sql(
+            ["spark", "table", "hash", "dup"], coord=False
+        ),
+        # distributed WAND == single-reader WAND (asserted in the
+        # query) == exhaustive coord-less TF-IDF top-k
+        "partitioned_wand": _tfidf_oracle_sql(
             ["spark", "table", "hash", "dup"], coord=False
         ),
         # BM25 rank order in float64 SQL (engine scores are float32 with
