@@ -378,6 +378,29 @@ class IndexReader:
             self._shards[shard_salt] = sh
         return sh
 
+    def _ensure_shards(self, salts) -> None:
+        """Open the given shard files concurrently (dictionary-column
+        parquet reads release the GIL in Arrow C++), bounding the
+        cold-expansion file-open tail: a wide dictionary scan touches
+        every doc-band file of a hash shard, and opening them serially
+        dominates first-query latency at many bands (VERDICT r4 #3)."""
+        missing = [ss for ss in salts if ss not in self._shards]
+        if len(missing) < 4:
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _open(ss: int) -> _Shard:
+            return _Shard(
+                fs_join(
+                    self._root, f"shards/shard-{ss:08d}.parquet"
+                ),
+                fs=self._fs,
+            )
+
+        with ThreadPoolExecutor(min(16, len(missing))) as ex:
+            for ss, sh in zip(missing, ex.map(_open, missing)):
+                self._shards[ss] = sh
+
     def _term_rows(self, field_num: int, term: str) -> list[tuple[_Shard, int]]:
         s = term_shard(field_num, term, self.num_shards)
         rows: list[tuple[_Shard, int]] = []
@@ -448,6 +471,9 @@ class IndexReader:
             by_hash.setdefault(
                 term_shard(fn, t, self.num_shards), []
             ).append(t)
+        self._ensure_shards(
+            [ss for h in by_hash for ss in self._by_shard.get(h, ())]
+        )
         parts: dict[str, list] = {}
         for h, tlist in by_hash.items():
             for ss in self._by_shard.get(h, ()):
@@ -476,9 +502,30 @@ class IndexReader:
         for t, rows in parts.items():
             for sh, ri in rows:
                 by_sh.setdefault(id(sh), (sh, set()))[1].add(ri)
+        sh_rows = [
+            (sh, np.fromiter(sorted(ris), dtype=np.int64,
+                             count=len(ris)))
+            for sh, ris in by_sh.values()
+        ]
+        if len(sh_rows) > 3:
+            # threaded prefetch of the needed posting row groups (the
+            # parquet reads release the GIL); the numpy decode below
+            # then runs over warm cached tables
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _prefetch(item):
+                sh, rws = item
+                rgs = np.searchsorted(
+                    sh._rg_off, rws, side="right"
+                ) - 1
+                for rg in np.unique(rgs):
+                    sh._rg_table(int(rg), "docs_enc")
+
+            with ThreadPoolExecutor(min(16, len(sh_rows))) as ex:
+                list(ex.map(_prefetch, sh_rows))
         seg: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
-        for sid, (sh, ris) in by_sh.items():
-            rws = np.fromiter(sorted(ris), dtype=np.int64, count=len(ris))
+        for sh, rws in sh_rows:
+            sid = id(sh)
             dbuf, dlens = sh.gather_blobs("docs_enc", rws)
             fbuf, _flens = sh.gather_blobs("freqs_enc", rws)
             deltas = vint_decode(dbuf)
@@ -571,6 +618,7 @@ class IndexReader:
             return []
         found: set[str] = set()
         hi = prefix + "\U0010FFFF" if prefix else ""
+        self._ensure_shards(self._shard_salts)
         for ss in self._shard_salts:
             sh = self._shard_for(ss)
             r = self._field_term_slice(sh, fn, prefix, hi)
@@ -589,6 +637,7 @@ class IndexReader:
         if fn < 0:
             return []
         found: set[str] = set()
+        self._ensure_shards(self._shard_salts)
         for ss in self._shard_salts:
             sh = self._shard_for(ss)
             a = int(np.searchsorted(sh.fields, fn, side="left"))
@@ -612,6 +661,7 @@ class IndexReader:
             return []
         found: set[str] = set()
         hi = prefix + "\U0010FFFF" if prefix else ""
+        self._ensure_shards(self._shard_salts)
         for ss in self._shard_salts:
             sh = self._shard_for(ss)
             if prefix:
