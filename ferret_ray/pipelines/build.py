@@ -61,6 +61,34 @@ def _clear_stale_build(index_dir: str, build_fp: str) -> None:
         fs_write_json_atomic(fs, marker, {"fingerprint": build_fp})
 
 
+def gc_build_intermediates(index_dir: str) -> int:
+    """Delete a COMMITTED index's build intermediates (``segments/`` +
+    ``checkpoints/``) and return the bytes reclaimed.
+
+    They exist only to resume an INTERRUPTED build; once the manifest
+    is committed, ``build_index`` for the same inputs short-circuits on
+    the fingerprint and never looks at them, while they weigh roughly
+    as much as the index itself (the 20M-doc soak left ~20 GB).
+    Serving reads only ``shards/`` + ``docs/`` + tombstones.  Refuses
+    (returns 0) when no committed manifest exists — an in-flight build
+    still needs its checkpoints."""
+    if read_manifest(index_dir) is None:
+        return 0
+    fs, root = resolve_fs(index_dir)
+    freed = 0
+    for sub in ("segments", "checkpoints"):
+        p = fs_join(root, sub)
+        if not fs_exists(fs, p):
+            continue
+        sel = __import__("pyarrow.fs", fromlist=["FileSelector"])
+        infos = fs.get_file_info(
+            sel.FileSelector(p, recursive=True)
+        )
+        freed += sum(i.size or 0 for i in infos if i.size)
+        fs_rmtree(fs, p)
+    return freed
+
+
 def build_index(
     input_paths: str | list[str],
     index_dir: str,

@@ -91,3 +91,36 @@ def test_second_build_is_noop(ray_session, corpus_path, tmp_path):
     _build(corpus_path, idx)
     m2 = _build(corpus_path, idx)  # manifest fingerprint matches -> no-op
     assert m2["fingerprint"]
+
+
+def test_gc_build_intermediates(ray_session, corpus_path, tmp_path):
+    """Post-commit GC removes segments/ + checkpoints/ (the resume
+    intermediates, ~ the index's own size), serving is unaffected, and
+    a same-fingerprint rebuild still short-circuits on the manifest."""
+    from ferret_ray.pipelines.build import gc_build_intermediates
+    from ferret_ray.search.query import TermQuery
+    from ferret_ray.search.reader import IndexReader
+    from ferret_ray.search.searcher import Searcher
+
+    idx = str(tmp_path / "idx")
+    # uncommitted dir: refuses
+    assert gc_build_intermediates(idx) == 0
+    m1 = _build(corpus_path, idx)
+    s = Searcher(IndexReader(idx))
+    want = [(h.doc, h.score)
+            for h in s.search(TermQuery("content", "int"), 0, 10).hits]
+    freed = gc_build_intermediates(idx)
+    assert freed > 0
+    assert not os.path.exists(os.path.join(idx, "segments"))
+    assert not os.path.exists(os.path.join(idx, "checkpoints"))
+    # idempotent
+    assert gc_build_intermediates(idx) == 0
+    # serving still works (fresh reader, shards/docs only)
+    s2 = Searcher(IndexReader(idx))
+    got = [(h.doc, h.score)
+           for h in s2.search(TermQuery("content", "int"), 0, 10).hits]
+    assert got == want
+    # same-fp rebuild short-circuits on the committed manifest
+    m2 = _build(corpus_path, idx)
+    assert m2["fingerprint"] == m1["fingerprint"]
+    assert not os.path.exists(os.path.join(idx, "segments"))
