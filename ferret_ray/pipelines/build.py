@@ -103,16 +103,26 @@ def build_index(
     fragments, input_fp = list_fragments(input_paths)
     if cfg.dynamic:
         cfg = cfg.with_discovered(_input_schemas(fragments))
-    if cfg.merge_buckets is None or cfg.salt_doc_range is None:
+    if (cfg.merge_buckets is None or cfg.salt_doc_range is None
+            or cfg.num_shards is None):
         # deterministic (functions of the input inventory), resolved
         # BEFORE fingerprinting so the manifest records the integers
         from dataclasses import replace
 
-        from ..schema import auto_merge_buckets, auto_salt_doc_range
+        from ..schema import (
+            auto_merge_buckets,
+            auto_num_shards,
+            auto_salt_doc_range,
+        )
 
         total_rows = sum(f["num_rows"] for f in fragments)
         cfg = replace(
             cfg,
+            num_shards=(
+                cfg.num_shards
+                if cfg.num_shards is not None
+                else auto_num_shards(total_rows)
+            ),
             merge_buckets=(
                 cfg.merge_buckets
                 if cfg.merge_buckets is not None

@@ -61,7 +61,9 @@ class IndexConfig:
     boost_column: str | None = None
     # columns copied to the docs table but not indexed
     id_columns: tuple[str, ...] = ()
-    num_shards: int = 16
+    # ``None`` = auto-fit from the corpus size in build_index
+    # (:func:`auto_num_shards`); direct stage use requires an integer
+    num_shards: int | None = 16
     # fragments (row-groups) per invert task: tokenized one-by-one (small
     # working set) but written as ONE segment — per-group vocab dedup
     # (8 x 500-row fragments ~ 4k docs/task: amortizes per-task overhead
@@ -145,7 +147,7 @@ class IndexConfig:
         pipeline resolves it from the input size first (build.py), so a
         manifest always records the resolved integer."""
         b = 32 if self.merge_buckets is None else self.merge_buckets
-        return max(1, min(b, self.num_shards))
+        return max(1, min(b, self.num_shards or b))
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -238,6 +240,23 @@ def auto_salt_doc_range(num_docs: int) -> int:
     return 1 << min(30, max(11, math.ceil(math.log2(target))))
 
 
+def auto_num_shards(num_docs: int) -> int:
+    """Term-hash shard count sized from the corpus when the config
+    leaves ``num_shards=None``: bounds the shard-FILE count (doc bands
+    × shards) so a cold dictionary scan touches hundreds of files, not
+    tens of thousands (~1ms fixed cost per file dominates wide
+    expansions), while keeping hash spread for merge parallelism at
+    scale.  ~1 shard per 500k docs, power of two, floor 16, cap 4096
+    (10^12 docs with ~32 bands → ~128k files of ~50 MB).  Deterministic
+    function of the input row count, resolved before fingerprinting."""
+    import math
+
+    if num_docs <= 0:
+        return 16
+    target = max(1, num_docs // 500_000)
+    return 1 << min(12, max(4, math.ceil(math.log2(target))))
+
+
 def auto_merge_buckets(num_docs: int) -> int:
     """Merge-task count sized from the corpus: ~10k docs (a few million
     postings at a few hundred tokens/doc) per task keeps every bucket's
@@ -315,8 +334,12 @@ def analyzer_for(spec: str | Analyzer) -> Analyzer:
     raise ValueError(f"unknown analyzer spec: {spec!r}")
 
 
-def source_code_config(num_shards: int = 256) -> IndexConfig:
-    """Config for the BASELINE.json corpus (repo,path,commit,lang,content)."""
+def source_code_config(num_shards: int | None = None) -> IndexConfig:
+    """Config for the BASELINE.json corpus (repo,path,commit,lang,content).
+
+    ``num_shards=None`` auto-fits from the corpus size inside
+    build_index (:func:`auto_num_shards`); pass an explicit count to
+    pin the physical layout."""
     return IndexConfig(
         fields={
             "content": FieldConfig(analyzer="standard", stored=False),

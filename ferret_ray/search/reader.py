@@ -389,17 +389,30 @@ class IndexReader:
             return
         from concurrent.futures import ThreadPoolExecutor
 
-        def _open(ss: int) -> _Shard:
-            return _Shard(
-                fs_join(
-                    self._root, f"shards/shard-{ss:08d}.parquet"
-                ),
-                fs=self._fs,
-            )
+        nthreads = min(16, len(missing))
 
-        with ThreadPoolExecutor(min(16, len(missing))) as ex:
-            for ss, sh in zip(missing, ex.map(_open, missing)):
-                self._shards[ss] = sh
+        def _open_chunk(chunk: list[int]) -> list[tuple[int, _Shard]]:
+            # one future per THREAD, not per file — thousands of
+            # per-file futures spend more time in lock churn than IO
+            return [
+                (
+                    ss,
+                    _Shard(
+                        fs_join(
+                            self._root,
+                            f"shards/shard-{ss:08d}.parquet",
+                        ),
+                        fs=self._fs,
+                    ),
+                )
+                for ss in chunk
+            ]
+
+        chunks = [missing[i::nthreads] for i in range(nthreads)]
+        with ThreadPoolExecutor(nthreads) as ex:
+            for res in ex.map(_open_chunk, chunks):
+                for ss, sh in res:
+                    self._shards[ss] = sh
 
     def _term_rows(self, field_num: int, term: str) -> list[tuple[_Shard, int]]:
         s = term_shard(field_num, term, self.num_shards)
@@ -510,19 +523,22 @@ class IndexReader:
         if len(sh_rows) > 3:
             # threaded prefetch of the needed posting row groups (the
             # parquet reads release the GIL); the numpy decode below
-            # then runs over warm cached tables
+            # then runs over warm cached tables.  Chunked: one future
+            # per thread, not per shard file
             from concurrent.futures import ThreadPoolExecutor
 
-            def _prefetch(item):
-                sh, rws = item
-                rgs = np.searchsorted(
-                    sh._rg_off, rws, side="right"
-                ) - 1
-                for rg in np.unique(rgs):
-                    sh._rg_table(int(rg), "docs_enc")
+            def _prefetch(items):
+                for sh, rws in items:
+                    rgs = np.searchsorted(
+                        sh._rg_off, rws, side="right"
+                    ) - 1
+                    for rg in np.unique(rgs):
+                        sh._rg_table(int(rg), "docs_enc")
 
-            with ThreadPoolExecutor(min(16, len(sh_rows))) as ex:
-                list(ex.map(_prefetch, sh_rows))
+            nthreads = min(16, len(sh_rows))
+            chunks = [sh_rows[i::nthreads] for i in range(nthreads)]
+            with ThreadPoolExecutor(nthreads) as ex:
+                list(ex.map(_prefetch, chunks))
         seg: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
         for sh, rws in sh_rows:
             sid = id(sh)

@@ -30,6 +30,7 @@ def main() -> None:
     import ray
 
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
+    max_tokens = int(os.environ.get("SOAK_MAX_TOKENS", "400"))
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus,
@@ -48,7 +49,7 @@ def main() -> None:
     # ---- corpus: parallel slice generation (40 Ray tasks) -------------
     slice_docs = 500_000
     n_slices = (n_docs + slice_docs - 1) // slice_docs
-    corpus_dir = f"/tmp/ferret_ray_corpus/code{n_docs}-mt400"
+    corpus_dir = f"/tmp/ferret_ray_corpus/code{n_docs}-mt{max_tokens}"
     os.makedirs(corpus_dir, exist_ok=True)
 
     @ray.remote(num_cpus=1)
@@ -60,7 +61,8 @@ def main() -> None:
         if not os.path.exists(path):
             tmp = path + ".tmp"
             generate_corpus(tmp, docs, seed=42 + i,
-                            rows_per_fragment=2000, max_tokens=400)
+                            rows_per_fragment=2000,
+                            max_tokens=max_tokens)
             os.replace(tmp, path)
         return path
 
@@ -70,8 +72,7 @@ def main() -> None:
     out["corpus_bytes"] = sum(os.path.getsize(p) for p in slices)
 
     # ---- build ---------------------------------------------------------
-    cfg = source_code_config()
-    cfg.salt_doc_range = 1 << 21  # 10 doc ranges at 20M docs
+    cfg = source_code_config()  # salt_doc_range auto-fits ~32 doc bands
     index_dir = f"/tmp/ferret_ray_soak/code-{n_docs}"
     shutil.rmtree(index_dir, ignore_errors=True)
     t0 = time.time()
@@ -88,6 +89,11 @@ def main() -> None:
     out["shards_bytes"] = int(du[0])
     out["segments_bytes"] = int(du[2])
     out["docs_bytes"] = int(du[4])
+
+    # post-commit GC: segments/ + checkpoints/ are resume-only
+    from ferret_ray.pipelines.build import gc_build_intermediates
+
+    out["gc_reclaimed_bytes"] = gc_build_intermediates(index_dir)
 
     # ---- serving: hot-term latency under the bounded-top-k default ----
     from ferret_ray.search.fql import FQLParser
@@ -128,6 +134,25 @@ def main() -> None:
     out["hot_terms"] = hot
     del s
 
+    # cold dictionary-expansion tail (VERDICT r4 #3): fresh reader,
+    # first-touch wide prefix expansion, then the warm repeat
+    import gc as _gc
+
+    _gc.collect()
+    s2 = Searcher(IndexReader(index_dir))
+    pq = parser.parse("tok1*")
+    t0 = time.perf_counter()
+    td_cold = s2.search(copy.deepcopy(pq), 0, 10)
+    cold_ms = (time.perf_counter() - t0) * 1000
+    t0 = time.perf_counter()
+    s2.search(copy.deepcopy(pq), 0, 10)
+    warm_ms = (time.perf_counter() - t0) * 1000
+    out["cold_expansion"] = {
+        "query": "tok1*", "total_hits": td_cold.total_hits,
+        "cold_ms": round(cold_ms, 1), "warm_ms": round(warm_ms, 1),
+    }
+    del s2
+
     # ---- replica batch pool --------------------------------------------
     batch_queries = queries * 10
     t0 = time.time()
@@ -161,6 +186,19 @@ def main() -> None:
               for i in range(len(pq_queries))]
     out["partitioned"]["batch_sec_inprocess"] = round(time.time() - t0, 2)
     out["partitioned"]["rows"] = sum(len(m[0]) for m in merged)
+
+    # distributed WAND across the same partitions == exact top-k
+    wand_terms = ["int", "return", "tok3"]
+    probes = [TermQuery("content", t) for t in wand_terms]
+    df_map_w, _ = merge_stats([w.stats(probes) for w in workers])
+    t0 = time.perf_counter()
+    per = [w.wand("content", wand_terms, df_map_w, 10) for w in workers]
+    hits = [h for r in per for h in r[0]]
+    hits.sort(key=lambda x: (-x[1], x[0]))
+    out["partitioned"]["wand_ms"] = round(
+        (time.perf_counter() - t0) * 1000, 1
+    )
+    out["partitioned"]["wand_top"] = [int(d) for d, _ in hits[:10]]
 
     shutil.rmtree(index_dir, ignore_errors=True)
     print(json.dumps(out))
