@@ -1370,8 +1370,91 @@ def oracle_sql() -> dict[str, str]:
                  OR list_contains({tokens}, 'merge')
             ) ORDER BY query, doc_id
         """,
-        # fingerprints: a rolling-hash sketch (crc32 chain) with no SQL
-        # equivalent -> rows-only check.  simhash_pairs: oracle below
+        # fingerprints: the winnowing sketch reproduced end-to-end in
+        # SQL — crc32 itself is computed by a recursive CTE (the
+        # 256-entry polynomial table is generated in SQL, then each
+        # gram's forward and reversed crc folds one byte per recursion
+        # step), followed by DuckDB window minima + bit_xor for the
+        # winnowing.  Nothing is injected from the Python kernel.
+        "fingerprints": """
+            WITH RECURSIVE
+            crc_tab(i, r, v) AS (
+              SELECT i, 0, i::UBIGINT FROM range(256) t(i)
+              UNION ALL
+              SELECT i, r+1,
+                     CASE WHEN v & 1 = 1
+                          THEN xor(v >> 1, 3988292384::UBIGINT)
+                          ELSE v >> 1 END
+              FROM crc_tab WHERE r < 8
+            ),
+            crc_table AS (SELECT i, v FROM crc_tab WHERE r = 8),
+            tok_lists AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+              FROM documents
+            ),
+            gram_idx AS (
+              SELECT doc_id, l,
+                     unnest(range(1, greatest(len(l)-4, 1)+1)) AS gidx
+              FROM tok_lists WHERE len(l) > 0
+            ),
+            grams AS (
+              SELECT doc_id, gidx,
+                     array_to_string(l[gidx:gidx+4], ' ') AS g
+              FROM gram_idx
+            ),
+            crc_calc(doc_id, gidx, g, pos, n, cf, cr) AS (
+              SELECT doc_id, gidx, g, 0, strlen(g),
+                     4294967295::UBIGINT, 4294967295::UBIGINT
+              FROM grams
+              UNION ALL
+              SELECT c.doc_id, c.gidx, c.g, c.pos+1, c.n,
+                     xor(t1.v, c.cf >> 8),
+                     xor(t2.v, c.cr >> 8)
+              FROM crc_calc c
+              JOIN crc_table t1
+                ON t1.i = xor(c.cf & 255,
+                              ord(substr(c.g, c.pos+1, 1))::UBIGINT)
+              JOIN crc_table t2
+                ON t2.i = xor(c.cr & 255,
+                              ord(substr(c.g, c.n - c.pos, 1))::UBIGINT)
+              WHERE c.pos < c.n
+            ),
+            hashes AS (
+              SELECT doc_id, gidx,
+                     xor(cf, 4294967295::UBIGINT) * 4294967296::UBIGINT
+                       + xor(cr, 4294967295::UBIGINT) AS h
+              FROM crc_calc WHERE pos = n
+            ),
+            counts AS (
+              SELECT doc_id, count(*) AS ng FROM hashes GROUP BY doc_id
+            ),
+            fp_small AS (
+              SELECT h.doc_id, bit_xor(h.h) AS fingerprint
+              FROM hashes h JOIN counts c USING (doc_id)
+              WHERE c.ng <= 8 GROUP BY h.doc_id
+            ),
+            winmins AS (
+              SELECT h.doc_id, h.gidx, c.ng,
+                     min(h.h) OVER (PARTITION BY h.doc_id ORDER BY h.gidx
+                       ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m
+              FROM hashes h JOIN counts c USING (doc_id)
+              WHERE c.ng > 8
+            ),
+            fp_large AS (
+              SELECT doc_id, bit_xor(DISTINCT m) AS fingerprint
+              FROM winmins WHERE gidx <= ng - 7 GROUP BY doc_id
+            ),
+            fp_empty AS (
+              SELECT doc_id, 0::UBIGINT AS fingerprint
+              FROM tok_lists WHERE len(l) = 0
+            )
+            SELECT doc_id, fingerprint FROM fp_small
+            UNION ALL SELECT doc_id, fingerprint FROM fp_large
+            UNION ALL SELECT doc_id, fingerprint FROM fp_empty
+            ORDER BY doc_id
+        """,
+        # simhash_pairs: oracle below
         # (signatures injected as VALUES, blocking reproduced in SQL).
         # tfidf_top10 / wand_topk: Ferret-default
         # scoring depends on the float8-QUANTIZED norm byte

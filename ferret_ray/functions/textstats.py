@@ -251,7 +251,9 @@ def fingerprints(batch, k: int = 5, window: int = 8) -> dict:
         else:
             sw = np.lib.stride_tricks.sliding_window_view(hs, window)
             out[di] = np.bitwise_xor.reduce(np.unique(sw.min(axis=1)))
+    # hand Arrow the uint64 array directly — a Python int list here
+    # overflows C long for hashes >= 2^63 and forces a pickled block
     return {
         "doc_id": _ids_col(batch),
-        "fingerprint": [int(x) for x in out],
+        "fingerprint": out,
     }
