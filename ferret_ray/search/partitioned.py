@@ -482,8 +482,12 @@ class PartitionedSearcherPool:
         need = first_doc + num_docs
         stats = ray.get([w.stats.remote(queries) for w in self.workers])
         df_map, exp_map = merge_stats(stats)
+        # put the merged global maps ONCE — wide expansions (wildcard /
+        # fuzzy batches) would otherwise be re-serialized into every
+        # actor's task args, N copies per round
+        df_ref, exp_ref = ray.put(df_map), ray.put(exp_map)
         results = ray.get([
-            w.topk.remote(queries, df_map, exp_map, need, sort)
+            w.topk.remote(queries, df_ref, exp_ref, need, sort)
             for w in self.workers
         ])
         out = []
@@ -511,8 +515,9 @@ class PartitionedSearcherPool:
         probes = [TermQuery(field, t) for t in terms]
         stats = ray.get([w.stats.remote(probes) for w in self.workers])
         df_map, _ = merge_stats(stats)
+        df_ref = ray.put(df_map)
         results = ray.get([
-            w.wand.remote(field, terms, df_map, k)
+            w.wand.remote(field, terms, df_ref, k)
             for w in self.workers
         ])
         hits = [h for r in results for h in r[0]]
