@@ -41,12 +41,16 @@ def top_terms(
         if field not in sub.field_names:
             continue
         fn = sub.field_num(field)
+        hi = prefix + "\U0010FFFF" if prefix else ""
         for ss in sub._shard_salts:
             sh = sub._shard_for(ss)
-            a = int(np.searchsorted(sh.fields, fn, "left"))
-            b = int(np.searchsorted(sh.fields, fn, "right"))
+            if prefix:
+                a = sh.term_bisect(fn, prefix)
+                b = sh.term_bisect(fn, hi)
+            else:
+                a, b = sh.field_bounds(fn)
             terms = sh.terms_slice(a, b)
-            dfs = sh.df[a:b]
+            dfs = sh.df_slice(a, b)
             for t, d in zip(terms, dfs):
                 if t.startswith(prefix):
                     agg[t] = agg.get(t, 0) + int(d)

@@ -99,6 +99,17 @@ class MultiReader:
     def doc_freq(self, field: str, term: str) -> int:
         return sum(r.doc_freq(field, term) for r in self.readers)
 
+    def doc_freq_many(self, field: str, terms: list[str]) -> dict[str, int]:
+        out = {t: 0 for t in terms}
+        for r in self.readers:
+            if hasattr(r, "doc_freq_many"):
+                for t, d in r.doc_freq_many(field, terms).items():
+                    out[t] += d
+            else:
+                for t in terms:
+                    out[t] += r.doc_freq(field, t)
+        return out
+
     def deleted_docs(self) -> set[int]:
         """Union of sub-reader tombstones, shifted by doc bases."""
         out: set[int] = set()

@@ -99,6 +99,31 @@ class _Recorder(_ReaderProxy):
         self.touched_df.add(key)
         return v
 
+    def doc_freq_many(self, field: str, terms: list) -> dict:
+        """Bulk df, recorded term-by-term so phase-1/phase-2 exchange
+        still sees every key (the searcher's MultiTermWeight fast path
+        would otherwise bypass the proxy via __getattr__)."""
+        out: dict = {}
+        missing = []
+        for t in terms:
+            v = self.df_memo.get((field, t))
+            if v is None:
+                missing.append(t)
+            else:
+                out[t] = v
+        if missing:
+            many = getattr(self._base, "doc_freq_many", None)
+            got = (
+                many(field, missing) if many is not None
+                else {t: self._base.doc_freq(field, t) for t in missing}
+            )
+            for t, v in got.items():
+                self.df_memo[(field, t)] = v
+                out[t] = v
+        for t in terms:
+            self.touched_df.add((field, t))
+        return out
+
     def expansion(self, key, build):
         if key[0] in RAW_KEYS:
             v = self.exp_memo.get(key)
@@ -129,6 +154,12 @@ class _Overlay(_ReaderProxy):
         if v is not None:
             return v
         return self._base.doc_freq(field, term)
+
+    def doc_freq_many(self, field: str, terms: list) -> dict:
+        """Bulk df with the GLOBAL overlay applied per term (the
+        searcher's MultiTermWeight fast path must not fall through to
+        partition-local dfs via __getattr__)."""
+        return {t: self.doc_freq(field, t) for t in terms}
 
     def expansion(self, key, build):
         v = self.exp_map.get(key)

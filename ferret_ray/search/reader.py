@@ -113,13 +113,24 @@ def _bisect_terms(terms, x: str, lo: int, hi: int, right: bool = False):
 
 
 class _Shard:
-    """One shard file, opened LAZILY: only the dictionary columns
-    (field, term, df, tf_sum) load at init — terms stay a compact Arrow
-    array (binary-searched, never a Python dict).  Posting blobs are
-    fetched on demand by row-group range reads with a small LRU; at
+    """One shard file, opened LAZILY: __init__ reads ONLY the parquet
+    footer (row-group offsets + per-row-group (field, term) min/max
+    statistics).  Dictionary row groups load on demand, pruned by the
+    footer stats — a point lookup or a prefix range touches only the
+    1-2 row groups whose key range can contain it, never the whole
+    dictionary (a 20M-doc corpus carries ~GBs of dictionary across its
+    band files; slurping it at open cost ~58 s cold).  Loaded groups
+    stay cached, so warm behavior equals the old eager reader.  Posting
+    blobs are fetched by row-group range reads with a small LRU; at
     cluster scale these map to object-store/S3 range requests.  The
     reference analogue: TermInfosReader's .tix sampled index + seek
-    (c/src/index.c:2712-2869) instead of slurping the whole .tis/.frq."""
+    (c/src/index.c:2712-2869) instead of slurping the whole .tis/.frq —
+    with parquet row-group stats as the sampled index.
+
+    Statistics are used strictly as BOUNDS (parquet may truncate string
+    min/max: stored min <= true min, stored max >= true max), so a
+    truncated stat only widens the candidate set, never skips a match.
+    """
 
     # fetch groups: scoring touches only docs+freqs; positions (the bulk
     # of index bytes) load only for phrase/span paths
@@ -134,17 +145,32 @@ class _Shard:
         if fs is None:
             fs, path = resolve_fs(path)
         self._pf = open_parquet(fs, path)
-        t = self._pf.read(columns=["field", "term", "df", "tf_sum"])
-        self.fields = t.column("field").to_numpy()
-        self.terms = t.column("term").combine_chunks()
-        self.df = t.column("df").to_numpy()
-        self.tf_sum = t.column("tf_sum").to_numpy()
         md = self._pf.metadata
-        counts = np.array(
-            [md.row_group(i).num_rows for i in range(md.num_row_groups)],
-            dtype=np.int64,
-        )
+        nrg = md.num_row_groups
+        counts = np.empty(nrg, dtype=np.int64)
+        names = self._pf.schema_arrow.names
+        fci, tci = names.index("field"), names.index("term")
+        fmin = np.empty(nrg, dtype=np.int64)
+        fmax = np.empty(nrg, dtype=np.int64)
+        tmin: list[str | None] = [None] * nrg
+        tmax: list[str | None] = [None] * nrg
+        for i in range(nrg):
+            rg = md.row_group(i)
+            counts[i] = rg.num_rows
+            fst = rg.column(fci).statistics
+            tst = rg.column(tci).statistics
+            if fst is not None and fst.has_min_max:
+                fmin[i], fmax[i] = int(fst.min), int(fst.max)
+            else:  # no stats: field range unknown -> always a candidate
+                fmin[i], fmax[i] = np.iinfo(np.int64).min, np.iinfo(
+                    np.int64).max
+            if tst is not None and tst.has_min_max:
+                tmin[i], tmax[i] = tst.min, tst.max
+        self._rg_fmin, self._rg_fmax = fmin, fmax
+        self._rg_tmin, self._rg_tmax = tmin, tmax
         self._rg_off = np.concatenate(([0], np.cumsum(counts)))
+        self._dict_rgs: dict[int, tuple] = {}
+        self._field_runs: dict[int, range] = {}
         self._rg_cache: OrderedDict[int, object] = OrderedDict()
         self._rg_cap = rg_cache
         self.docs_enc = _RGBlobs(self, "docs_enc")
@@ -152,19 +178,156 @@ class _Shard:
         self.prx_enc = _RGBlobs(self, "prx_enc")
         self.prx_lens_enc = _RGBlobs(self, "prx_lens_enc")
 
+    # ---- lazy dictionary ------------------------------------------------
+
+    def _drg(self, rg: int) -> tuple:
+        """(fields np, terms Arrow, df np, tf_sum np) of one dictionary
+        row group, loaded once and kept (warm state == old eager
+        reader)."""
+        hit = self._dict_rgs.get(rg)
+        if hit is None:
+            t = self._pf.read_row_group(
+                rg, columns=["field", "term", "df", "tf_sum"]
+            )
+            hit = (
+                t.column("field").to_numpy(),
+                t.column("term").combine_chunks(),
+                t.column("df").to_numpy(),
+                t.column("tf_sum").to_numpy(),
+            )
+            self._dict_rgs[rg] = hit
+        return hit
+
+    def _rg_of_row(self, i: int) -> int:
+        return int(np.searchsorted(self._rg_off, i, side="right") - 1)
+
+    def _field_run(self, fn: int) -> range:
+        """Consecutive row groups whose [fmin, fmax] contains fn (rows
+        are sorted by (field, term), so the run is contiguous)."""
+        run = self._field_runs.get(fn)
+        if run is None:
+            hit = np.flatnonzero(
+                (self._rg_fmin <= fn) & (fn <= self._rg_fmax)
+            )
+            run = (
+                range(int(hit[0]), int(hit[-1]) + 1) if hit.size
+                else range(0, 0)
+            )
+            self._field_runs[fn] = run
+        return run
+
+    def term_bisect(self, fn: int, term: str, right: bool = False) -> int:
+        """Global insertion point of (fn, term) in the sorted
+        dictionary, loading only the row group(s) the footer stats
+        cannot rule out."""
+        run = self._field_run(fn)
+        if len(run) == 0:
+            # field absent from this file: position where it would sit
+            after = np.flatnonzero(self._rg_fmin > fn)
+            return (
+                int(self._rg_off[int(after[0])]) if after.size
+                else int(self._rg_off[-1])
+            )
+        pos = int(self._rg_off[run.start])
+        for rg in run:
+            single = (
+                self._rg_fmin[rg] == fn == self._rg_fmax[rg]
+                and self._rg_tmin[rg] is not None
+            )
+            if single:
+                tmx = self._rg_tmax[rg]
+                if tmx < term or (right and tmx == term):
+                    pos = int(self._rg_off[rg + 1])
+                    continue
+                tmn = self._rg_tmin[rg]
+                if tmn > term or (not right and tmn == term):
+                    return int(self._rg_off[rg])
+            flds, terms, _, _ = self._drg(rg)
+            a = int(np.searchsorted(flds, fn, side="left"))
+            b = int(np.searchsorted(flds, fn, side="right"))
+            i = _bisect_terms(terms, term, a, b, right)
+            if i < b or b < len(flds):
+                return int(self._rg_off[rg]) + i
+            pos = int(self._rg_off[rg + 1])
+        return pos
+
+    def field_bounds(self, fn: int) -> tuple[int, int]:
+        """Global [start, end) row range of field fn."""
+        run = self._field_run(fn)
+        if len(run) == 0:
+            i = self.term_bisect(fn, "")
+            return i, i
+        r0, r1 = run.start, run.stop - 1
+        if self._rg_fmin[r0] == fn:
+            a = int(self._rg_off[r0])
+        else:
+            flds, _, _, _ = self._drg(r0)
+            a = int(self._rg_off[r0]) + int(
+                np.searchsorted(flds, fn, side="left")
+            )
+        if self._rg_fmax[r1] == fn:
+            b = int(self._rg_off[r1 + 1])
+        else:
+            flds, _, _, _ = self._drg(r1)
+            b = int(self._rg_off[r1]) + int(
+                np.searchsorted(flds, fn, side="right")
+            )
+        return a, b
+
     def term_at(self, i: int) -> str:
-        return self.terms[i].as_py()
+        rg = self._rg_of_row(i)
+        return self._drg(rg)[1][i - int(self._rg_off[rg])].as_py()
+
+    def df_at(self, i: int) -> int:
+        rg = self._rg_of_row(i)
+        return int(self._drg(rg)[2][i - int(self._rg_off[rg])])
+
+    def tf_sum_at(self, i: int) -> int:
+        rg = self._rg_of_row(i)
+        return int(self._drg(rg)[3][i - int(self._rg_off[rg])])
 
     def terms_slice(self, a: int, b: int) -> list[str]:
-        """Materialize ONLY rows [a, b) of the dictionary (range scans)."""
-        return self.terms.slice(a, b - a).to_pylist()
+        """Materialize ONLY rows [a, b) of the dictionary (range scans),
+        reading only the covered row groups."""
+        if a >= b:
+            return []
+        out: list[str] = []
+        rga = self._rg_of_row(a)
+        rgb = self._rg_of_row(b - 1)
+        for rg in range(rga, rgb + 1):
+            off = int(self._rg_off[rg])
+            cnt = int(self._rg_off[rg + 1]) - off
+            la = max(0, a - off)
+            lb = min(cnt, b - off)
+            out.extend(
+                self._drg(rg)[1].slice(la, lb - la).to_pylist()
+            )
+        return out
+
+    def df_slice(self, a: int, b: int) -> np.ndarray:
+        """df values of dictionary rows [a, b) (range scans)."""
+        if a >= b:
+            return np.empty(0, dtype=np.int64)
+        parts: list[np.ndarray] = []
+        for rg in range(self._rg_of_row(a), self._rg_of_row(b - 1) + 1):
+            off = int(self._rg_off[rg])
+            cnt = int(self._rg_off[rg + 1]) - off
+            parts.append(
+                self._drg(rg)[2][max(0, a - off): min(cnt, b - off)]
+            )
+        return np.concatenate(parts)
 
     def row_of(self, field_num: int, term: str) -> int | None:
-        a = int(np.searchsorted(self.fields, field_num, side="left"))
-        b = int(np.searchsorted(self.fields, field_num, side="right"))
-        i = _bisect_terms(self.terms, term, a, b)
-        if i < b and self.terms[i].as_py() == term:
-            return i
+        i = self.term_bisect(field_num, term)
+        if i < int(self._rg_off[-1]):
+            rg = self._rg_of_row(i)
+            flds, terms, _, _ = self._drg(rg)
+            li = i - int(self._rg_off[rg])
+            if (
+                flds[li] == field_num
+                and terms[li].as_py() == term
+            ):
+                return i
         return None
 
     def _rg_table(self, rg: int, name: str):
@@ -433,11 +596,116 @@ class IndexReader:
         if hit is not None:
             self._df_cache.move_to_end(key)
             return hit
-        df = sum(int(sh.df[i]) for sh, i in self._term_rows(fn, term))
+        df = sum(sh.df_at(i) for sh, i in self._term_rows(fn, term))
         self._df_cache[key] = df
         if len(self._df_cache) > 200_000:  # ints — a few MB ceiling
             self._df_cache.popitem(last=False)
         return df
+
+    # ---- bulk dictionary access (expansion hot path) ---------------------
+
+    def _dict_jobs(self, sh: "_Shard", fn: int, lo: str,
+                   hi: str | None, hi_inclusive: bool) -> list:
+        """(shard, rg) pairs whose dictionary row group can intersect
+        terms [lo, hi] of field fn — footer-stat pruned, bounds-safe."""
+        jobs = []
+        for rg in sh._field_run(fn):
+            if rg in sh._dict_rgs:
+                continue
+            if (
+                sh._rg_fmin[rg] == fn == sh._rg_fmax[rg]
+                and sh._rg_tmin[rg] is not None
+            ):
+                if sh._rg_tmax[rg] < lo:
+                    continue
+                tmn = sh._rg_tmin[rg]
+                if hi is not None and (
+                    tmn > hi or (not hi_inclusive and tmn == hi)
+                ):
+                    continue
+            jobs.append((sh, rg))
+        return jobs
+
+    def _load_dict_jobs(self, jobs: list) -> None:
+        """Thread-load pruned dictionary row groups (Arrow parquet
+        reads release the GIL) — a cold wide expansion otherwise pays
+        one SERIAL read_row_group per bisect probe across every band
+        file."""
+        jobs = [(sh, rg) for sh, rg in jobs if rg not in sh._dict_rgs]
+        if len(jobs) < 4:
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _load(chunk):
+            for sh, rg in chunk:
+                sh._drg(rg)
+
+        nthreads = min(16, len(jobs))
+        chunks = [jobs[i::nthreads] for i in range(nthreads)]
+        with ThreadPoolExecutor(nthreads) as ex:
+            list(ex.map(_load, chunks))
+
+    def _prefetch_dict(self, fn: int, lo: str, hi: str | None,
+                       hi_inclusive: bool = False) -> None:
+        jobs = []
+        for ss in self._shard_salts:
+            jobs += self._dict_jobs(
+                self._shard_for(ss), fn, lo, hi, hi_inclusive
+            )
+        self._load_dict_jobs(jobs)
+
+    def doc_freq_many(self, field: str, terms: list[str]) -> dict[str, int]:
+        """Bulk df for many terms (expansion weights): one sorted
+        merge-join per shard over the stats-pruned dictionary row
+        groups instead of a per-term per-file bisect."""
+        fn = self.field_num(field)
+        out = {t: 0 for t in terms}
+        if fn < 0 or not terms:
+            return out
+        missing = []
+        for t in set(terms):
+            hit = self._df_cache.get((fn, t))
+            if hit is not None:
+                out[t] = hit
+            else:
+                missing.append(t)
+        if not missing:
+            return out
+        by_hash: dict[int, list[str]] = {}
+        for t in sorted(missing):
+            by_hash.setdefault(
+                term_shard(fn, t, self.num_shards), []
+            ).append(t)
+        self._ensure_shards(
+            [ss for h in by_hash for ss in self._by_shard.get(h, ())]
+        )
+        jobs = []
+        for h, tlist in by_hash.items():
+            for ss in self._by_shard.get(h, ()):
+                jobs += self._dict_jobs(
+                    self._shard_for(ss), fn, tlist[0], tlist[-1], True
+                )
+        self._load_dict_jobs(jobs)
+        for h, tlist in by_hash.items():
+            for ss in self._by_shard.get(h, ()):
+                sh = self._shard_for(ss)
+                i = sh.term_bisect(fn, tlist[0])
+                j = sh.term_bisect(fn, tlist[-1], right=True)
+                if i >= j:
+                    continue
+                dict_slice = sh.terms_slice(i, j)
+                dfs = sh.df_slice(i, j)
+                di = 0
+                for t in tlist:
+                    while di < len(dict_slice) and dict_slice[di] < t:
+                        di += 1
+                    if di < len(dict_slice) and dict_slice[di] == t:
+                        out[t] += int(dfs[di])
+        for t in missing:
+            self._df_cache[(fn, t)] = out[t]
+            if len(self._df_cache) > 200_000:
+                self._df_cache.popitem(last=False)
+        return out
 
     def postings(self, field: str, term: str) -> Postings | None:
         fn = self.field_num(field)
@@ -487,14 +755,19 @@ class IndexReader:
         self._ensure_shards(
             [ss for h in by_hash for ss in self._by_shard.get(h, ())]
         )
+        dict_jobs = []
+        for h, tlist in by_hash.items():
+            for ss in self._by_shard.get(h, ()):
+                dict_jobs += self._dict_jobs(
+                    self._shard_for(ss), fn, tlist[0], tlist[-1], True
+                )
+        self._load_dict_jobs(dict_jobs)
         parts: dict[str, list] = {}
         for h, tlist in by_hash.items():
             for ss in self._by_shard.get(h, ()):
                 sh = self._shard_for(ss)
-                a = int(np.searchsorted(sh.fields, fn, side="left"))
-                b = int(np.searchsorted(sh.fields, fn, side="right"))
-                i = _bisect_terms(sh.terms, tlist[0], a, b)
-                j = _bisect_terms(sh.terms, tlist[-1], a, b, right=True)
+                i = sh.term_bisect(fn, tlist[0])
+                j = sh.term_bisect(fn, tlist[-1], right=True)
                 if i >= j:
                     continue
                 dict_slice = sh.terms_slice(i, j)
@@ -621,11 +894,11 @@ class IndexReader:
     ) -> range:
         """Row range of terms in [lo, hi) for field fn (dict is sorted by
         (field, term) — the sampled-index seek of the reference's .tix,
-        c/src/index.c:2820-2830, as a bisect over the Arrow array)."""
-        a = int(np.searchsorted(sh.fields, fn, side="left"))
-        b = int(np.searchsorted(sh.fields, fn, side="right"))
-        i = _bisect_terms(sh.terms, lo, a, b)
-        j = _bisect_terms(sh.terms, hi, a, b) if hi else b
+        c/src/index.c:2820-2830, via footer-stat row-group pruning)."""
+        i = sh.term_bisect(fn, lo)
+        j = (
+            sh.term_bisect(fn, hi) if hi else sh.field_bounds(fn)[1]
+        )
         return range(i, j)
 
     def terms_with_prefix(self, field: str, prefix: str) -> list[str]:
@@ -635,6 +908,7 @@ class IndexReader:
         found: set[str] = set()
         hi = prefix + "\U0010FFFF" if prefix else ""
         self._ensure_shards(self._shard_salts)
+        self._prefetch_dict(fn, prefix, hi if prefix else None)
         for ss in self._shard_salts:
             sh = self._shard_for(ss)
             r = self._field_term_slice(sh, fn, prefix, hi)
@@ -654,16 +928,21 @@ class IndexReader:
             return []
         found: set[str] = set()
         self._ensure_shards(self._shard_salts)
+        self._prefetch_dict(
+            fn, lower if lower is not None else "", upper,
+            hi_inclusive=include_upper,
+        )
         for ss in self._shard_salts:
             sh = self._shard_for(ss)
-            a = int(np.searchsorted(sh.fields, fn, side="left"))
-            b = int(np.searchsorted(sh.fields, fn, side="right"))
-            terms = sh.terms
-            i = a if lower is None else _bisect_terms(
-                terms, lower, a, b, right=not include_lower
+            a, b = (
+                sh.field_bounds(fn)
+                if lower is None or upper is None else (0, 0)
             )
-            j = b if upper is None else _bisect_terms(
-                terms, upper, a, b, right=include_upper
+            i = a if lower is None else sh.term_bisect(
+                fn, lower, right=not include_lower
+            )
+            j = b if upper is None else sh.term_bisect(
+                fn, upper, right=include_upper
             )
             found.update(sh.terms_slice(i, j))
         return sorted(found)
@@ -678,13 +957,13 @@ class IndexReader:
         found: set[str] = set()
         hi = prefix + "\U0010FFFF" if prefix else ""
         self._ensure_shards(self._shard_salts)
+        self._prefetch_dict(fn, prefix, hi if prefix else None)
         for ss in self._shard_salts:
             sh = self._shard_for(ss)
             if prefix:
                 rows = self._field_term_slice(sh, fn, prefix, hi)
             else:
-                a = int(np.searchsorted(sh.fields, fn, side="left"))
-                b = int(np.searchsorted(sh.fields, fn, side="right"))
+                a, b = sh.field_bounds(fn)
                 rows = range(a, b)
             found.update(
                 t for t in sh.terms_slice(rows.start, rows.stop)

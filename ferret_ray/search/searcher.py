@@ -512,9 +512,15 @@ class Searcher:
                     total = F32(total + self._idf(query.field, t))
             return _PhraseWeight(query, total)
         if isinstance(query, MultiTermQuery):
-            df_sum = sum(
-                self.doc_freq(query.field, t) for t, _ in query.terms
-            )
+            many = getattr(self.reader, "doc_freq_many", None)
+            if many is not None:
+                dfm = many(query.field, [t for t, _ in query.terms])
+                df_sum = sum(dfm[t] for t, _ in query.terms)
+            else:
+                df_sum = sum(
+                    self.doc_freq(query.field, t)
+                    for t, _ in query.terms
+                )
             return _MultiTermWeight(
                 query, sim_idf(df_sum, self.max_doc())
             )
