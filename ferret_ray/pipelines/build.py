@@ -178,7 +178,7 @@ def build_index(
         override_num_blocks=num_buckets,
     )
     shard_ds = bucket_ds.map_batches(
-        BucketMerger(index_dir, build_fp),
+        BucketMerger(index_dir, build_fp, cfg.shards_row_group_size),
         batch_size=1,
         batch_format="pyarrow",
         num_cpus=cfg.merge_num_cpus,

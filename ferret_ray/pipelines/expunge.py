@@ -115,6 +115,7 @@ def _purge_shard_table(
 class _PurgeTask:
     def __init__(self, src: str, dest: str, fp: str,
                  deleted: list[int], docs_rg_size: int = 1024,
+                 shards_rg_size: int = 1024,
                  docs_codec: dict[str, str] | None = None):
         # per-field STORE_COMPRESS overrides from the manifest config —
         # purged docs parts must keep the source index's codecs so the
@@ -125,6 +126,7 @@ class _PurgeTask:
         self.fp = fp
         self.deleted = np.asarray(sorted(deleted), dtype=np.int64)
         self.docs_rg_size = docs_rg_size
+        self.shards_rg_size = shards_rg_size
 
     def __call__(self, batch: dict) -> dict:
         out = []
@@ -149,7 +151,7 @@ class _PurgeTask:
             if new.num_rows:
                 pq.write_table(
                     new, fs_join(droot, rel), compression="zstd",
-                    row_group_size=1024, filesystem=dfs,
+                    row_group_size=self.shards_rg_size, filesystem=dfs,
                 )
                 metrics = {
                     "num_terms": new.num_rows,
@@ -240,6 +242,9 @@ def expunge_deletes(
         _PurgeTask(
             src_dir, dest_dir, fp, deleted,
             docs_rg_size=m["config"].get("docs_row_group_size", 1024),
+            shards_rg_size=m["config"].get(
+                "shards_row_group_size", 1024
+            ),
             docs_codec={
                 n: f["store_compression"]
                 for n, f in m["config"].get("fields", {}).items()

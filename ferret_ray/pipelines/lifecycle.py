@@ -77,6 +77,8 @@ def _cfg_from_manifest(m: dict) -> IndexConfig:
         salt_doc_range=c["salt_doc_range"],
         similarity=c.get("similarity", "default"),
         merge_buckets=c.get("merge_buckets", 32),
+        docs_row_group_size=c.get("docs_row_group_size", 1024),
+        shards_row_group_size=c.get("shards_row_group_size", 1024),
     )
 
 
@@ -281,7 +283,7 @@ def add_indexes(
         override_num_blocks=num_buckets,
     )
     shard_metrics = bucket_ds.map_batches(
-        BucketMerger(dest_dir, fp),
+        BucketMerger(dest_dir, fp, cfg.shards_row_group_size),
         batch_size=1,
         batch_format="pyarrow",
         concurrency=concurrency,

@@ -180,23 +180,46 @@ class _Shard:
 
     # ---- lazy dictionary ------------------------------------------------
 
+    DICT_COLS = ["field", "term", "df", "tf_sum"]
+
+    def _dict_tuple(self, t) -> tuple:
+        return (
+            t.column("field").to_numpy(),
+            t.column("term").combine_chunks(),
+            t.column("df").to_numpy(),
+            t.column("tf_sum").to_numpy(),
+        )
+
     def _drg(self, rg: int) -> tuple:
         """(fields np, terms Arrow, df np, tf_sum np) of one dictionary
         row group, loaded once and kept (warm state == old eager
         reader)."""
         hit = self._dict_rgs.get(rg)
         if hit is None:
-            t = self._pf.read_row_group(
-                rg, columns=["field", "term", "df", "tf_sum"]
-            )
-            hit = (
-                t.column("field").to_numpy(),
-                t.column("term").combine_chunks(),
-                t.column("df").to_numpy(),
-                t.column("tf_sum").to_numpy(),
-            )
+            t = self._pf.read_row_group(rg, columns=self.DICT_COLS)
+            hit = self._dict_tuple(t)
             self._dict_rgs[rg] = hit
         return hit
+
+    def drg_many(self, rgs) -> None:
+        """Load several dictionary row groups in ONE parquet read call
+        (cold wide expansions touch a few groups per file across
+        hundreds of files; per-call overhead dominates otherwise)."""
+        missing = sorted(
+            rg for rg in set(int(r) for r in rgs)
+            if rg not in self._dict_rgs
+        )
+        if not missing:
+            return
+        if len(missing) == 1:
+            self._drg(missing[0])
+            return
+        t = self._pf.read_row_groups(missing, columns=self.DICT_COLS)
+        off = 0
+        for rg in missing:
+            n = int(self._rg_off[rg + 1] - self._rg_off[rg])
+            self._dict_rgs[rg] = self._dict_tuple(t.slice(off, n))
+            off += n
 
     def _rg_of_row(self, i: int) -> int:
         return int(np.searchsorted(self._rg_off, i, side="right") - 1)
@@ -343,6 +366,35 @@ class _Shard:
         else:
             self._rg_cache.move_to_end(key)
         return tbl
+
+    def load_rg_tables(self, rgs, name: str) -> None:
+        """Bulk-load blob row groups in ONE parquet read call (a cold
+        wide expansion touches a handful of groups per file across
+        hundreds of files — per-read_row_group call overhead dominates
+        the IO there).  The combined table is sliced back per group
+        (zero-copy: read_row_groups keeps one chunk per group) and
+        cached; the cap grows to hold the whole batch so the decode
+        pass that follows never re-reads what this call just loaded."""
+        cols = self.BLOB_GROUPS[name]
+        missing = sorted(
+            rg for rg in set(int(r) for r in rgs)
+            if (rg, cols[0]) not in self._rg_cache
+        )
+        if not missing:
+            return
+        if len(missing) == 1:
+            self._rg_table(missing[0], name)
+            return
+        tbl = self._pf.read_row_groups(missing, columns=list(cols))
+        if len(missing) > self._rg_cap:
+            self._rg_cap = len(missing)
+        off = 0
+        for rg in missing:
+            n = int(self._rg_off[rg + 1] - self._rg_off[rg])
+            self._rg_cache[(rg, cols[0])] = tbl.slice(off, n)
+            off += n
+            if len(self._rg_cache) > self._rg_cap:
+                self._rg_cache.popitem(last=False)
 
     def gather_blobs(
         self, name: str, rows: np.ndarray
@@ -630,18 +682,24 @@ class IndexReader:
         """Thread-load pruned dictionary row groups (Arrow parquet
         reads release the GIL) — a cold wide expansion otherwise pays
         one SERIAL read_row_group per bisect probe across every band
-        file."""
+        file.  Grouped per shard file: ONE read_row_groups call per
+        file, not one call per row group (per-call setup dominates at
+        hundreds of files x a few groups each)."""
         jobs = [(sh, rg) for sh, rg in jobs if rg not in sh._dict_rgs]
         if len(jobs) < 4:
             return
+        by_sh: dict[int, tuple] = {}
+        for sh, rg in jobs:
+            by_sh.setdefault(id(sh), (sh, []))[1].append(rg)
+        per_file = list(by_sh.values())
         from concurrent.futures import ThreadPoolExecutor
 
         def _load(chunk):
-            for sh, rg in chunk:
-                sh._drg(rg)
+            for sh, rgs in chunk:
+                sh.drg_many(rgs)
 
-        nthreads = min(16, len(jobs))
-        chunks = [jobs[i::nthreads] for i in range(nthreads)]
+        nthreads = min(16, len(per_file))
+        chunks = [per_file[i::nthreads] for i in range(nthreads)]
         with ThreadPoolExecutor(nthreads) as ex:
             list(ex.map(_load, chunks))
 
@@ -797,7 +855,9 @@ class IndexReader:
             # threaded prefetch of the needed posting row groups (the
             # parquet reads release the GIL); the numpy decode below
             # then runs over warm cached tables.  Chunked: one future
-            # per thread, not per shard file
+            # per thread, not per shard file.  Decode stays OUT of the
+            # threads: numpy elementwise kernels hold the GIL, so
+            # decode-in-threads only adds contention (measured +20%).
             from concurrent.futures import ThreadPoolExecutor
 
             def _prefetch(items):
@@ -805,8 +865,7 @@ class IndexReader:
                     rgs = np.searchsorted(
                         sh._rg_off, rws, side="right"
                     ) - 1
-                    for rg in np.unique(rgs):
-                        sh._rg_table(int(rg), "docs_enc")
+                    sh.load_rg_tables(np.unique(rgs), "docs_enc")
 
             nthreads = min(16, len(sh_rows))
             chunks = [sh_rows[i::nthreads] for i in range(nthreads)]

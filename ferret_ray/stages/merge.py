@@ -505,10 +505,14 @@ class BucketMerger:
     task's working set is one (bucket x range) slice, independent of the
     corpus size."""
 
-    def __init__(self, index_dir: str, input_fp: str):
+    def __init__(
+        self, index_dir: str, input_fp: str,
+        shards_rg_size: int = 1024,
+    ):
         self.index_dir = index_dir
         self.fs, self.root = resolve_fs(index_dir)
         self.input_fp = input_fp
+        self.shards_rg_size = shards_rg_size
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         tables = [
@@ -602,8 +606,8 @@ class BucketMerger:
         # small row groups bound the lazy reader's per-term range reads
         # (one row group ~ one .frq block seek)
         pq.write_table(
-            table, path, compression="zstd", row_group_size=1024,
-            filesystem=self.fs,
+            table, path, compression="zstd",
+            row_group_size=self.shards_rg_size, filesystem=self.fs,
         )
         size = fs_file_size(self.fs, path)
         total_postings = int(df.sum())
