@@ -188,6 +188,16 @@ def build_index(
     shard_stats = shard_ds.stats()
     t_merge = time.time()
 
+    # consolidated per-row-group stats sidecar: readers load ONE small
+    # file instead of parsing every band file's footer at open
+    from ..stages.merge import write_shard_stats
+
+    write_shard_stats(
+        index_dir,
+        [int(m["shard_salt"]) for m in shard_metrics],
+        concurrency=concurrency,
+    )
+
     # ---- phase 3: stats + atomic manifest commit ------------------------
     num_docs = sum(m["num_docs"] for m in invert_metrics)
     field_names = list(cfg.fields)

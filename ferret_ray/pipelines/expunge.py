@@ -264,6 +264,12 @@ def expunge_deletes(
         len_sums[f] = int(
             sum(p.get(f"sum_len_{f}", 0) for p in docs_metrics)
         )
+    from ..stages.merge import write_shard_stats
+
+    write_shard_stats(
+        dest_dir, [int(p["salt"]) for p in shard_metrics],
+        concurrency=concurrency,
+    )
     manifest = dict(m)
     manifest.update(
         {

@@ -288,6 +288,13 @@ def add_indexes(
         batch_format="pyarrow",
         concurrency=concurrency,
     ).take_all()
+    from ..stages.merge import write_shard_stats
+
+    write_shard_stats(
+        dest_dir,
+        [int(x["shard_salt"]) for x in shard_metrics],
+        concurrency=concurrency,
+    )
     t_merge = time.time()
 
     num_docs = int(offsets[-1])

@@ -85,6 +85,121 @@ def shard_file_name(shard_salt: int) -> str:
     return f"shards/shard-{shard_salt:08d}.parquet"
 
 
+SHARD_STATS_SCHEMA = pa.schema(
+    [
+        ("salt", pa.int64()),
+        ("rg", pa.int32()),
+        ("rows", pa.int64()),
+        ("fmin", pa.int64()),
+        ("fmax", pa.int64()),
+        ("tmin", pa.string()),
+        ("tmax", pa.string()),
+    ]
+)
+
+
+def _footer_stats_rows(fs, root: str, salt: int) -> dict:
+    """Per-row-group (rows, field min/max, term min/max) of one shard
+    file, read from its parquet footer — columns for one
+    SHARD_STATS_SCHEMA slice."""
+    from ..state.fs import open_parquet
+
+    md = open_parquet(fs, fs_join(root, shard_file_name(salt))).metadata
+    nrg = md.num_row_groups
+    out = {
+        "salt": [salt] * nrg, "rg": list(range(nrg)), "rows": [],
+        "fmin": [], "fmax": [], "tmin": [], "tmax": [],
+    }
+    imin, imax = np.iinfo(np.int64).min, np.iinfo(np.int64).max
+    for i in range(nrg):
+        rg = md.row_group(i)
+        out["rows"].append(rg.num_rows)
+        fst = rg.column(0).statistics  # field (SHARD_SCHEMA col 0)
+        tst = rg.column(1).statistics  # term  (SHARD_SCHEMA col 1)
+        if fst is not None and fst.has_min_max:
+            out["fmin"].append(int(fst.min))
+            out["fmax"].append(int(fst.max))
+        else:
+            out["fmin"].append(imin)
+            out["fmax"].append(imax)
+        if tst is not None and tst.has_min_max:
+            out["tmin"].append(tst.min)
+            out["tmax"].append(tst.max)
+        else:
+            out["tmin"].append(None)
+            out["tmax"].append(None)
+    return out
+
+
+class _ShardStatsTask:
+    """map_batches UDF: shard salts -> SHARD_STATS_SCHEMA rows (one
+    footer read per salt; distributed so a 100k-file index builds its
+    sidecar in one short fan-out)."""
+
+    def __init__(self, index_dir: str):
+        self.fs, self.root = resolve_fs(index_dir)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parts = [
+            _footer_stats_rows(self.fs, self.root, int(s))
+            for s in batch.column("salt").to_pylist()
+        ]
+        cols = {
+            name: sum((p[name] for p in parts), [])
+            for name in SHARD_STATS_SCHEMA.names
+        }
+        return pa.table(cols, schema=SHARD_STATS_SCHEMA)
+
+
+def write_shard_stats(
+    index_dir: str, salts: list[int], concurrency: int | None = None
+) -> None:
+    """Write the consolidated ``shards_stats.parquet`` sidecar: one
+    small file holding every shard file's per-row-group (field, term)
+    min/max + row counts.  Readers load it in ONE read instead of
+    parsing N-thousand footers (the .tix term-index analogue,
+    c/src/index.c:2712-2770 — a sampled in-memory index over the
+    on-disk dictionaries).  Deterministic: rows sorted by (salt, rg),
+    derived from the (deterministic) shard files themselves."""
+    fs, root = resolve_fs(index_dir)
+    salts = sorted(int(s) for s in salts)
+    if len(salts) > 2048:
+        import ray
+
+        ds = ray.data.from_items(
+            [{"salt": s} for s in salts],
+            override_num_blocks=max(1, len(salts) // 256),
+        ).map_batches(
+            _ShardStatsTask(index_dir),
+            batch_size=256,
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
+        t = pa.concat_tables(
+            [pa.table(b, schema=SHARD_STATS_SCHEMA) if not
+             isinstance(b, pa.Table) else b for b in ds.iter_batches(
+                 batch_size=None, batch_format="pyarrow")]
+        )
+        t = t.sort_by([("salt", "ascending"), ("rg", "ascending")])
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        nthreads = min(16, max(1, len(salts)))
+        with ThreadPoolExecutor(nthreads) as ex:
+            parts = list(
+                ex.map(lambda s: _footer_stats_rows(fs, root, s), salts)
+            )
+        cols = {
+            name: sum((p[name] for p in parts), [])
+            for name in SHARD_STATS_SCHEMA.names
+        }
+        t = pa.table(cols, schema=SHARD_STATS_SCHEMA)
+    pq.write_table(
+        t, fs_join(root, "shards_stats.parquet"),
+        compression="zstd", filesystem=fs,
+    )
+
+
 def _metrics(shard_salt, num_terms, num_postings, nbytes, skipped):
     return pa.table(
         {

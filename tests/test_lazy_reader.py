@@ -112,3 +112,80 @@ def test_postings_many_bulk_equals_per_term(code_index):
         assert len(g_pos) == len(w_pos)
         for a, b in zip(g_pos, w_pos):
             assert np.array_equal(a, b), t
+
+
+def test_stats_sidecar_written_and_loaded(code_index):
+    """Builds write the consolidated shards_stats.parquet; readers load
+    it and skip footer parsing (no file handle until first data read)."""
+    import pyarrow.parquet as pq
+
+    from ferret_ray.search.reader import IndexReader
+
+    sidecar = os.path.join(code_index, "shards_stats.parquet")
+    assert os.path.exists(sidecar)
+    t = pq.read_table(sidecar)
+    r = IndexReader(code_index)
+    assert set(r._shard_stats) == set(r.manifest["shards"])
+    # rows sorted by (salt, rg) — determinism + contiguous-run loading
+    pairs = list(zip(t.column("salt").to_pylist(),
+                     t.column("rg").to_pylist()))
+    assert pairs == sorted(pairs)
+    # a stats-backed shard opens NO file handle until data is read
+    salt = r.manifest["shards"][0]
+    sh = r._shard_for(salt)
+    assert sh._pf_obj is None
+    assert r.doc_freq("content", "tok1") > 0  # triggers dict reads
+    # row counts in the sidecar match the real footer
+    full = pq.ParquetFile(
+        os.path.join(code_index, f"shards/shard-{salt:08d}.parquet")
+    )
+    assert int(sh._rg_off[-1]) == full.metadata.num_rows
+
+
+def test_sidecar_reader_matches_footer_reader(code_index):
+    """Every dictionary access path returns identical results whether
+    row-group stats come from the sidecar or the parquet footers."""
+    from ferret_ray.search.reader import IndexReader
+
+    r_side = IndexReader(code_index)
+    assert r_side._shard_stats, "sidecar must be present for this test"
+    r_foot = IndexReader(code_index)
+    r_foot._shard_stats = {}
+    r_foot._shards = {}
+
+    for field, term in [("content", "tok1"), ("content", "int"),
+                        ("content", "zzz_absent")]:
+        assert r_side.doc_freq(field, term) == r_foot.doc_freq(field, term)
+    assert (r_side.terms_with_prefix("content", "tok2")
+            == r_foot.terms_with_prefix("content", "tok2"))
+    assert (r_side.terms_in_range("content", "tok3", "tok5", True, False)
+            == r_foot.terms_in_range("content", "tok3", "tok5", True, False))
+    terms = r_side.terms_with_prefix("content", "tok7")
+    dfs_s = r_side.doc_freq_many("content", terms)
+    dfs_f = r_foot.doc_freq_many("content", terms)
+    assert dfs_s == dfs_f
+
+    import numpy as np
+
+    pm_s = r_side.postings_many("content", terms)
+    pm_f = r_foot.postings_many("content", terms)
+    assert set(pm_s) == set(pm_f)
+    for t in terms:
+        assert np.array_equal(pm_s[t].docs, pm_f[t].docs)
+        assert np.array_equal(pm_s[t].freqs, pm_f[t].freqs)
+
+
+def test_write_shard_stats_deterministic(code_index, tmp_path):
+    """Regenerating the sidecar produces byte-identical output."""
+    import shutil
+
+    from ferret_ray.stages.merge import write_shard_stats
+    from ferret_ray.state.manifest import read_manifest
+
+    m = read_manifest(code_index)
+    dup = str(tmp_path / "dup")
+    shutil.copytree(code_index, dup)
+    write_shard_stats(dup, m["shards"])
+    a = open(os.path.join(code_index, "shards_stats.parquet"), "rb").read()
+    b = open(os.path.join(dup, "shards_stats.parquet"), "rb").read()
+    assert a == b
