@@ -34,14 +34,15 @@ Raw Ray actors (not Dataset map_batches) are used deliberately: the
 two-round broadcast/gather exchange per batch is shared-state
 coordination the Dataset API cannot express.
 
-Round 5 closes the two former gaps: ``MatchAllQuery`` (each partition
+Round 5 closes the former gaps: ``MatchAllQuery`` (each partition
 reader now scores only its OWNED doc bands via ``match_all_docs``, so
-every doc is scored exactly once) and explicit ``sort=`` (partitions
+every doc is scored exactly once), explicit ``sort=`` (partitions
 ship per-hit sort-field VALUES and the driver merges on the values
 through the Searcher's own key function — the FieldDoc merge of
-``msea_search``, c/src/search.c:1550-1750).  Still not supported:
-``post_filter`` (driver-side callables don't ship) — the replica pool
-serves it.
+``msea_search``, c/src/search.c:1550-1750), and ``post_filter``
+(picklable (doc, score) -> factor callables ship by cloudpickle and
+run against each partition's disjoint doc set, so filtered totals and
+factor-scaled scores merge exactly).
 """
 
 from __future__ import annotations
@@ -293,7 +294,8 @@ class PartitionWorker:
         return dfs, exps
 
     def topk(self, queries: list, df_map: dict, exp_map: dict,
-             need: int, sort: list | None = None) -> list[tuple]:
+             need: int, sort: list | None = None,
+             post_filter=None) -> list[tuple]:
         """Per-query local top-``need`` with GLOBAL weights.
 
         With ``sort``, each entry additionally carries the hits' raw
@@ -302,7 +304,15 @@ class PartitionWorker:
         re-ranks on (msea_search, c/src/search.c:1550-1750).  Local
         ranks are partition-relative but rank order IS value order, so
         the local top-``need`` is always a superset of this partition's
-        contribution to the global top-``need``."""
+        contribution to the global top-``need``.
+
+        ``post_filter`` (a picklable (doc, score) -> factor callable,
+        shipped by cloudpickle) is applied locally: every doc lives in
+        exactly one partition, so filtering + factor-scaling each
+        partition's candidates before its local top-``need`` equals the
+        single searcher's post-filtered candidate set restricted to
+        this partition (sea_search_w post_filter,
+        c/src/search.c:1029-1061)."""
         import copy
 
         self._overlay.df_map = df_map
@@ -310,7 +320,8 @@ class PartitionWorker:
         out = []
         for q in queries:
             td = self.searcher.search(
-                copy.deepcopy(q), 0, need, sort=sort
+                copy.deepcopy(q), 0, need, sort=sort,
+                post_filter=post_filter,
             )
             docs = np.array([h.doc for h in td.hits], dtype=np.int64)
             vals = None
@@ -500,14 +511,22 @@ class PartitionedSearcherPool:
 
     def search_queries(self, queries: list, first_doc: int = 0,
                        num_docs: int = 10,
-                       sort: list | None = None) -> list[tuple]:
+                       sort: list | None = None,
+                       post_filter=None) -> list[tuple]:
         """Parsed-query batch -> [(hits, total_hits, max_score)].
 
         ``sort`` (list[SortField]) applies to every query in the batch;
         per-partition candidates carry their sort-field values and the
         driver merges on the VALUES (msea_search semantics), so results
         are bit-identical to the single searcher for every sort type
-        incl. string/byte fields."""
+        incl. string/byte fields.
+
+        ``post_filter`` (applies to every query in the batch) must be a
+        PICKLABLE (doc, score) -> factor callable — a module-level
+        function or a lambda over plain data; Ray ships it to each
+        partition actor by cloudpickle and it runs against the
+        partition's disjoint doc set, so totals / factor-scaled scores
+        merge exactly."""
         import ray
 
         need = first_doc + num_docs
@@ -518,7 +537,8 @@ class PartitionedSearcherPool:
         # actor's task args, N copies per round
         df_ref, exp_ref = ray.put(df_map), ray.put(exp_map)
         results = ray.get([
-            w.topk.remote(queries, df_ref, exp_ref, need, sort)
+            w.topk.remote(queries, df_ref, exp_ref, need, sort,
+                          post_filter)
             for w in self.workers
         ])
         out = []

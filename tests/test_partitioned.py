@@ -56,11 +56,13 @@ def multirange_index(ray_session, tmp_path_factory):
     return idx
 
 
-def _partitioned(idx, queries, n_parts, need=10, first=0, sort=None):
+def _partitioned(idx, queries, n_parts, need=10, first=0, sort=None,
+                 post_filter=None):
     workers = [PartitionWorker(idx, i, n_parts) for i in range(n_parts)]
     stats = [w.stats(queries) for w in workers]
     df_map, exp_map = merge_stats(stats)
-    results = [w.topk(queries, df_map, exp_map, first + need, sort)
+    results = [w.topk(queries, df_map, exp_map, first + need, sort,
+                      post_filter)
                for w in workers]
     return [
         merge_topk([r[qi] for r in results], first, need, sort)
@@ -217,6 +219,71 @@ def test_partitioned_sort_by_field(multirange_index):
                     (h.doc, np.float32(h.score)) for h in td.hits
                 ], (sort, q, first)
                 assert got[1] == td.total_hits
+
+
+def _drop_every_third(doc, score):
+    """Module-level post_filter: drop doc%3==0, halve doc%3==2."""
+    return 0.0 if doc % 3 == 0 else (0.5 if doc % 3 == 2 else 1.0)
+
+
+@pytest.mark.parametrize("n_parts", [2, 3])
+def test_partitioned_post_filter(multirange_index, n_parts):
+    """post_filter runs on each partition's disjoint doc set, so the
+    merged (filtered totals, factor-scaled scores) equal the single
+    searcher's — including paging over the reshaped score order."""
+    import copy
+
+    from ferret_ray.search.query import MatchAllQuery
+    from ferret_ray.search.reader import IndexReader
+    from ferret_ray.search.searcher import Searcher
+
+    s = Searcher(IndexReader(multirange_index))
+    queries = [
+        TermQuery("content", "int"),
+        PrefixQuery("content", "tok1"),
+        MatchAllQuery(),
+    ]
+    for q in queries:
+        for first, need in [(0, 12), (4, 6)]:
+            got = _partitioned(
+                multirange_index, [copy.deepcopy(q)], n_parts,
+                need=need, first=first, post_filter=_drop_every_third,
+            )[0]
+            td = s.search(copy.deepcopy(q), first, need,
+                          post_filter=_drop_every_third)
+            assert [(d, np.float32(sc)) for d, sc in got[0]] == [
+                (h.doc, np.float32(h.score)) for h in td.hits
+            ], (q, first)
+            assert got[1] == td.total_hits
+            assert np.float32(got[2]) == np.float32(td.max_score)
+
+
+def test_partitioned_pool_post_filter_ships(ray_session, multirange_index):
+    """Real ray actors: the post_filter callable (here a lambda over
+    plain data) crosses the process boundary by cloudpickle."""
+    import copy
+
+    from ferret_ray.search.partitioned import PartitionedSearcherPool
+    from ferret_ray.search.reader import IndexReader
+    from ferret_ray.search.searcher import Searcher
+
+    cutoff = 100
+    pf = lambda doc, score: 1.0 if doc >= cutoff else 0.0  # noqa: E731
+    s = Searcher(IndexReader(multirange_index))
+    q = TermQuery("content", "int")
+    pool = PartitionedSearcherPool(multirange_index, n_partitions=3)
+    try:
+        hits, total, mx = pool.search_queries(
+            [copy.deepcopy(q)], 0, 10, post_filter=pf
+        )[0]
+        td = s.search(copy.deepcopy(q), 0, 10, post_filter=pf)
+        assert [(d, np.float32(sc)) for d, sc in hits] == [
+            (h.doc, np.float32(h.score)) for h in td.hits
+        ]
+        assert total == td.total_hits
+        assert all(d >= cutoff for d, _ in hits)
+    finally:
+        pool.shutdown()
 
 
 @pytest.mark.parametrize("n_parts", [2, 3])
