@@ -1,28 +1,42 @@
-"""Block-max WAND top-k for disjunctive term queries.
+"""Block-max WAND top-k for disjunctive term queries — vectorized.
 
 The north-star serving feature the reference lacks (it prunes only via its
-heap threshold, c/src/search.c:1078-1093): document-at-a-time WAND
-[Broder et al., CIKM'03] with the block-max refinement [Ding & Suel,
-SIGIR'11] over the per-16-doc ``block_max_tf`` metadata written at merge
-time (stages/merge.py).
+heap threshold, c/src/search.c:1078-1093): block-max WAND [Broder et al.,
+CIKM'03; Ding & Suel, SIGIR'11] over the per-16-doc ``block_max_tf``
+metadata written at merge time (stages/merge.py).
+
+Unlike the textbook document-at-a-time cursor dance (a per-doc Python
+loop — measured 32s warm at 2M docs while the exhaustive vectorized
+scorer finished in <1s), this implementation is three vectorized passes:
+
+1. **Seed** an exact threshold: each term's top-``k`` impact postings
+   (argpartition) are a candidate superset of at least ``k`` true
+   results, so the ``k``-th best seed score is a valid lower bound
+   ``theta`` on the final ``k``-th score.
+2. **Prune** doc space with the summed block-upper-bound step function:
+   every (term, block) contributes a +bound/-bound event at its doc
+   range's ends; one argsort + float64 cumsum yields UB(d) for all of
+   doc space, and only the intervals with ``UB >= theta`` survive.
+   (f64 cumsum drift is covered by a relative epsilon so the bound can
+   only over-keep, never under-keep — exactness is never at risk.)
+3. **Score** just the surviving postings with the same per-term f32
+   accumulation order as the exhaustive scorer (term order, one rounded
+   add per term), then rank by (score desc, doc asc).
 
 Correctness contract: identical top-k (docs, scores, order incl. doc-id
-tie-break) to the exhaustive vectorized scorer — asserted by tests — while
-skipping the scoring of documents/blocks whose upper bound cannot beat the
-running threshold.  ``WandResult.stats`` reports how much work was pruned.
+tie-break) to the exhaustive vectorized scorer — asserted by tests —
+while skipping the scoring of documents/blocks whose upper bound cannot
+beat the seed threshold.  ``WandResult.stats`` reports the pruning.
 """
 
 from __future__ import annotations
 
-import heapq
 from typing import NamedTuple
 
 import numpy as np
 
 from ..codec.norms import NORM_TABLE
 from ..codec.postings import SKIP_INTERVAL
-from ..codec.vint import vint_decode
-from .similarity import idf as sim_idf, query_norm
 
 F32 = np.float32
 
@@ -33,43 +47,37 @@ class WandResult(NamedTuple):
     stats: dict
 
 
-class _TermCursor:
-    __slots__ = ("term", "docs", "scores", "idx", "n", "max_score",
-                 "block_last", "block_max")
+def _rank_topk(docs: np.ndarray, scores: np.ndarray, k: int):
+    """Top-``k`` by (score desc, doc asc) — full order among the kept."""
+    if docs.size == 0:
+        return []
+    order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
+    return [(int(docs[i]), float(scores[i])) for i in order]
 
-    def __init__(self, term, docs, scores, block_last, block_max):
-        self.term = term
-        self.docs = docs
-        self.scores = scores
-        self.idx = 0
-        self.n = docs.size
-        self.max_score = float(scores.max()) if docs.size else 0.0
-        self.block_last = block_last   # last doc id per block
-        self.block_max = block_max     # max score bound per block
 
-    @property
-    def doc(self) -> int:
-        return int(self.docs[self.idx]) if self.idx < self.n else 1 << 62
-
-    def advance_to(self, target: int):
-        self.idx = int(
-            np.searchsorted(self.docs, target, side="left")
-        ) if self.idx < self.n else self.n
-
-    def next(self):
-        self.idx += 1
-
-    def block_bound(self, doc: int) -> float:
-        b = int(np.searchsorted(self.block_last, doc, side="left"))
-        if b >= self.block_max.size:
-            return 0.0
-        return float(self.block_max[b])
+def _accumulate(union_docs: np.ndarray, per_term):
+    """f32 score accumulation in TERM ORDER — one rounded add per term,
+    matching the exhaustive scorer's (and the reference's sequential
+    ``scorer->score`` summation, c/src/search.c:340-420) f32 rounding."""
+    acc = np.zeros(union_docs.size, dtype=np.float32)
+    for docs, scores in per_term:
+        if docs.size == 0:
+            continue
+        pos = np.searchsorted(union_docs, docs)
+        # union_docs may be a SUBSET of this term's docs (seed phase):
+        # keep only exact membership hits
+        ok = pos < union_docs.size
+        ok[ok] = union_docs[pos[ok]] == docs[ok]
+        acc[pos[ok]] += scores[ok]   # docs unique per term: no dup issue
+    return acc
 
 
 def wand_topk(searcher, field: str, terms: list[str], k: int = 10):
     """Top-k of the SHOULD-disjunction of ``terms`` (Ferret scoring minus
     the coord factor — i.e. a coord-disabled BooleanQuery of TermQueries,
     which is also the BM25-style setting WAND assumes)."""
+    from .similarity import idf as sim_idf, query_norm
+
     reader = searcher.reader
     n_docs = reader.max_doc()
     norms = reader.norms(field)
@@ -81,10 +89,13 @@ def wand_topk(searcher, field: str, terms: list[str], k: int = 10):
     for x in idfs:
         ssum = F32(ssum + F32(x * x))
     qnorm = query_norm(float(ssum))
-    cursors: list[_TermCursor] = []
-    scored_blocks = 0
-    total_blocks = 0
     deleted = getattr(searcher, "_deleted", None)
+
+    term_docs: list[np.ndarray] = []      # per term, sorted unique doc ids
+    term_scores: list[np.ndarray] = []    # per term, f32 score per posting
+    term_block_last: list[np.ndarray] = []
+    term_block_max: list[np.ndarray] = []
+    total_blocks = 0
     for t, idf_v in zip(terms, idfs):
         p = reader.postings(field, t)
         if p is None or norm_dec is None:
@@ -92,89 +103,112 @@ def wand_topk(searcher, field: str, terms: list[str], k: int = 10):
         value = F32(F32(idf_v * qnorm) * idf_v)
         tf = np.sqrt(p.freqs.astype(np.float64)).astype(np.float32)
         scores = ((tf * value) * norm_dec[p.docs]).astype(np.float32)
-        p_docs = p.docs
+        docs = p.docs
         if deleted is not None:
-            keep = ~np.isin(p_docs, deleted)
-            p_docs, scores = p_docs[keep], scores[keep]
-        p = type(p)(p_docs, p.freqs, p.prx_parts)  # doc/score views only
-        nb = (p.docs.size + SKIP_INTERVAL - 1) // SKIP_INTERVAL
-        pad = nb * SKIP_INTERVAL - p.docs.size
+            keep = ~np.isin(docs, deleted)
+            docs, scores = docs[keep], scores[keep]
+        if docs.size == 0:
+            continue
+        nb = (docs.size + SKIP_INTERVAL - 1) // SKIP_INTERVAL
+        pad = nb * SKIP_INTERVAL - docs.size
         spad = np.concatenate([scores, np.zeros(pad, np.float32)])
         block_max = spad.reshape(nb, SKIP_INTERVAL).max(axis=1)
-        block_last = p.docs[
+        block_last = docs[
             np.minimum(
-                np.arange(1, nb + 1) * SKIP_INTERVAL - 1, p.docs.size - 1
+                np.arange(1, nb + 1) * SKIP_INTERVAL - 1, docs.size - 1
             )
         ]
         total_blocks += nb
-        cursors.append(
-            _TermCursor(t, p.docs, scores, block_last, block_max)
-        )
-    if not cursors:
+        term_docs.append(docs)
+        term_scores.append(scores)
+        term_block_last.append(block_last)
+        term_block_max.append(block_max)
+
+    if not term_docs:
         return WandResult([], 0, {"blocks": 0, "scored_blocks": 0,
                                   "docs_scored": 0})
+    per_term = list(zip(term_docs, term_scores))
 
-    heap: list[tuple[float, int]] = []   # min-heap of (score, -doc)
-    theta = 0.0
-    docs_scored = 0
-    candidates = 0
+    # ---- phase 1: seed threshold from per-term top-k impact postings.
+    # Each term's k highest-impact postings are candidates; the union
+    # contains >= min(k, |union of all postings|) docs whose EXACT scores
+    # lower-bound the final k-th score.
+    seed_parts = []
+    for docs, scores in per_term:
+        kk = min(k, docs.size)
+        seed_parts.append(docs[np.argpartition(scores, -kk)[-kk:]])
+    seed_docs = np.unique(np.concatenate(seed_parts))
+    seed_acc = _accumulate(seed_docs, per_term)
+    if seed_docs.size >= k:
+        # k-th best seed score (score only — doc tie-break can only make
+        # the true k-th boundary LOOSER, never tighter, so this is safe)
+        theta = float(np.partition(seed_acc, -k)[-k])
+    else:
+        theta = -np.inf
 
-    while True:
-        live = [c for c in cursors if c.idx < c.n]
-        if not live:
-            break
-        live.sort(key=lambda c: c.doc)
-        # find pivot: smallest prefix whose Σ max_score > theta
-        acc = 0.0
-        pivot_i = None
-        for i, c in enumerate(live):
-            acc += c.max_score
-            if acc > theta or len(heap) < k:
-                pivot_i = i
-                break
-        if pivot_i is None:
-            break  # no doc can beat theta
-        pivot_doc = live[pivot_i].doc
-        if live[0].doc == pivot_doc:
-            # block-max check: tighter bound at the pivot doc — must
-            # include EVERY cursor currently at the pivot doc, not just
-            # the pivot prefix
-            bound = 0.0
-            for c in live[: pivot_i + 1]:
-                bound += c.block_bound(pivot_doc)
-            for c in live[pivot_i + 1:]:
-                if c.doc == pivot_doc:
-                    bound += c.block_bound(pivot_doc)
-            if len(heap) >= k and bound <= theta:
-                # block-pruned: advance past this doc without scoring
-                for c in live:
-                    if c.doc == pivot_doc:
-                        c.next()
-                continue
-            scored_blocks += 1
-            s = F32(0.0)
-            for c in cursors:
-                if c.idx < c.n and c.doc == pivot_doc:
-                    s = F32(s + c.scores[c.idx])
-                    c.next()
-            docs_scored += 1
-            candidates += 1
-            item = (float(s), -pivot_doc)
-            if len(heap) < k:
-                heapq.heappush(heap, item)
-            elif item > heap[0]:
-                heapq.heapreplace(heap, item)
-            if len(heap) >= k:
-                theta = heap[0][0]
+    # ---- phase 2: summed block-upper-bound step function over doc space.
+    # Each (term, block) covers docs (prev_block_last, block_last]; emit
+    # +bound at its start and -bound just past its end, then one stable
+    # argsort + cumsum gives UB(d) piecewise-constant over doc space.
+    if np.isfinite(theta):
+        starts, ends, vals = [], [], []
+        for bl, bm, docs in zip(term_block_last, term_block_max, term_docs):
+            s = np.empty(bl.size, dtype=np.int64)
+            s[0] = int(docs[0])
+            s[1:] = bl[:-1] + 1
+            starts.append(s)
+            ends.append(bl.astype(np.int64) + 1)
+            vals.append(bm.astype(np.float64))
+        ev_pos = np.concatenate(starts + ends)
+        ev_val = np.concatenate(vals + [-v for v in vals])
+        order = np.argsort(ev_pos, kind="stable")
+        ev_pos = ev_pos[order]
+        cum = np.cumsum(ev_val[order])
+        # interval i spans [uniq[i], uniq[i+1]) with UB = cum after the
+        # LAST event at uniq[i]
+        uniq, first_idx = np.unique(ev_pos, return_index=True)
+        last_idx = np.append(first_idx[1:], ev_pos.size) - 1
+        ub = cum[last_idx]
+        # f64 cumsum drift can only be ~n*ulp; epsilon keeps the filter
+        # on the over-keep (safe) side
+        eps = 1e-9 * abs(theta) + 1e-30
+        keep = ub >= theta - eps
+        # flatten kept intervals into sorted boundaries [s0,e0,s1,e1,...]
+        # (merge adjacent kept intervals by diffing the keep mask)
+        k_start = np.flatnonzero(keep & ~np.concatenate([[False], keep[:-1]]))
+        k_end = np.flatnonzero(keep & ~np.concatenate([keep[1:], [False]]))
+        bounds = np.empty(2 * k_start.size, dtype=np.int64)
+        bounds[0::2] = uniq[k_start]
+        # interval i ends where interval i+1 starts; the last kept run
+        # ends at the next uniq boundary (UB is 0 past the last event)
+        end_next = np.append(uniq[1:], np.int64(n_docs) + 1)
+        bounds[1::2] = end_next[k_end]
+    else:
+        bounds = None   # keep everything (fewer than k docs exist)
+
+    # ---- phase 3: score only postings inside surviving intervals.
+    sel_parts = []
+    scored_blocks = 0
+    for docs, scores, bl in zip(term_docs, term_scores, term_block_last):
+        if bounds is None:
+            sel_docs, sel_scores = docs, scores
         else:
-            # advance cursors before the pivot to the pivot doc
-            for c in live[:pivot_i]:
-                c.advance_to(pivot_doc)
+            sel = (np.searchsorted(bounds, docs, side="right") & 1) == 1
+            sel_docs, sel_scores = docs[sel], scores[sel]
+        if sel_docs.size:
+            blk = np.searchsorted(bl, sel_docs, side="left")
+            scored_blocks += int(np.unique(blk).size)
+        sel_parts.append((sel_docs, sel_scores))
+    if not any(d.size for d, _ in sel_parts):
+        return WandResult([], 0, {"blocks": total_blocks,
+                                  "scored_blocks": 0, "docs_scored": 0})
+    union_docs = np.unique(np.concatenate([d for d, _ in sel_parts]))
+    acc = _accumulate(union_docs, sel_parts)
+    docs_scored = int(union_docs.size)
 
-    ranked = sorted(heap, key=lambda x: (-x[0], -x[1]))
     return WandResult(
-        [(-d, s) for s, d in ranked],
-        candidates,
+        _rank_topk(union_docs, acc, k),
+        docs_scored,
         {
             "blocks": total_blocks,
             "scored_blocks": scored_blocks,
