@@ -1115,20 +1115,32 @@ class IndexReader:
 
     def _load_docs_column(self, col: str) -> np.ndarray | None:
         docs_dir = fs_join(self._root, "docs")
-        parts = fs_listdir(self._fs, docs_dir)
-        arrs: list = []
-        missing: list[int] = []  # (index into arrs) placeholders
-        for name in parts:
-            if not name.endswith(".parquet"):
-                continue
+        parts = [
+            name for name in fs_listdir(self._fs, docs_dir)
+            if name.endswith(".parquet")
+        ]
+        # a 20M-doc index has ~1.3k doc parts; serial open+read costs
+        # ~15ms each (measured 5.6s at 6M docs — the single largest
+        # slice of a cold query).  Parquet reads release the GIL, so a
+        # thread pool turns this into a handful of parallel waves.
+        def _one(name: str):
             pf = open_parquet(self._fs, fs_join(docs_dir, name))
             if col not in pf.schema_arrow.names:
-                # tolerate parts predating a dynamic field: fill zeros
+                # a part predating a dynamic field: zeros placeholder
                 # of the dtype found in the parts that do carry it
-                missing.append(len(arrs))
-                arrs.append(pf.metadata.num_rows)
-                continue
-            arrs.append(pf.read(columns=[col]).column(col).to_numpy())
+                return pf.metadata.num_rows
+            return pf.read(columns=[col]).column(col).to_numpy()
+
+        if len(parts) > 4:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(min(16, len(parts))) as ex:
+                arrs = list(ex.map(_one, parts))   # order-preserving
+        else:
+            arrs = [_one(name) for name in parts]
+        missing = [
+            i for i, a in enumerate(arrs) if not isinstance(a, np.ndarray)
+        ]
         real = [a for a in arrs if isinstance(a, np.ndarray)]
         if not real:
             return None

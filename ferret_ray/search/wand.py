@@ -48,9 +48,15 @@ class WandResult(NamedTuple):
 
 
 def _rank_topk(docs: np.ndarray, scores: np.ndarray, k: int):
-    """Top-``k`` by (score desc, doc asc) — full order among the kept."""
+    """Top-``k`` by (score desc, doc asc) — bounded selection: an
+    argpartition narrows to the docs at-or-above the k-th score (ties
+    included), and only that boundary set is lexsorted."""
     if docs.size == 0:
         return []
+    if docs.size > k:
+        kth = np.partition(scores, docs.size - k)[docs.size - k]
+        cand = np.flatnonzero(scores >= kth)
+        docs, scores = docs[cand], scores[cand]
     order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
     return [(int(docs[i]), float(scores[i])) for i in order]
 
@@ -189,21 +195,41 @@ def wand_topk(searcher, field: str, terms: list[str], k: int = 10):
     # ---- phase 3: score only postings inside surviving intervals.
     sel_parts = []
     scored_blocks = 0
-    for docs, scores, bl in zip(term_docs, term_scores, term_block_last):
+    total_sel = 0
+    for docs, scores in per_term:
         if bounds is None:
             sel_docs, sel_scores = docs, scores
+            scored_blocks += (docs.size + SKIP_INTERVAL - 1) \
+                // SKIP_INTERVAL
         else:
             sel = (np.searchsorted(bounds, docs, side="right") & 1) == 1
             sel_docs, sel_scores = docs[sel], scores[sel]
-        if sel_docs.size:
-            blk = np.searchsorted(bl, sel_docs, side="left")
-            scored_blocks += int(np.unique(blk).size)
+            if sel_docs.size:
+                # block index of a posting == its position // 16, and
+                # positions are ascending: count block CHANGES, not a
+                # unique() pass
+                blk = np.flatnonzero(sel) // SKIP_INTERVAL
+                scored_blocks += int((np.diff(blk) != 0).sum()) + 1
+        total_sel += sel_docs.size
         sel_parts.append((sel_docs, sel_scores))
-    if not any(d.size for d, _ in sel_parts):
+    if total_sel == 0:
         return WandResult([], 0, {"blocks": total_blocks,
                                   "scored_blocks": 0, "docs_scored": 0})
-    union_docs = np.unique(np.concatenate([d for d, _ in sel_parts]))
-    acc = _accumulate(union_docs, sel_parts)
+    if n_docs <= max(total_sel * 4, 1 << 22):
+        # dense union + accumulation (same trick as the exhaustive
+        # scorer): boolean scatter + flatnonzero beat the O(n log n)
+        # unique over the concatenated postings, and the per-term f32
+        # scatter adds preserve the exhaustive scorer's rounding order
+        touched = np.zeros(n_docs, dtype=bool)
+        dense = np.zeros(n_docs, dtype=np.float32)
+        for d, sc in sel_parts:
+            touched[d] = True
+            dense[d] += sc
+        union_docs = np.flatnonzero(touched)
+        acc = dense[union_docs]
+    else:
+        union_docs = np.unique(np.concatenate([d for d, _ in sel_parts]))
+        acc = _accumulate(union_docs, sel_parts)
     docs_scored = int(union_docs.size)
 
     return WandResult(
