@@ -675,7 +675,7 @@ class IndexReader:
             return
         from concurrent.futures import ThreadPoolExecutor
 
-        nthreads = min(16, len(missing))
+        nthreads = min(32, len(missing))
 
         def _open_chunk(chunk: list[int]) -> list[tuple[int, _Shard]]:
             # one future per THREAD, not per file — thousands of
@@ -769,7 +769,7 @@ class IndexReader:
             for sh, rgs in chunk:
                 sh.drg_many(rgs)
 
-        nthreads = min(16, len(per_file))
+        nthreads = min(32, len(per_file))
         chunks = [per_file[i::nthreads] for i in range(nthreads)]
         with ThreadPoolExecutor(nthreads) as ex:
             list(ex.map(_load, chunks))
@@ -938,7 +938,7 @@ class IndexReader:
                     ) - 1
                     sh.load_rg_tables(np.unique(rgs), "docs_enc")
 
-            nthreads = min(16, len(sh_rows))
+            nthreads = min(32, len(sh_rows))
             chunks = [sh_rows[i::nthreads] for i in range(nthreads)]
             with ThreadPoolExecutor(nthreads) as ex:
                 list(ex.map(_prefetch, chunks))

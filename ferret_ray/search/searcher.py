@@ -638,7 +638,19 @@ class Searcher:
             return ScoredDocs(all_docs, scores.astype(np.float32))
         # bulk dictionary merge-join for large expansions (prefix /
         # wildcard / fuzzy rewrites): one pass per shard slice instead
-        # of a per-term bisect
+        # of a per-term bisect.  The norms column load (its own IO wave
+        # over the doc parts) overlaps the postings fetch in a thread —
+        # reader.norms memoizes, so the later _norm_decode is a dict hit.
+        norms_fut = None
+        if (
+            q.field not in getattr(self.reader, "_norms", {})
+            and hasattr(self.reader, "norms")
+        ):
+            from concurrent.futures import ThreadPoolExecutor
+
+            _norm_pool = ThreadPoolExecutor(1)
+            norms_fut = _norm_pool.submit(self.reader.norms, q.field)
+            _norm_pool.shutdown(wait=False)
         bulk = getattr(self.reader, "postings_many", None)
         pmap = (
             bulk(q.field, [t for t, _ in q.terms])
@@ -689,6 +701,8 @@ class Searcher:
         self._mtq_cache[ckey] = (all_docs, acc)
         if len(self._mtq_cache) > 8:
             self._mtq_cache.popitem(last=False)
+        if norms_fut is not None:
+            norms_fut.result()   # norms landed while postings decoded
         scores = (acc * w.value) * self._norm_decode(q.field, all_docs)
         return ScoredDocs(all_docs, scores.astype(np.float32))
 
