@@ -182,8 +182,16 @@ def q_term_df_top20(sf_dir: str) -> pd.DataFrame:
     index_dir, reader, _ = _index_for(sf_dir)
     fn = reader.field_num("text")
     # expression filter pushes into the parquet scan (no per-row lambda)
+    # the shards dir holds dictionary/postings/frq file triples (v6);
+    # the dictionary files are the plain shard-XXXXXXXX.parquet ones
+    shards_dir = os.path.join(index_dir, "shards")
+    dict_files = sorted(
+        os.path.join(shards_dir, n)
+        for n in os.listdir(shards_dir)
+        if n.endswith(".parquet") and not n.endswith("-post.parquet")
+    )
     ds = ray.data.read_parquet(
-        os.path.join(index_dir, "shards"),
+        dict_files,
         columns=["field", "term", "df"],
         filter=(pa_ds_field("field") == fn),
     )

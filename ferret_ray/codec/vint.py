@@ -45,7 +45,13 @@ def vint_encode(values: np.ndarray) -> bytes:
 
 
 def vint_decode(buf: bytes | memoryview | np.ndarray) -> np.ndarray:
-    """Decode a Ferret VInt byte stream to an int64 array."""
+    """Decode a Ferret VInt byte stream to an int64 array.
+
+    O(values x byte-position) with a shrinking alive set, instead of
+    the old per-BYTE int64 temporaries (arange + cumsum + reduceat over
+    the whole stream): on a 230MB cold-expansion stream the old path
+    cost ~50s in pure memory traffic; this one touches each
+    continuation byte once."""
     b = np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
         return np.empty(0, dtype=np.int64)
@@ -54,13 +60,18 @@ def vint_decode(buf: bytes | memoryview | np.ndarray) -> np.ndarray:
         return b.astype(np.int64)
     # group start indices: 0 and every index following a terminator
     starts = np.flatnonzero(np.concatenate(([True], is_last[:-1])))
-    idx = np.arange(b.size, dtype=np.int64)
-    group = np.cumsum(np.concatenate(([0], is_last[:-1].astype(np.int64))))
-    pos_in_group = idx - starts[group]
-    contrib = (b & 0x7F).astype(np.uint64) << (
-        pos_in_group.astype(np.uint64) * _SEVEN
-    )
-    vals = np.add.reduceat(contrib, starts)
+    ends = np.append(starts[1:], b.size)
+    lens = ends - starts
+    vals = (b[starts] & 0x7F).astype(np.uint64)
+    alive = np.flatnonzero(lens > 1)
+    p = 1
+    while alive.size:
+        vals[alive] |= (
+            (b[starts[alive] + p] & 0x7F).astype(np.uint64)
+            << np.uint64(7 * p)
+        )
+        p += 1
+        alive = alive[lens[alive] > p]
     return vals.astype(np.int64)
 
 

@@ -89,6 +89,63 @@ def gc_build_intermediates(index_dir: str) -> int:
     return freed
 
 
+def write_norms_sidecar(index_dir: str) -> None:
+    """Consolidate every docs part's ``norm_*``/``len_*`` columns into
+    ONE ``norms.parquet`` in docid order (the reference keeps norms in
+    a single per-field .f<n> stream for exactly this reason,
+    c/src/index.c norms files): a cold query's first ``norms()`` call
+    then reads one ~20MB column instead of paying footer + column reads
+    across ~1.3k doc parts (measured 180MB / 3.4-5.6s at 20M docs).
+    Written before the manifest commit; readers fall back to the parts
+    when the sidecar is absent (expunge/rebase outputs)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..state.fs import fs_listdir, open_parquet
+
+    fs, root = resolve_fs(index_dir)
+    docs_dir = fs_join(root, "docs")
+    parts = sorted(
+        n for n in fs_listdir(fs, docs_dir) if n.endswith(".parquet")
+    )
+    if not parts:
+        return
+
+    def _one(name: str):
+        pf = open_parquet(fs, fs_join(docs_dir, name))
+        cols = [
+            c for c in pf.schema_arrow.names
+            if c.startswith(("norm_", "len_"))
+        ]
+        return pf.read(columns=cols), pf.metadata.num_rows
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(min(16, len(parts))) as ex:
+        loaded = list(ex.map(_one, parts))   # order-preserving
+    all_cols: dict[str, object] = {}
+    for t, _n in loaded:
+        for f in t.schema:
+            all_cols.setdefault(f.name, f.type)
+    arrays = {}
+    for name, typ in sorted(all_cols.items()):
+        chunks = []
+        for t, n in loaded:
+            if name in t.schema.names:
+                chunks.append(t.column(name))
+            else:   # part predates a dynamic field: zero-fill
+                chunks.append(pa.chunked_array(
+                    [pa.nulls(n, typ).fill_null(0)]
+                ))
+        arrays[name] = pa.concat_arrays(
+            [c for ch in chunks for c in ch.chunks]
+        )
+    pq.write_table(
+        pa.table(arrays), fs_join(root, "norms.parquet"),
+        compression="zstd", row_group_size=1 << 22, filesystem=fs,
+    )
+
+
 def build_index(
     input_paths: str | list[str],
     index_dir: str,
@@ -197,6 +254,9 @@ def build_index(
         [int(m["shard_salt"]) for m in shard_metrics],
         concurrency=concurrency,
     )
+    # consolidated norms/doc-lens sidecar (the .f<n> analogue): one
+    # column read per field at serving, not ~1.3k doc-part reads
+    write_norms_sidecar(index_dir)
 
     # ---- phase 3: stats + atomic manifest commit ------------------------
     num_docs = sum(m["num_docs"] for m in invert_metrics)
@@ -299,7 +359,7 @@ def _group_fragments(
 #     doc // salt_doc_range run boundaries, not at the fragment-group
 #     base) + salt_doc_range auto-fit default — 1/N range ownership no
 #     longer depends on the input's row-group layout.
-INDEX_FORMAT_VERSION = 5
+INDEX_FORMAT_VERSION = 6  # v6: dictionary/postings shard file split
 
 
 def _config_fingerprint(cfg: IndexConfig) -> str:

@@ -143,25 +143,32 @@ class _PurgeTask:
 
             rec = read_json(checkpoint_path(self.dest, "purge", key))
             return rec.get("metrics", {})
-        t = pq.read_table(fs_join(sroot, rel), filesystem=sfs)
         metrics: dict = {}
         if kind == "shard":
+            from ..stages.merge import read_shard_table, \
+                write_shard_tables
+
+            t = read_shard_table(sfs, sroot, rel)
             new = _purge_shard_table(t, self.deleted)
             fs_makedirs(dfs, fs_join(droot, "shards"))
+            outputs = []
             if new.num_rows:
-                pq.write_table(
-                    new, fs_join(droot, rel), compression="zstd",
-                    row_group_size=self.shards_rg_size, filesystem=dfs,
+                salt = int(rel.split("-")[1].split(".")[0])
+                from ..stages.merge import frq_file_name
+
+                drel, prel, _sz = write_shard_tables(
+                    new, dfs, droot, salt, self.shards_rg_size
                 )
+                outputs = [drel, prel, frq_file_name(salt)]
                 metrics = {
                     "num_terms": new.num_rows,
                     "num_postings": int(
                         pa.compute.sum(new.column("df")).as_py()
                     ),
-                    "salt": int(rel.split("-")[1].split(".")[0]),
+                    "salt": salt,
                 }
-            outputs = [rel] if new.num_rows else []
         else:  # docs part
+            t = pq.read_table(fs_join(sroot, rel), filesystem=sfs)
             ids = t.column("doc_id").to_numpy()
             keep = ~np.isin(ids, self.deleted)
             new = t.filter(pa.array(keep))

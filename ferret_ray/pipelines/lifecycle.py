@@ -116,7 +116,12 @@ class _RebaseTask:
             rec = read_json(checkpoint_path(self.dest_dir, "rebase", key))
             return rec.get("outputs", [])
         sfs, sroot = resolve_fs(src)
-        t = pq.read_table(fs_join(sroot, rel), filesystem=sfs)
+        if kind == "shard":
+            from ..stages.merge import read_shard_table
+
+            t = read_shard_table(sfs, sroot, rel)
+        else:
+            t = pq.read_table(fs_join(sroot, rel), filesystem=sfs)
         if kind == "shard":
             seg = rebase_shard_rows(
                 t, offset, np.asarray(field_map_l, dtype=np.int64),

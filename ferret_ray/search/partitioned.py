@@ -366,10 +366,12 @@ class PartitionWorker:
         total = 0
         for r in getattr(self.base, "readers", [self.base]):
             for ss in r._shard_salts:
-                total += fs_file_size(
-                    r._fs,
-                    fs_join(r._root, f"shards/shard-{ss:08d}.parquet"),
-                )
+                for rel in (
+                    f"shards/shard-{ss:08d}.parquet",
+                    f"shards/shard-{ss:08d}-post.parquet",
+                    f"shards/shard-{ss:08d}.frq",
+                ):
+                    total += fs_file_size(r._fs, fs_join(r._root, rel))
         return total
 
 

@@ -147,6 +147,12 @@ class _Shard:
             fs, path = resolve_fs(path)
         self._fs, self._path = fs, path
         self._pf_obj = None
+        self._pf_post_obj = None
+        self._post_rg_off: np.ndarray | None = None
+        self._frq_obj = None   # False = probed, absent
+        self._frq_n = 0
+        self._frq_docs_total = 0
+        self._frq_freqs_total = 0
         if stats is not None:
             # pre-parsed row-group stats (the index's shards_stats
             # sidecar, the .tix analogue): no file open, no footer
@@ -196,6 +202,116 @@ class _Shard:
             pf = open_parquet(self._fs, self._path)
             self._pf_obj = pf
         return pf
+
+    @property
+    def _pf_post(self):
+        """The POSTINGS-file handle (the shard's blob columns live in a
+        row-aligned sibling parquet with small stat-less row groups —
+        stages/merge.py POST_COLS).  Row-group offsets derive from the
+        fixed write row_group_size, so the only footer cost is the
+        (tiny, stats-free) metadata parse at first blob access."""
+        pf = self._pf_post_obj
+        if pf is None:
+            pf = open_parquet(
+                self._fs,
+                self._path.replace(".parquet", "-post.parquet"),
+            )
+            self._pf_post_obj = pf
+            md = pf.metadata
+            nrg = md.num_row_groups
+            k = md.row_group(0).num_rows if nrg else 0
+            self._post_rg_off = np.minimum(
+                np.arange(nrg + 1, dtype=np.int64) * max(k, 1),
+                md.num_rows,
+            )
+        return pf
+
+    def post_rgs_of_rows(self, rows: np.ndarray) -> np.ndarray:
+        """Postings-file row-group index of each global row."""
+        self._pf_post  # ensure offsets
+        return np.searchsorted(
+            self._post_rg_off, rows, side="right"
+        ) - 1
+
+    @property
+    def _frq(self):
+        """Raw scoring-stream sidecar handle (stages/merge.py
+        frq_file_name): fixed-width offsets + raw docs/freqs streams,
+        so a row-range fetch is a handful of exact positioned reads
+        with ZERO footer/metadata parse.  None when the sidecar is
+        absent (pre-v6 layout) — callers fall back to the parquet
+        postings file."""
+        f = self._frq_obj
+        if f is False:
+            return None
+        if f is None:
+            try:
+                f = self._fs.open_input_file(
+                    self._path.replace(".parquet", ".frq")
+                )
+                head = np.frombuffer(f.read_at(16, 0), dtype=np.int64)
+                if head[0] != 0x46455246:
+                    raise OSError("bad frq magic")
+                n = int(head[1])
+                self._frq_n = n
+                # stream byte totals live at the last offset slot
+                self._frq_docs_total = int(np.frombuffer(
+                    f.read_at(8, 16 + 8 * n), dtype=np.int64)[0])
+                self._frq_freqs_total = int(np.frombuffer(
+                    f.read_at(8, 16 + 8 * (n + 1) + 8 * n),
+                    dtype=np.int64)[0])
+                self._frq_obj = f
+            except (FileNotFoundError, OSError):
+                self._frq_obj = False
+                return None
+        return self._frq_obj
+
+    def _frq_stream(self, stream: int, rows: np.ndarray):
+        """(concatenated row bytes, per-row lengths) of stream 0=docs /
+        1=freqs for sorted ``rows`` — offset-slice read + one exact
+        data read per consecutive-row run."""
+        f = self._frq
+        n = self._frq_n
+        off_base = 16 + stream * 8 * (n + 1)
+        data_base = (16 + 2 * 8 * (n + 1)
+                     + (self._frq_docs_total if stream else 0))
+        lo, hi = int(rows[0]), int(rows[-1])
+        span = np.frombuffer(
+            f.read_at(8 * (hi - lo + 2), off_base + 8 * lo),
+            dtype=np.int64,
+        )
+        starts = span[rows - lo]
+        ends = span[rows - lo + 1]
+        lens = ends - starts
+        # consecutive rows share contiguous bytes: one read per run
+        run_heads = np.flatnonzero(
+            np.concatenate(([True], np.diff(rows) != 1))
+        )
+        pieces = []
+        for k, h in enumerate(run_heads):
+            t = (run_heads[k + 1] - 1 if k + 1 < run_heads.size
+                 else rows.size - 1)
+            a, b = int(starts[h]), int(ends[t])
+            pieces.append(np.frombuffer(
+                f.read_at(b - a, data_base + a), dtype=np.uint8
+            ))
+        buf = (np.concatenate(pieces) if len(pieces) > 1
+               else (pieces[0] if pieces
+                     else np.empty(0, dtype=np.uint8)))
+        return buf, lens
+
+    def gather_docs_freqs(self, rows: np.ndarray):
+        """(docs buf, docs lens, freqs buf, freqs lens) for sorted dict
+        ``rows`` — the expansion/decode fast path.  Uses the raw frq
+        sidecar when present (exact ranges, no row-group read
+        amplification); falls back to the parquet postings file."""
+        if self._frq is not None:
+            d, dl = self._frq_stream(0, rows)
+            fr, fl = self._frq_stream(1, rows)
+            return d, dl, fr, fl
+        d, dl = self.gather_blobs("docs_enc", rows)
+        fr, fl = self.gather_blobs("freqs_enc", rows)
+        return d, dl, fr, fl
 
     # ---- lazy dictionary ------------------------------------------------
 
@@ -373,12 +489,13 @@ class _Shard:
         return None
 
     def _rg_table(self, rg: int, name: str):
-        """Cached two-column (docs+freqs or prx+lens) row-group read."""
+        """Cached two-column (docs+freqs or prx+lens) POSTINGS-file
+        row-group read (``rg`` indexes the postings file's groups)."""
         cols = self.BLOB_GROUPS[name]
         key = (rg, cols[0])
         tbl = self._rg_cache.get(key)
         if tbl is None:
-            tbl = self._pf.read_row_group(rg, columns=list(cols))
+            tbl = self._pf_post.read_row_group(rg, columns=list(cols))
             self._rg_cache[key] = tbl
             if len(self._rg_cache) > self._rg_cap:
                 self._rg_cache.popitem(last=False)
@@ -404,12 +521,13 @@ class _Shard:
         if len(missing) == 1:
             self._rg_table(missing[0], name)
             return
-        tbl = self._pf.read_row_groups(missing, columns=list(cols))
+        tbl = self._pf_post.read_row_groups(missing, columns=list(cols))
         if len(missing) > self._rg_cap:
             self._rg_cap = len(missing)
         off = 0
+        poff = self._post_rg_off
         for rg in missing:
-            n = int(self._rg_off[rg + 1] - self._rg_off[rg])
+            n = int(poff[rg + 1] - poff[rg])
             self._rg_cache[(rg, cols[0])] = tbl.slice(off, n)
             off += n
             if len(self._rg_cache) > self._rg_cap:
@@ -426,7 +544,7 @@ class _Shard:
         blobs: every blob ends on a value boundary)."""
         pieces: list[np.ndarray] = []
         lens = np.empty(rows.size, dtype=np.int64)
-        rgs = np.searchsorted(self._rg_off, rows, side="right") - 1
+        rgs = self.post_rgs_of_rows(rows)
         k = 0
         for rg in np.unique(rgs):
             tbl = self._rg_table(int(rg), name)
@@ -444,7 +562,7 @@ class _Shard:
                 np.frombuffer(bufs[2], dtype=np.uint8)
                 if bufs[2] is not None else np.empty(0, dtype=np.uint8)
             )
-            for i in rows[rgs == rg] - int(self._rg_off[rg]):
+            for i in rows[rgs == rg] - int(self._post_rg_off[rg]):
                 pieces.append(data[off[i]: off[i + 1]])
                 lens[k] = off[i + 1] - off[i]
                 k += 1
@@ -455,10 +573,16 @@ class _Shard:
         return buf, lens
 
     def _blob(self, name: str, i: int) -> bytes:
-        rg = int(np.searchsorted(self._rg_off, i, side="right") - 1)
+        if name in ("docs_enc", "freqs_enc") and self._frq is not None:
+            buf, _lens = self._frq_stream(
+                0 if name == "docs_enc" else 1,
+                np.array([i], dtype=np.int64),
+            )
+            return buf.tobytes()
+        rg = int(self.post_rgs_of_rows(np.array([i]))[0])
         return (
             self._rg_table(rg, name)
-            .column(name)[i - int(self._rg_off[rg])]
+            .column(name)[i - int(self._post_rg_off[rg])]
             .as_py()
         )
 
@@ -922,42 +1046,57 @@ class IndexReader:
                              count=len(ris)))
             for sh, ris in by_sh.values()
         ]
+        # threaded gather of the two scoring streams per shard file
+        # (positioned sidecar reads release the GIL); the numpy decode
+        # below then runs single-threaded over in-memory buffers.
+        # Chunked: one future per thread, not per shard file.
+        gathered: dict[int, tuple] = {}
         if len(sh_rows) > 3:
-            # threaded prefetch of the needed posting row groups (the
-            # parquet reads release the GIL); the numpy decode below
-            # then runs over warm cached tables.  Chunked: one future
-            # per thread, not per shard file.  Decode stays OUT of the
-            # threads: numpy elementwise kernels hold the GIL, so
-            # decode-in-threads only adds contention (measured +20%).
             from concurrent.futures import ThreadPoolExecutor
 
-            def _prefetch(items):
+            def _gather(items):
                 for sh, rws in items:
-                    rgs = np.searchsorted(
-                        sh._rg_off, rws, side="right"
-                    ) - 1
-                    sh.load_rg_tables(np.unique(rgs), "docs_enc")
+                    gathered[id(sh)] = sh.gather_docs_freqs(rws)
 
             nthreads = min(32, len(sh_rows))
             chunks = [sh_rows[i::nthreads] for i in range(nthreads)]
             with ThreadPoolExecutor(nthreads) as ex:
-                list(ex.map(_prefetch, chunks))
+                list(ex.map(_gather, chunks))
+        else:
+            for sh, rws in sh_rows:
+                gathered[id(sh)] = sh.gather_docs_freqs(rws)
+        # ONE decode pass across ALL shard files (a 1,280-file cold
+        # expansion otherwise pays 2 numpy decode launches per file —
+        # measured 4.1s in per-file vint_decode calls at 20M docs):
+        # concatenate every file's gathered blob bytes, decode once,
+        # and re-segment with the global per-row value counts.
         seg: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+        dbufs, fbufs, dlen_parts, key_parts = [], [], [], []
         for sh, rws in sh_rows:
-            sid = id(sh)
-            dbuf, dlens = sh.gather_blobs("docs_enc", rws)
-            fbuf, _flens = sh.gather_blobs("freqs_enc", rws)
-            deltas = vint_decode(dbuf)
-            freqs_all = vint_decode(fbuf)
+            dbuf, dlens, fbuf, _flens = gathered[id(sh)]
+            dbufs.append(dbuf)
+            fbufs.append(fbuf)
+            dlen_parts.append(dlens)
+            key_parts.append((id(sh), rws))
+        if dbufs:
+            dbuf_all = np.concatenate(dbufs)
+            dlens_all = np.concatenate(dlen_parts)
+            n_rows = dlens_all.size
+            deltas = vint_decode(dbuf_all)
+            freqs_all = vint_decode(np.concatenate(fbufs))
             # per-row value counts from the stream itself (number of
-            # terminator bytes per row) — exact whatever df semantics
-            is_last = (dbuf & 0x80) == 0
-            row_of_byte = np.repeat(
-                np.arange(rws.size, dtype=np.int64), dlens
+            # terminator bytes per row) — a cumulative-terminator-count
+            # diff at row byte boundaries (the old repeat+bincount
+            # built a per-BYTE int64 array: 1.9GB of temporaries on a
+            # 230MB stream)
+            term_cum = np.cumsum(
+                ((dbuf_all & 0x80) == 0).astype(np.int64)
             )
-            counts = np.bincount(
-                row_of_byte[is_last], minlength=rws.size
+            row_ends = np.cumsum(dlens_all)
+            at_end = np.where(
+                row_ends > 0, term_cum[row_ends - 1], 0
             )
+            counts = np.diff(np.concatenate(([0], at_end)))
             bounds = np.concatenate(([0], np.cumsum(counts)))
             if deltas.size:
                 c = np.cumsum(deltas)
@@ -967,11 +1106,14 @@ class IndexReader:
                 docs_all = c - np.repeat(corr, counts[nz])
             else:
                 docs_all = deltas
-            for k in range(rws.size):
-                seg[(sid, int(rws[k]))] = (
-                    docs_all[bounds[k]: bounds[k + 1]],
-                    freqs_all[bounds[k]: bounds[k + 1]],
-                )
+            k = 0
+            for sid, rws in key_parts:
+                for ri in rws:
+                    seg[(sid, int(ri))] = (
+                        docs_all[bounds[k]: bounds[k + 1]],
+                        freqs_all[bounds[k]: bounds[k + 1]],
+                    )
+                    k += 1
         for t, rows in parts.items():
             docs_l, freqs_l, prx_parts = [], [], []
             for sh, ri in rows:
@@ -1113,7 +1255,27 @@ class IndexReader:
             self._col_cache[col] = self._load_docs_column(col)
         return self._col_cache[col]
 
+    def _norms_pf(self):
+        """Consolidated norms/doc-lens sidecar handle (norms.parquet,
+        written at commit by pipelines/build.py) or None."""
+        pf = getattr(self, "_norms_pf_obj", None)
+        if pf is None:
+            try:
+                pf = open_parquet(
+                    self._fs, fs_join(self._root, "norms.parquet")
+                )
+            except (FileNotFoundError, OSError):
+                pf = False
+            self._norms_pf_obj = pf
+        return pf or None
+
     def _load_docs_column(self, col: str) -> np.ndarray | None:
+        if col.startswith(("norm_", "len_")):
+            pf = self._norms_pf()
+            if pf is not None and col in pf.schema_arrow.names:
+                return (
+                    pf.read(columns=[col]).column(col).to_numpy()
+                )
         docs_dir = fs_join(self._root, "docs")
         parts = [
             name for name in fs_listdir(self._fs, docs_dir)

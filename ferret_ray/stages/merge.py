@@ -85,6 +85,120 @@ def shard_file_name(shard_salt: int) -> str:
     return f"shards/shard-{shard_salt:08d}.parquet"
 
 
+def post_file_name(shard_salt: int) -> str:
+    return f"shards/shard-{shard_salt:08d}-post.parquet"
+
+
+# The shard is TWO row-aligned parquet files — the reference's
+# .tis/.frq split (c/src/index.c TermInfosWriter vs FrqWriter):
+# - the DICTIONARY file (shard_file_name): light per-term columns,
+#   large row groups, term statistics on (footer stats drive range
+#   pruning; a 1,280-file cold open parses ~20KB of footer per file
+#   instead of ~140KB when the blob column metadata lived here too)
+# - the POSTINGS file (post_file_name): the blob columns, SMALL row
+#   groups (POST_RG_SIZE) and no statistics, so a range read over k
+#   terms touches ~k/32 row groups of exactly the heavy bytes it needs
+#   (measured: the same 256-term expansion read 1,606MB from a unified
+#   1,024-row-group layout vs ~200MB split — row groups are the read
+#   amplification unit for blob fetches)
+POST_COLS = ("docs_enc", "freqs_enc", "prx_enc", "prx_lens_enc",
+             "skip_enc")
+POST_RG_SIZE = 32
+
+
+def split_shard_table(table: pa.Table) -> tuple[pa.Table, pa.Table]:
+    """(dictionary table, postings table), row-aligned."""
+    dict_t = table.drop_columns(list(POST_COLS))
+    post_t = table.select(list(POST_COLS))
+    return dict_t, post_t
+
+
+def read_shard_table(fs, root: str, rel: str) -> pa.Table:
+    """The full logical shard (dictionary + blob columns) for wholesale
+    consumers (LSM rebase, expunge) — reads both files and re-attaches
+    the row-aligned blob columns."""
+    dict_t = pq.read_table(fs_join(root, rel), filesystem=fs)
+    post_rel = rel.replace(".parquet", "-post.parquet")
+    post_t = pq.read_table(fs_join(root, post_rel), filesystem=fs)
+    for name in POST_COLS:
+        dict_t = dict_t.append_column(name, post_t.column(name))
+    return dict_t
+
+
+def frq_file_name(shard_salt: int) -> str:
+    return f"shards/shard-{shard_salt:08d}.frq"
+
+
+FRQ_MAGIC = 0x46455246  # "FREF"
+
+
+def _frq_bytes_parts(table: pa.Table) -> list[bytes]:
+    """The raw scoring-stream sidecar (the reference's .frq,
+    c/src/index.c frq writer): header + per-row byte offsets of the
+    docs_enc and freqs_enc streams + the two raw streams.  Fixed-width
+    offsets mean a reader locates any row RANGE with two exact
+    positioned reads and zero footer/metadata parse — the serving fast
+    path for expansions (the parquet postings file keeps the same bytes
+    zstd-compressed for wholesale consumers and positions).
+
+    Layout: int64 magic | int64 n_rows | int64 docs_off[n+1]
+            | int64 freqs_off[n+1] | docs stream | freqs stream
+    """
+    n = table.num_rows
+    parts = [np.array([FRQ_MAGIC, n], dtype=np.int64).tobytes()]
+    streams = []
+    for name in ("docs_enc", "freqs_enc"):
+        arr = table.column(name)
+        arr = (
+            arr.combine_chunks() if isinstance(arr, pa.ChunkedArray)
+            else arr
+        )
+        if isinstance(arr, pa.ChunkedArray):  # zero-chunk edge
+            arr = pa.concat_arrays(
+                arr.chunks or [pa.array([], pa.large_binary())]
+            )
+        bufs = arr.buffers()
+        off = np.frombuffer(
+            bufs[1], dtype=np.int64, count=n + 1, offset=arr.offset * 8
+        )
+        data = (
+            np.frombuffer(bufs[2], dtype=np.uint8)[off[0]: off[-1]]
+            if bufs[2] is not None else np.empty(0, dtype=np.uint8)
+        )
+        parts.append((off - off[0]).tobytes())
+        streams.append(data.tobytes())
+    return parts + streams
+
+
+def write_shard_tables(
+    table: pa.Table, fs, root: str, shard_salt: int,
+    dict_rg_size: int,
+) -> tuple[str, str, int]:
+    """Write one logical shard as the dictionary/postings/frq file
+    triple; returns (dict rel, post rel, total bytes)."""
+    dict_t, post_t = split_shard_table(table)
+    rel = shard_file_name(shard_salt)
+    post_rel = post_file_name(shard_salt)
+    frq_rel = frq_file_name(shard_salt)
+    pq.write_table(
+        dict_t, fs_join(root, rel), compression="zstd",
+        row_group_size=dict_rg_size, filesystem=fs,
+    )
+    pq.write_table(
+        post_t, fs_join(root, post_rel), compression="zstd",
+        row_group_size=POST_RG_SIZE, filesystem=fs,
+        write_statistics=False,
+    )
+    with fs.open_output_stream(fs_join(root, frq_rel)) as f:
+        for b in _frq_bytes_parts(table):
+            f.write(b)
+    size = sum(
+        fs_file_size(fs, fs_join(root, r))
+        for r in (rel, post_rel, frq_rel)
+    )
+    return rel, post_rel, size
+
+
 SHARD_STATS_SCHEMA = pa.schema(
     [
         ("salt", pa.int64()),
@@ -717,17 +831,16 @@ class BucketMerger:
             schema=SHARD_SCHEMA,
         )
         fs_makedirs(self.fs, fs_join(self.root, "shards"))
-        path = fs_join(self.root, rel)
-        # small row groups bound the lazy reader's per-term range reads
-        # (one row group ~ one .frq block seek)
-        pq.write_table(
-            table, path, compression="zstd",
-            row_group_size=self.shards_rg_size, filesystem=self.fs,
+        # dictionary/postings file pair: large dict row groups for scan
+        # + footer-stat pruning, tiny stat-less postings row groups to
+        # bound blob range-read amplification (one rg ~ one .frq seek)
+        rel, post_rel, size = write_shard_tables(
+            table, self.fs, self.root, shard_salt, self.shards_rg_size
         )
-        size = fs_file_size(self.fs, path)
         total_postings = int(df.sum())
         write_checkpoint(
-            self.index_dir, "shard", key, self.input_fp, [rel],
+            self.index_dir, "shard", key, self.input_fp,
+            [rel, post_rel, frq_file_name(shard_salt)],
             {"num_terms": n, "num_postings": total_postings},
         )
         return _metrics(shard_salt, n, total_postings, size, False)

@@ -123,7 +123,13 @@ def fs_rmtree(fs: pafs.FileSystem, path: str) -> None:
 
 
 def open_parquet(fs: pafs.FileSystem, path: str):
-    """pq.ParquetFile over any filesystem (range-read capable)."""
+    """pq.ParquetFile over any filesystem (range-read capable).
+
+    ``pre_buffer=True`` coalesces the column-chunk ranges of a
+    read_row_groups call into batched async reads — measured 11x on a
+    cold 1,280-file expansion pattern on this host's virtio disk (15.0s
+    -> 1.3s for the same 14MB), and it is the right default for object
+    stores too (fewer, larger range requests)."""
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(fs.open_input_file(path))
+    return pq.ParquetFile(fs.open_input_file(path), pre_buffer=True)

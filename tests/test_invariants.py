@@ -57,7 +57,14 @@ def test_df_and_postings_counts(built):
         total_distinct += len(set(terms))
         total_tokens += len(terms)
 
-    shards = pads.dataset(os.path.join(idx, "shards")).to_table(
+    # v6 layout: stats live in the dictionary files (the plain
+    # shard-XXXXXXXX.parquet ones, not -post.parquet / .frq siblings)
+    dict_files = sorted(
+        os.path.join(idx, "shards", n)
+        for n in os.listdir(os.path.join(idx, "shards"))
+        if n.endswith(".parquet") and not n.endswith("-post.parquet")
+    )
+    shards = pads.dataset(dict_files).to_table(
         columns=["field", "df", "tf_sum"]
     )
     fn = manifest["field_names"].index("content")

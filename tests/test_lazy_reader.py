@@ -51,12 +51,14 @@ def test_lazy_matches_full_decode(code_index):
     from ferret_ray.codec.postings import decode_docs_freqs
     from ferret_ray.search.reader import IndexReader
 
+    from ferret_ray.stages.merge import read_shard_table
+    from ferret_ray.state.fs import resolve_fs
+
     r = IndexReader(code_index)
     salt = r.manifest["shards"][0]
     sh = r._shard_for(salt)
-    full = pq.read_table(
-        os.path.join(code_index, f"shards/shard-{salt:08d}.parquet")
-    )
+    fs, root = resolve_fs(code_index)
+    full = read_shard_table(fs, root, f"shards/shard-{salt:08d}.parquet")
     n = full.num_rows
     for i in [0, 1, n // 2, n - 1]:
         assert sh.docs_enc[i] == full.column("docs_enc")[i].as_py()
