@@ -1050,6 +1050,9 @@ class IndexReader:
         # (positioned sidecar reads release the GIL); the numpy decode
         # below then runs single-threaded over in-memory buffers.
         # Chunked: one future per thread, not per shard file.
+        import time as _t, os as _os
+        _dbg = _os.environ.get("FERRET_DEBUG_PM")
+        _t0 = _t.perf_counter()
         gathered: dict[int, tuple] = {}
         if len(sh_rows) > 3:
             from concurrent.futures import ThreadPoolExecutor
@@ -1070,6 +1073,9 @@ class IndexReader:
         # measured 4.1s in per-file vint_decode calls at 20M docs):
         # concatenate every file's gathered blob bytes, decode once,
         # and re-segment with the global per-row value counts.
+        if _dbg:
+            print(f"  gather: {_t.perf_counter()-_t0:.2f}s files={len(sh_rows)}")
+        _t0 = _t.perf_counter()
         seg: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
         dbufs, fbufs, dlen_parts, key_parts = [], [], [], []
         for sh, rws in sh_rows:
@@ -1099,11 +1105,18 @@ class IndexReader:
             counts = np.diff(np.concatenate(([0], at_end)))
             bounds = np.concatenate(([0], np.cumsum(counts)))
             if deltas.size:
-                c = np.cumsum(deltas)
+                from ..state.arena import hp_empty
+
+                # hugepage-backed temporaries: the cumsum/repeat pair
+                # allocates ~3x the posting count in int64 — plain
+                # numpy pages fault 10x slower (state/arena.py)
+                c = hp_empty(deltas.size, np.int64)
+                np.cumsum(deltas, out=c)
                 nz = counts > 0
                 starts = bounds[:-1][nz]
                 corr = c[starts] - deltas[starts]
-                docs_all = c - np.repeat(corr, counts[nz])
+                docs_all = c
+                docs_all -= np.repeat(corr, counts[nz])
             else:
                 docs_all = deltas
             k = 0
@@ -1114,6 +1127,9 @@ class IndexReader:
                         freqs_all[bounds[k]: bounds[k + 1]],
                     )
                     k += 1
+        if _dbg:
+            print(f"  decode+seg: {_t.perf_counter()-_t0:.2f}s")
+        _t0 = _t.perf_counter()
         for t, rows in parts.items():
             docs_l, freqs_l, prx_parts = [], [], []
             for sh, ri in rows:

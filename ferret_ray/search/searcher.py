@@ -678,8 +678,10 @@ class Searcher:
             # dense accumulation: boolean scatter + flatnonzero replace
             # the O(n log n) unique/searchsorted over the concatenated
             # postings (the cold wide-expansion tail, VERDICT r4 #3)
-            touched = np.zeros(n_docs, dtype=bool)
-            dense = np.zeros(n_docs, dtype=np.float32)
+            from ..state.arena import hp_zeros
+
+            touched = hp_zeros(n_docs, bool)
+            dense = hp_zeros(n_docs, np.float32)
             for p, b in posts:
                 tf = np.sqrt(p.freqs.astype(np.float64)).astype(
                     np.float32) * b
