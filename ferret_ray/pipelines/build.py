@@ -359,7 +359,11 @@ def _group_fragments(
 #     doc // salt_doc_range run boundaries, not at the fragment-group
 #     base) + salt_doc_range auto-fit default — 1/N range ownership no
 #     longer depends on the input's row-group layout.
-INDEX_FORMAT_VERSION = 6  # v6: dictionary/postings shard file split
+#  v6: dictionary/postings shard file split
+#  v7: docs/freqs stored as int32 list columns (parquet C++ decode on
+#      the serving path; no VInt work on scoring streams); skip entries
+#      are (docΔ, prxΔ) pairs
+INDEX_FORMAT_VERSION = 7
 
 
 def _config_fingerprint(cfg: IndexConfig) -> str:

@@ -25,8 +25,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..codec.postings import SKIP_INTERVAL, decode_docs_freqs
-from ..codec.vint import vint_byte_len, vint_decode, vint_encode
+from ..codec.postings import SKIP_INTERVAL
+from ..codec.vint import vint_decode, vint_encode
 from ..state.fs import (
     fs_listdir,
     fs_makedirs,
@@ -54,14 +54,15 @@ def _purge_shard_table(
 
     cols = {name: [] for name in SHARD_SCHEMA.names}
     n = t.num_rows
-    docs_enc = t.column("docs_enc")
-    freqs_enc = t.column("freqs_enc")
+    docs_list = t.column("docs_list")
+    freqs_list = t.column("freqs_list")
     prx_enc = t.column("prx_enc")
     prx_lens_enc = t.column("prx_lens_enc")
     for i in range(n):
-        d, f = decode_docs_freqs(
-            docs_enc[i].as_py(), freqs_enc[i].as_py()
+        d = np.cumsum(
+            np.asarray(docs_list[i].as_py(), dtype=np.int64)
         )
+        f = np.asarray(freqs_list[i].as_py(), dtype=np.int64)
         keep = ~np.isin(d, deleted)
         if not keep.any():
             continue  # term vanishes, like a fresh build without it
@@ -70,8 +71,6 @@ def _purge_shard_table(
         deltas = np.empty(nd.size, dtype=np.int64)
         deltas[0] = nd[0]
         np.subtract(nd[1:], nd[:-1], out=deltas[1:])
-        new_docs = vint_encode(deltas)
-        new_freqs = vint_encode(nf)
         prx_b = prx_enc[i].as_py()
         plens_b = prx_lens_enc[i].as_py()
         if prx_b:
@@ -87,9 +86,7 @@ def _purge_shard_table(
             new_prx = b""
             new_plens = b""
         if nd.size > SKIP_INTERVAL:
-            skip_b, bmax_b = _skip_blockmax(
-                nd, nf, vint_byte_len(deltas), new_plens
-            )
+            skip_b, bmax_b = _skip_blockmax(nd, nf, new_plens)
         else:
             skip_b, bmax_b = b"", b""
         cols["field"].append(t.column("field")[i].as_py())
@@ -99,8 +96,8 @@ def _purge_shard_table(
         cols["doc_min"].append(int(nd[0]))
         cols["doc_max"].append(int(nd[-1]))
         cols["max_tf"].append(int(nf.max()))
-        cols["docs_enc"].append(new_docs)
-        cols["freqs_enc"].append(new_freqs)
+        cols["docs_list"].append(deltas.astype(np.int32))
+        cols["freqs_list"].append(nf.astype(np.int32))
         cols["prx_enc"].append(new_prx)
         cols["prx_lens_enc"].append(new_plens)
         cols["skip_enc"].append(skip_b)
@@ -154,12 +151,10 @@ class _PurgeTask:
             outputs = []
             if new.num_rows:
                 salt = int(rel.split("-")[1].split(".")[0])
-                from ..stages.merge import frq_file_name
-
                 drel, prel, _sz = write_shard_tables(
                     new, dfs, droot, salt, self.shards_rg_size
                 )
-                outputs = [drel, prel, frq_file_name(salt)]
+                outputs = [drel, prel]
                 metrics = {
                     "num_terms": new.num_rows,
                     "num_postings": int(

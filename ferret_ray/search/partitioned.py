@@ -369,7 +369,6 @@ class PartitionWorker:
                 for rel in (
                     f"shards/shard-{ss:08d}.parquet",
                     f"shards/shard-{ss:08d}-post.parquet",
-                    f"shards/shard-{ss:08d}.frq",
                 ):
                     total += fs_file_size(r._fs, fs_join(r._root, rel))
         return total

@@ -26,11 +26,9 @@ import numpy as np
 import pyarrow.parquet as pq
 
 from ..codec.postings import (
-    decode_docs_freqs,
     decode_positions,
     decode_positions_all,
 )
-from ..codec.vint import vint_decode
 from ..stages.invert import term_shard
 from ..state.fs import (
     fs_listdir,
@@ -84,6 +82,24 @@ class Postings:
         return self._pos_flat, self._pos_off
 
 
+def _list_np(col) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets int64[n+1], values int32) numpy views of a
+    large_list<int32> column (combining chunks if needed)."""
+    arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+    if hasattr(arr, "chunks"):  # still chunked (zero-chunk edge)
+        import pyarrow as pa
+
+        arr = pa.concat_arrays(
+            arr.chunks or [pa.array([], arr.type)]
+        )
+    off = np.frombuffer(
+        arr.buffers()[1], dtype=np.int64, count=len(arr) + 1,
+        offset=arr.offset * 8,
+    )
+    vals = arr.values.to_numpy(zero_copy_only=False)
+    return off, vals
+
+
 class _RGBlobs:
     """Per-row bytes access over one blob column, fetched by row-group
     range reads through the shard's shared row-group LRU."""
@@ -135,8 +151,8 @@ class _Shard:
     # fetch groups: scoring touches only docs+freqs; positions (the bulk
     # of index bytes) load only for phrase/span paths
     BLOB_GROUPS = {
-        "docs_enc": ("docs_enc", "freqs_enc"),
-        "freqs_enc": ("docs_enc", "freqs_enc"),
+        "docs_list": ("docs_list", "freqs_list"),
+        "freqs_list": ("docs_list", "freqs_list"),
         "prx_enc": ("prx_enc", "prx_lens_enc"),
         "prx_lens_enc": ("prx_enc", "prx_lens_enc"),
     }
@@ -149,10 +165,6 @@ class _Shard:
         self._pf_obj = None
         self._pf_post_obj = None
         self._post_rg_off: np.ndarray | None = None
-        self._frq_obj = None   # False = probed, absent
-        self._frq_n = 0
-        self._frq_docs_total = 0
-        self._frq_freqs_total = 0
         if stats is not None:
             # pre-parsed row-group stats (the index's shards_stats
             # sidecar, the .tix analogue): no file open, no footer
@@ -187,8 +199,6 @@ class _Shard:
         self._field_runs: dict[int, range] = {}
         self._rg_cache: OrderedDict[int, object] = OrderedDict()
         self._rg_cap = rg_cache
-        self.docs_enc = _RGBlobs(self, "docs_enc")
-        self.freqs_enc = _RGBlobs(self, "freqs_enc")
         self.prx_enc = _RGBlobs(self, "prx_enc")
         self.prx_lens_enc = _RGBlobs(self, "prx_lens_enc")
 
@@ -233,85 +243,35 @@ class _Shard:
             self._post_rg_off, rows, side="right"
         ) - 1
 
-    @property
-    def _frq(self):
-        """Raw scoring-stream sidecar handle (stages/merge.py
-        frq_file_name): fixed-width offsets + raw docs/freqs streams,
-        so a row-range fetch is a handful of exact positioned reads
-        with ZERO footer/metadata parse.  None when the sidecar is
-        absent (pre-v6 layout) — callers fall back to the parquet
-        postings file."""
-        f = self._frq_obj
-        if f is False:
-            return None
-        if f is None:
-            try:
-                f = self._fs.open_input_file(
-                    self._path.replace(".parquet", ".frq")
-                )
-                head = np.frombuffer(f.read_at(16, 0), dtype=np.int64)
-                if head[0] != 0x46455246:
-                    raise OSError("bad frq magic")
-                n = int(head[1])
-                self._frq_n = n
-                # stream byte totals live at the last offset slot
-                self._frq_docs_total = int(np.frombuffer(
-                    f.read_at(8, 16 + 8 * n), dtype=np.int64)[0])
-                self._frq_freqs_total = int(np.frombuffer(
-                    f.read_at(8, 16 + 8 * (n + 1) + 8 * n),
-                    dtype=np.int64)[0])
-                self._frq_obj = f
-            except (FileNotFoundError, OSError):
-                self._frq_obj = False
-                return None
-        return self._frq_obj
+    def postings_row(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        """(doc-delta int32 view, freqs int32 view) of dictionary row
+        ``i`` — zero-copy slices of the cached postings row-group table
+        (format v7: parquet's C++ kernels did all the decoding)."""
+        rg = int(self.post_rgs_of_rows(np.array([i]))[0])
+        tbl = self._rg_table(rg, "docs_list")
+        do, dv = _list_np(tbl.column("docs_list"))
+        fo, fv = _list_np(tbl.column("freqs_list"))
+        j = i - int(self._post_rg_off[rg])
+        return dv[do[j]: do[j + 1]], fv[fo[j]: fo[j + 1]]
 
-    def _frq_stream(self, stream: int, rows: np.ndarray):
-        """(concatenated row bytes, per-row lengths) of stream 0=docs /
-        1=freqs for sorted ``rows`` — offset-slice read + one exact
-        data read per consecutive-row run."""
-        f = self._frq
-        n = self._frq_n
-        off_base = 16 + stream * 8 * (n + 1)
-        data_base = (16 + 2 * 8 * (n + 1)
-                     + (self._frq_docs_total if stream else 0))
-        lo, hi = int(rows[0]), int(rows[-1])
-        span = np.frombuffer(
-            f.read_at(8 * (hi - lo + 2), off_base + 8 * lo),
-            dtype=np.int64,
-        )
-        starts = span[rows - lo]
-        ends = span[rows - lo + 1]
-        lens = ends - starts
-        # consecutive rows share contiguous bytes: one read per run
-        run_heads = np.flatnonzero(
-            np.concatenate(([True], np.diff(rows) != 1))
-        )
-        pieces = []
-        for k, h in enumerate(run_heads):
-            t = (run_heads[k + 1] - 1 if k + 1 < run_heads.size
-                 else rows.size - 1)
-            a, b = int(starts[h]), int(ends[t])
-            pieces.append(np.frombuffer(
-                f.read_at(b - a, data_base + a), dtype=np.uint8
-            ))
-        buf = (np.concatenate(pieces) if len(pieces) > 1
-               else (pieces[0] if pieces
-                     else np.empty(0, dtype=np.uint8)))
-        return buf, lens
-
-    def gather_docs_freqs(self, rows: np.ndarray):
-        """(docs buf, docs lens, freqs buf, freqs lens) for sorted dict
-        ``rows`` — the expansion/decode fast path.  Uses the raw frq
-        sidecar when present (exact ranges, no row-group read
-        amplification); falls back to the parquet postings file."""
-        if self._frq is not None:
-            d, dl = self._frq_stream(0, rows)
-            fr, fl = self._frq_stream(1, rows)
-            return d, dl, fr, fl
-        d, dl = self.gather_blobs("docs_enc", rows)
-        fr, fl = self.gather_blobs("freqs_enc", rows)
-        return d, dl, fr, fl
+    def gather_postings(
+        self, rows: np.ndarray
+    ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Per sorted dictionary row: (doc-delta int32 view, freqs int32
+        view) — the expansion fast path.  One batched row-group read per
+        shard (pre_buffer coalesces the ranges), then pure slicing."""
+        rgs = self.post_rgs_of_rows(rows)
+        uniq = np.unique(rgs)
+        self.load_rg_tables(uniq, "docs_list")
+        out: list[tuple[np.ndarray, np.ndarray]] = []
+        for rg in uniq:
+            tbl = self._rg_table(int(rg), "docs_list")
+            do, dv = _list_np(tbl.column("docs_list"))
+            fo, fv = _list_np(tbl.column("freqs_list"))
+            base = int(self._post_rg_off[rg])
+            for j in rows[rgs == rg] - base:
+                out.append((dv[do[j]: do[j + 1]], fv[fo[j]: fo[j + 1]]))
+        return out
 
     # ---- lazy dictionary ------------------------------------------------
 
@@ -573,12 +533,6 @@ class _Shard:
         return buf, lens
 
     def _blob(self, name: str, i: int) -> bytes:
-        if name in ("docs_enc", "freqs_enc") and self._frq is not None:
-            buf, _lens = self._frq_stream(
-                0 if name == "docs_enc" else 1,
-                np.array([i], dtype=np.int64),
-            )
-            return buf.tobytes()
         rg = int(self.post_rgs_of_rows(np.array([i]))[0])
         return (
             self._rg_table(rg, name)
@@ -974,9 +928,10 @@ class IndexReader:
             return None
         docs_l, freqs_l, prx_parts = [], [], []
         for sh, i in rows:
-            d, f = decode_docs_freqs(sh.docs_enc[i], sh.freqs_enc[i])
+            deltas, f = sh.postings_row(i)
+            d = np.cumsum(deltas, dtype=np.int64)
             docs_l.append(d)
-            freqs_l.append(f)
+            freqs_l.append(f.astype(np.int64))
             prx_parts.append((sh.prx_enc[i], sh.prx_lens_enc[i], d.size))
         p = Postings(
             np.concatenate(docs_l), np.concatenate(freqs_l), prx_parts
@@ -1031,12 +986,11 @@ class IndexReader:
                         di += 1
                     if di < len(dict_slice) and dict_slice[di] == t:
                         parts.setdefault(t, []).append((sh, i + di))
-        # bulk decode: ONE VInt pass per (shard, stream) over the
-        # concatenated blob bytes of every matched row (zero-copy
-        # gather), then segmented-cumsum the doc deltas — instead of a
-        # per-term decode_docs_freqs call.  Cold-expansion hot path
-        # (VERDICT r4 #3): a 1k-term prefix expansion decodes ~2 buffers
-        # per shard, not ~2k blobs.
+        # bulk fetch: one batched row-group read per shard file (format
+        # v7 list columns — parquet's C++ kernels decompress and decode
+        # off-thread), then zero-copy value slices per matched row.
+        # Cold-expansion hot path (VERDICT r4 #3): no Python-side VInt
+        # work on the scoring streams at all.
         by_sh: dict[int, tuple] = {}
         for t, rows in parts.items():
             for sh, ri in rows:
@@ -1046,20 +1000,17 @@ class IndexReader:
                              count=len(ris)))
             for sh, ris in by_sh.values()
         ]
-        # threaded gather of the two scoring streams per shard file
-        # (positioned sidecar reads release the GIL); the numpy decode
-        # below then runs single-threaded over in-memory buffers.
-        # Chunked: one future per thread, not per shard file.
         import time as _t, os as _os
         _dbg = _os.environ.get("FERRET_DEBUG_PM")
         _t0 = _t.perf_counter()
-        gathered: dict[int, tuple] = {}
+        gathered: dict[int, list] = {}
         if len(sh_rows) > 3:
+            # threaded: the parquet row-group reads release the GIL
             from concurrent.futures import ThreadPoolExecutor
 
             def _gather(items):
                 for sh, rws in items:
-                    gathered[id(sh)] = sh.gather_docs_freqs(rws)
+                    gathered[id(sh)] = sh.gather_postings(rws)
 
             nthreads = min(32, len(sh_rows))
             chunks = [sh_rows[i::nthreads] for i in range(nthreads)]
@@ -1067,66 +1018,22 @@ class IndexReader:
                 list(ex.map(_gather, chunks))
         else:
             for sh, rws in sh_rows:
-                gathered[id(sh)] = sh.gather_docs_freqs(rws)
-        # ONE decode pass across ALL shard files (a 1,280-file cold
-        # expansion otherwise pays 2 numpy decode launches per file —
-        # measured 4.1s in per-file vint_decode calls at 20M docs):
-        # concatenate every file's gathered blob bytes, decode once,
-        # and re-segment with the global per-row value counts.
+                gathered[id(sh)] = sh.gather_postings(rws)
         if _dbg:
-            print(f"  gather: {_t.perf_counter()-_t0:.2f}s files={len(sh_rows)}")
+            print(f"  gather: {_t.perf_counter()-_t0:.2f}s "
+                  f"files={len(sh_rows)}")
         _t0 = _t.perf_counter()
-        seg: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
-        dbufs, fbufs, dlen_parts, key_parts = [], [], [], []
-        for sh, rws in sh_rows:
-            dbuf, dlens, fbuf, _flens = gathered[id(sh)]
-            dbufs.append(dbuf)
-            fbufs.append(fbuf)
-            dlen_parts.append(dlens)
-            key_parts.append((id(sh), rws))
-        if dbufs:
-            dbuf_all = np.concatenate(dbufs)
-            dlens_all = np.concatenate(dlen_parts)
-            n_rows = dlens_all.size
-            deltas = vint_decode(dbuf_all)
-            freqs_all = vint_decode(np.concatenate(fbufs))
-            # per-row value counts from the stream itself (number of
-            # terminator bytes per row) — a cumulative-terminator-count
-            # diff at row byte boundaries (the old repeat+bincount
-            # built a per-BYTE int64 array: 1.9GB of temporaries on a
-            # 230MB stream)
-            term_cum = np.cumsum(
-                ((dbuf_all & 0x80) == 0).astype(np.int64)
-            )
-            row_ends = np.cumsum(dlens_all)
-            at_end = np.where(
-                row_ends > 0, term_cum[row_ends - 1], 0
-            )
-            counts = np.diff(np.concatenate(([0], at_end)))
-            bounds = np.concatenate(([0], np.cumsum(counts)))
-            if deltas.size:
-                from ..state.arena import hp_empty
+        # absolute doc ids per row: per-row cumsum of the delta values
+        # (hugepage-backed output for large rows, state/arena.py)
+        from ..state.arena import hp_empty
 
-                # hugepage-backed temporaries: the cumsum/repeat pair
-                # allocates ~3x the posting count in int64 — plain
-                # numpy pages fault 10x slower (state/arena.py)
-                c = hp_empty(deltas.size, np.int64)
-                np.cumsum(deltas, out=c)
-                nz = counts > 0
-                starts = bounds[:-1][nz]
-                corr = c[starts] - deltas[starts]
-                docs_all = c
-                docs_all -= np.repeat(corr, counts[nz])
-            else:
-                docs_all = deltas
-            k = 0
-            for sid, rws in key_parts:
-                for ri in rws:
-                    seg[(sid, int(ri))] = (
-                        docs_all[bounds[k]: bounds[k + 1]],
-                        freqs_all[bounds[k]: bounds[k + 1]],
-                    )
-                    k += 1
+        seg: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+        for sh, rws in sh_rows:
+            sid = id(sh)
+            for ri, (deltas, freqs) in zip(rws, gathered[sid]):
+                d = hp_empty(deltas.size, np.int64)
+                np.cumsum(deltas, dtype=np.int64, out=d)
+                seg[(sid, int(ri))] = (d, freqs)
         if _dbg:
             print(f"  decode+seg: {_t.perf_counter()-_t0:.2f}s")
         _t0 = _t.perf_counter()

@@ -60,13 +60,14 @@ SEGMENT_SCHEMA = pa.schema(
         ("df", pa.int64()),
         ("tf_sum", pa.int64()),
         ("max_tf", pa.int64()),
-        # docs stream MINUS its first VInt: the first doc is carried as
-        # the integer ``doc_first`` column, so the merge can re-delta
-        # runs by encoding n_rows tiny VInts + one Arrow element-wise
-        # join instead of a per-byte splice gather (the splice was the
-        # merge phase's memory-bandwidth hot spot)
-        ("docs_rest_enc", pa.large_binary()),
-        ("freqs_enc", pa.large_binary()),
+        # doc-delta values MINUS each row's first (the first doc is
+        # carried as the integer ``doc_first`` column, so the merge
+        # re-deltas runs with one int32 scatter — no byte splice).
+        # Format v7: docs/freqs are int32 LIST columns so parquet's C++
+        # kernels do all the decode work at serve time; doc ids are
+        # int32 by design (parity with the reference's C int docids).
+        ("docs_rest", pa.large_list(pa.int32())),
+        ("freqs_list", pa.large_list(pa.int32())),
         ("prx_enc", pa.large_binary()),
         ("prx_lens_enc", pa.large_binary()),
     ]
@@ -251,16 +252,12 @@ def _encode_field_postings(
     deltas[0] = abs_docs[0]
     np.subtract(abs_docs[1:], abs_docs[:-1], out=deltas[1:])
     deltas[t_starts] = abs_docs[t_starts]
-    # encode every delta EXCEPT each term's first (that value is the
-    # doc_first column); per-term slices of the rest-buffer stay
-    # contiguous so the blob column is a zero-copy view
-    docs_lens = vint_byte_len(deltas)
-    rest_lens = np.add.reduceat(docs_lens, t_starts) - docs_lens[t_starts]
-    docs_rest_buf = vint_encode(np.delete(deltas, t_starts))
-    rest_off = np.concatenate(([0], np.cumsum(rest_lens)))
-
-    freqs_buf = vint_encode(freqs)
-    freqs_off = np.concatenate(([0], np.cumsum(vint_byte_len(freqs))))
+    # every delta EXCEPT each term's first (that value is the doc_first
+    # column) as int32 list values; per-term slices of the rest values
+    # stay contiguous so the list column is a zero-copy view
+    rest_vals = np.delete(deltas, t_starts).astype(np.int32)
+    rest_counts = (t_ends - t_starts) - 1
+    rest_off = np.concatenate(([0], np.cumsum(rest_counts)))
 
     if with_positions:
         pdeltas = np.empty(n, dtype=np.int64)
@@ -295,11 +292,22 @@ def _encode_field_postings(
     crc_arr %= num_shards
     first_tids = u_tid[t_starts]
 
-    # blob columns: zero-copy from_buffers views over the shared buffers
+    # list/blob columns: zero-copy views over the shared value buffers
     # (per-term slices are contiguous by construction)
-    docs_rest_enc = _bin_from_slices(docs_rest_buf, rest_off)
-    freqs_enc = _bin_from_slices(
-        freqs_buf, freqs_off[np.append(t_starts, m)]
+    if int(abs_docs[-1]) >= 1 << 31:
+        raise ValueError(
+            "doc id overflows int32 — an index holds < 2^31 docs "
+            "(reference parity: C int docids); shard the corpus into "
+            "multiple indexes above that"
+        )
+    docs_rest_list = pa.LargeListArray.from_arrays(
+        pa.array(rest_off, type=pa.int64()),
+        pa.array(rest_vals, type=pa.int32()),
+    )
+    freqs_list = pa.LargeListArray.from_arrays(
+        pa.array(np.append(t_starts, m).astype(np.int64),
+                 type=pa.int64()),
+        pa.array(freqs.astype(np.int32), type=pa.int32()),
     )
     if with_positions:
         prx_enc = _bin_from_slices(prx_buf, np.append(prx_a, prx_b[-1]))
@@ -329,8 +337,8 @@ def _encode_field_postings(
             "df": pa.array(t_ends - t_starts, type=pa.int64()),
             "tf_sum": pa.array(tf_sums, type=pa.int64()),
             "max_tf": pa.array(max_tfs, type=pa.int64()),
-            "docs_rest_enc": docs_rest_enc,
-            "freqs_enc": freqs_enc,
+            "docs_rest": docs_rest_list,
+            "freqs_list": freqs_list,
             "prx_enc": prx_enc,
             "prx_lens_enc": plens_enc,
         },

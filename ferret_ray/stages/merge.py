@@ -16,16 +16,16 @@ one independent task per bucket; memory per task is bounded by one
 (bucket x salt-range) slice because files are grouped by their ``rng``
 prefix before merging.
 
-The vectorized core (:class:`_MergedGroups`) never turns posting blobs
-into Python objects — rows are permuted by Arrow C++ ``take`` and
-group-merged by offset arithmetic over the raw Arrow buffers.  Segment
-rows store the docs stream WITHOUT its first VInt (``docs_rest_enc`` +
-the ``doc_first`` integer column), so re-deltaing a merged run costs one
-tiny VInt encode per row plus one Arrow element-wise join — about two
-linear passes of memory traffic, where a byte-splice gather would cost
-~30 (that gather was the merge's scaling bottleneck).  Only terms long
-enough to need skip entries (df > 16) take a per-term path, mirroring
-how the reference only writes skip data every SKIP_INTERVAL docs.
+The vectorized core (:class:`_MergedGroups`) never turns postings into
+Python objects — rows are permuted by Arrow C++ ``take`` and
+group-merged by offset arithmetic over the raw Arrow buffers.  Format
+v7 stores docs/freqs as int32 LIST columns (docs: absolute first id
+then deltas; the serving path then decodes in parquet's C++ kernels);
+segment rows store the delta values WITHOUT each row's first
+(``docs_rest`` + the ``doc_first`` integer column), so re-deltaing a
+merged run is one int32 scatter of per-row first deltas — no byte
+splice at all.  Positions stay VInt byte streams (decoded only per
+phrase query).
 
 Rows are sorted by (field, term): the shard parquet IS the term dictionary
 (its dictionary/zstd encoding plays the role of the front-coded .tis
@@ -61,8 +61,15 @@ SHARD_SCHEMA = pa.schema(
         ("doc_min", pa.int64()),
         ("doc_max", pa.int64()),
         ("max_tf", pa.int32()),
-        ("docs_enc", pa.large_binary()),
-        ("freqs_enc", pa.large_binary()),
+        # format v7: docs/freqs are int32 LIST columns (docs: absolute
+        # first id then deltas; freqs: raw values) so the serving read
+        # path decodes in parquet's C++ kernels — zero Python-side VInt
+        # work on the scoring streams.  Doc ids are int32 by design,
+        # matching the reference's C int docids (c/include/index.h) and
+        # Lucene; an index holds < 2^31 docs (shard above that).
+        # Positions stay VInt binary (decoded per phrase query only).
+        ("docs_list", pa.large_list(pa.int32())),
+        ("freqs_list", pa.large_list(pa.int32())),
         ("prx_enc", pa.large_binary()),
         ("prx_lens_enc", pa.large_binary()),
         ("skip_enc", pa.large_binary()),
@@ -101,7 +108,7 @@ def post_file_name(shard_salt: int) -> str:
 #   (measured: the same 256-term expansion read 1,606MB from a unified
 #   1,024-row-group layout vs ~200MB split — row groups are the read
 #   amplification unit for blob fetches)
-POST_COLS = ("docs_enc", "freqs_enc", "prx_enc", "prx_lens_enc",
+POST_COLS = ("docs_list", "freqs_list", "prx_enc", "prx_lens_enc",
              "skip_enc")
 POST_RG_SIZE = 32
 
@@ -125,61 +132,15 @@ def read_shard_table(fs, root: str, rel: str) -> pa.Table:
     return dict_t
 
 
-def frq_file_name(shard_salt: int) -> str:
-    return f"shards/shard-{shard_salt:08d}.frq"
-
-
-FRQ_MAGIC = 0x46455246  # "FREF"
-
-
-def _frq_bytes_parts(table: pa.Table) -> list[bytes]:
-    """The raw scoring-stream sidecar (the reference's .frq,
-    c/src/index.c frq writer): header + per-row byte offsets of the
-    docs_enc and freqs_enc streams + the two raw streams.  Fixed-width
-    offsets mean a reader locates any row RANGE with two exact
-    positioned reads and zero footer/metadata parse — the serving fast
-    path for expansions (the parquet postings file keeps the same bytes
-    zstd-compressed for wholesale consumers and positions).
-
-    Layout: int64 magic | int64 n_rows | int64 docs_off[n+1]
-            | int64 freqs_off[n+1] | docs stream | freqs stream
-    """
-    n = table.num_rows
-    parts = [np.array([FRQ_MAGIC, n], dtype=np.int64).tobytes()]
-    streams = []
-    for name in ("docs_enc", "freqs_enc"):
-        arr = table.column(name)
-        arr = (
-            arr.combine_chunks() if isinstance(arr, pa.ChunkedArray)
-            else arr
-        )
-        if isinstance(arr, pa.ChunkedArray):  # zero-chunk edge
-            arr = pa.concat_arrays(
-                arr.chunks or [pa.array([], pa.large_binary())]
-            )
-        bufs = arr.buffers()
-        off = np.frombuffer(
-            bufs[1], dtype=np.int64, count=n + 1, offset=arr.offset * 8
-        )
-        data = (
-            np.frombuffer(bufs[2], dtype=np.uint8)[off[0]: off[-1]]
-            if bufs[2] is not None else np.empty(0, dtype=np.uint8)
-        )
-        parts.append((off - off[0]).tobytes())
-        streams.append(data.tobytes())
-    return parts + streams
-
-
 def write_shard_tables(
     table: pa.Table, fs, root: str, shard_salt: int,
     dict_rg_size: int,
 ) -> tuple[str, str, int]:
-    """Write one logical shard as the dictionary/postings/frq file
-    triple; returns (dict rel, post rel, total bytes)."""
+    """Write one logical shard as the dictionary/postings file pair;
+    returns (dict rel, post rel, total bytes)."""
     dict_t, post_t = split_shard_table(table)
     rel = shard_file_name(shard_salt)
     post_rel = post_file_name(shard_salt)
-    frq_rel = frq_file_name(shard_salt)
     pq.write_table(
         dict_t, fs_join(root, rel), compression="zstd",
         row_group_size=dict_rg_size, filesystem=fs,
@@ -189,12 +150,9 @@ def write_shard_tables(
         row_group_size=POST_RG_SIZE, filesystem=fs,
         write_statistics=False,
     )
-    with fs.open_output_stream(fs_join(root, frq_rel)) as f:
-        for b in _frq_bytes_parts(table):
-            f.write(b)
     size = sum(
         fs_file_size(fs, fs_join(root, r))
-        for r in (rel, post_rel, frq_rel)
+        for r in (rel, post_rel)
     )
     return rel, post_rel, size
 
@@ -367,6 +325,35 @@ def _bin_bufs(col) -> tuple[np.ndarray, np.ndarray]:
     return off - base if base else off, data
 
 
+def _list_bufs(col) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets int64[n+1], values int32[]) of a large_list<int32>
+    column — the list twin of :func:`_bin_bufs`."""
+    arr = (
+        col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    )
+    if isinstance(arr, pa.ChunkedArray):  # zero-chunk edge
+        arr = pa.concat_arrays(arr.chunks or [pa.array([], arr.type)])
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int64,
+                        count=len(arr) + 1, offset=arr.offset * 8)
+    vals = arr.values
+    v = vals.to_numpy(zero_copy_only=False)
+    base = off[0]
+    if base or off[-1] != v.size:
+        v = v[base: off[-1]]
+        off = off - base
+    return off, v
+
+
+def _list_col(offsets: np.ndarray, values: np.ndarray) -> pa.LargeListArray:
+    """large_list<int32> from numpy offsets/values (zero-copy)."""
+    return pa.LargeListArray.from_arrays(
+        pa.array(np.ascontiguousarray(offsets, dtype=np.int64),
+                 type=pa.int64()),
+        pa.array(np.ascontiguousarray(values, dtype=np.int32),
+                 type=pa.int32()),
+    )
+
+
 def _bin_from_group_offsets(
     byte_off: np.ndarray, data: np.ndarray, starts: np.ndarray,
     ends: np.ndarray,
@@ -459,12 +446,12 @@ class _MergedGroups:
         self._t_starts = t_starts
         self._t_ends = t_ends
 
-        # --- docs: rest streams pass through like freqs ------------------
-        # segment rows carry ``docs_rest_enc`` (stream minus its first
-        # VInt); the first delta of every row is re-encoded here from the
-        # doc_first/doc_last columns — n_rows tiny VInts + one Arrow
-        # element-wise join, instead of the per-byte splice gather that
-        # used to dominate the merge phase's memory bandwidth
+        # --- docs: rest values pass through like freqs -------------------
+        # segment rows carry ``docs_rest`` (delta values minus each
+        # row's first); the first delta of every row is computed here
+        # from the doc_first/doc_last columns and scattered into the
+        # merged values array — pure int32 offset arithmetic, no
+        # byte-level splice at all (format v7)
         first_delta = s_first.copy()
         nonstart = ~row_new
         first_delta[nonstart] = (
@@ -473,7 +460,7 @@ class _MergedGroups:
         self._first_delta = first_delta
         self._row_new = row_new
         order_arr = pa.array(order)
-        dcol = batch.column("docs_rest_enc")
+        dcol = batch.column("docs_rest")
         self._docs_rest_taken = pc.take(
             dcol.combine_chunks()
             if isinstance(dcol, pa.ChunkedArray) else dcol,
@@ -481,12 +468,25 @@ class _MergedGroups:
         )
         self._docs_full: tuple | None = None
 
-        # --- freqs / prx / prx_lens: pure byte concatenation -------------
-        # row permutation via Arrow C++ take (no per-byte index arrays),
-        # then group merge by offset arithmetic alone
+        # --- freqs: list<int32> concatenation -----------------------------
+        # pc.take materializes child values contiguously in the sorted
+        # row order, so the run merge is offset indexing alone
+        fcol = batch.column("freqs_list")
+        ftaken = pc.take(
+            fcol.combine_chunks()
+            if isinstance(fcol, pa.ChunkedArray) else fcol,
+            order_arr,
+        )
+        fo, fv = _list_bufs(ftaken)
+        self._freqs_vals = (fo, fv)
+        self.freqs_list = _list_col(
+            fo[np.append(t_starts, n_rows)], fv
+        )
+
+        # --- prx / prx_lens: byte concatenation (positions stay VInt) ----
         merged = {}
         self._gathered = {}
-        for name in ("freqs_enc", "prx_enc", "prx_lens_enc"):
+        for name in ("prx_enc", "prx_lens_enc"):
             col = batch.column(name)
             taken = pc.take(
                 col.combine_chunks()
@@ -496,55 +496,47 @@ class _MergedGroups:
             go, gd = _bin_bufs(taken)
             merged[name] = _bin_from_group_offsets(go, gd, t_starts, t_ends)
             self._gathered[name] = (go, gd)
-        self.freqs_enc = merged["freqs_enc"]
         self.prx_enc = merged["prx_enc"]
         self.prx_lens_enc = merged["prx_lens_enc"]
-        self._docs_enc_cache: pa.LargeBinaryArray | None = None
-
-    def _first_vint_arr(self, include_leading: bool) -> pa.LargeBinaryArray:
-        """Per-row first-delta VInt bytes as a large_binary array (empty
-        for run-leading rows unless ``include_leading``: a run's stream
-        starts with its absolute first doc, a member row's with the delta
-        from the previous row's doc_last)."""
-        fd = self._first_delta
-        lens = vint_byte_len(fd)
-        if include_leading:
-            buf = vint_encode(fd)
-        else:
-            lens = np.where(self._row_new, 0, lens)
-            buf = vint_encode(fd[~self._row_new])
-        off = np.empty(lens.size + 1, dtype=np.int64)
-        off[0] = 0
-        np.cumsum(lens, out=off[1:])
-        return pa.LargeBinaryArray.from_buffers(
-            pa.large_binary(), lens.size,
-            [None, pa.py_buffer(off), pa.py_buffer(buf)],
-        )
+        self._docs_list_cache: pa.LargeListArray | None = None
 
     def _full_docs(self) -> tuple[np.ndarray, np.ndarray]:
-        """(row byte offsets, data) of the full per-row docs streams."""
+        """(row value offsets int64[n+1], values int32) of the full
+        per-row docs streams (absolute first doc, then deltas)."""
         if self._docs_full is None:
-            joined = pc.binary_join_element_wise(
-                self._first_vint_arr(True), self._docs_rest_taken,
-                pa.scalar(b"", type=pa.large_binary()),
-            )
-            self._docs_full = _bin_bufs(joined)
+            ro, rv = _list_bufs(self._docs_rest_taken)
+            n = ro.size - 1
+            row_lens = (ro[1:] - ro[:-1]) + 1
+            off = np.empty(n + 1, dtype=np.int64)
+            off[0] = 0
+            np.cumsum(row_lens, out=off[1:])
+            total = int(off[-1])
+            out = np.empty(total, dtype=np.int32)
+            bpos = off[:-1]
+            out[bpos] = self._first_delta  # docids < 2^31 by format
+            mask = np.ones(total, dtype=bool)
+            mask[bpos] = False
+            out[mask] = rv
+            self._docs_full = (off, out)
         return self._docs_full
 
     @property
-    def docs_enc(self) -> pa.LargeBinaryArray:
-        if self._docs_enc_cache is None:
-            go, gd = self._full_docs()
-            self._docs_enc_cache = _bin_from_group_offsets(
-                go, gd, self._t_starts, self._t_ends
+    def docs_list(self) -> pa.LargeListArray:
+        if self._docs_list_cache is None:
+            off, vals = self._full_docs()
+            self._docs_list_cache = _list_col(
+                off[np.append(self._t_starts, off.size - 1)], vals
             )
-        return self._docs_enc_cache
+        return self._docs_list_cache
 
-    def run_docs_bytes(self, k: int) -> bytes:
-        go, gd = self._full_docs()
-        a = go[self._t_starts[k]]
-        b = go[self._t_ends[k]]
-        return gd[a:b].tobytes()
+    def run_docs_vals(self, k: int) -> np.ndarray:
+        """Full delta values (first absolute) of merged run ``k``."""
+        off, vals = self._full_docs()
+        return vals[off[self._t_starts[k]]: off[self._t_ends[k]]]
+
+    def run_freq_vals(self, k: int) -> np.ndarray:
+        fo, fv = self._freqs_vals
+        return fv[fo[self._t_starts[k]]: fo[self._t_ends[k]]]
 
     def run_bytes(self, name: str, k: int) -> bytes:
         go, gd = self._gathered[name]
@@ -553,16 +545,25 @@ class _MergedGroups:
         return gd[a:b].tobytes()
 
     def fragment_table(self, schema: pa.Schema) -> pa.Table:
-        # rest-of-run stream: leading rows contribute only their rest
-        # (the run's first doc lives in doc_first), members contribute
-        # delta VInt + rest
-        joined = pc.binary_join_element_wise(
-            self._first_vint_arr(False), self._docs_rest_taken,
-            pa.scalar(b"", type=pa.large_binary()),
-        )
-        go, gd = _bin_bufs(joined)
-        docs_rest = _bin_from_group_offsets(
-            go, gd, self._t_starts, self._t_ends
+        # rest-of-run values: leading rows contribute only their rest
+        # (the run's first doc lives in doc_first), member rows
+        # contribute their first delta + rest
+        ro, rv = _list_bufs(self._docs_rest_taken)
+        n = ro.size - 1
+        member = ~self._row_new
+        row_lens = (ro[1:] - ro[:-1]) + member
+        off = np.empty(n + 1, dtype=np.int64)
+        off[0] = 0
+        np.cumsum(row_lens, out=off[1:])
+        total = int(off[-1])
+        out = np.empty(total, dtype=np.int32)
+        bpos = off[:-1][member]
+        out[bpos] = self._first_delta[member]
+        mask = np.ones(total, dtype=bool)
+        mask[bpos] = False
+        out[mask] = rv
+        docs_rest = _list_col(
+            off[np.append(self._t_starts, n)], out
         )
         return pa.table(
             {
@@ -576,8 +577,8 @@ class _MergedGroups:
                 "df": pa.array(self.df, type=pa.int64()),
                 "tf_sum": pa.array(self.tf_sum, type=pa.int64()),
                 "max_tf": pa.array(self.max_tf, type=pa.int64()),
-                "docs_rest_enc": docs_rest,
-                "freqs_enc": self.freqs_enc,
+                "docs_rest": docs_rest,
+                "freqs_list": self.freqs_list,
                 "prx_enc": self.prx_enc,
                 "prx_lens_enc": self.prx_lens_enc,
             },
@@ -638,30 +639,23 @@ def write_bucketed_segments(
     return rels
 
 
-def _strip_first_vint(
-    col, firsts: np.ndarray
-) -> pa.LargeBinaryArray:
-    """Drop the FIRST VInt (known to encode ``firsts``) from every row of
-    a binary column — turns a shard row's full docs stream back into the
-    segment format's rest-stream.  Replaces the doc-base byte splice of
-    the reference's ``sm_append_postings`` (c/src/index.c:5922-5974):
-    with the first doc carried as an integer column, rebasing needs no
-    byte rewrite at all."""
-    n = len(firsts)
-    o, d = _bin_bufs(col)
-    flen = vint_byte_len(firsts)
-    starts = o[:-1] + flen
-    lens = (o[1:] - o[:-1]) - flen
+def _strip_first_value(col) -> pa.LargeListArray:
+    """Drop the FIRST value (the absolute first doc id) from every row
+    of a docs list column — turns a shard row's full docs stream back
+    into the segment format's rest values.  Replaces the doc-base byte
+    splice of the reference's ``sm_append_postings``
+    (c/src/index.c:5922-5974): with the first doc carried as an integer
+    column, rebasing touches no posting values at all."""
+    o, v = _list_bufs(col)
+    n = o.size - 1
+    starts = o[:-1] + 1
+    lens = (o[1:] - o[:-1]) - 1
     out_off = np.empty(n + 1, dtype=np.int64)
     out_off[0] = 0
     np.cumsum(lens, out=out_off[1:])
     total = int(out_off[-1])
-    stripped = d[_segmented_gather_idx(starts, lens, total)]
-    return pa.LargeBinaryArray.from_buffers(
-        pa.large_binary(), n,
-        [None, pa.py_buffer(out_off.tobytes()),
-         pa.py_buffer(stripped.tobytes())],
-    )
+    stripped = v[_segmented_gather_idx(starts, lens, total)]
+    return _list_col(out_off, stripped)
 
 
 def rebase_shard_rows(
@@ -687,7 +681,7 @@ def rebase_shard_rows(
     old_fields = shard_table.column("field").to_numpy()
     new_fields = field_map[old_fields]
     new_first = doc_min + offset
-    docs_rest = _strip_first_vint(shard_table.column("docs_enc"), doc_min)
+    docs_rest = _strip_first_value(shard_table.column("docs_list"))
     # term_shard(field, term) = (crc32(term) ^ field_mix(field)) %
     # num_shards, batched: one column-sweep crc over the dictionary
     from .invert import field_mix
@@ -715,8 +709,8 @@ def rebase_shard_rows(
                 shard_table.column("max_tf").to_numpy().astype(np.int64),
                 type=pa.int64(),
             ),
-            "docs_rest_enc": docs_rest,
-            "freqs_enc": shard_table.column("freqs_enc"),
+            "docs_rest": docs_rest,
+            "freqs_list": shard_table.column("freqs_list"),
             "prx_enc": shard_table.column("prx_enc"),
             "prx_lens_enc": shard_table.column("prx_lens_enc"),
         },
@@ -821,8 +815,8 @@ class BucketMerger:
                 "doc_max": pa.array(mg.doc_last[i:j], type=pa.int64()),
                 "max_tf": pa.array(mg.max_tf[i:j].astype(np.int32),
                                    type=pa.int32()),
-                "docs_enc": mg.docs_enc.slice(i, n),
-                "freqs_enc": mg.freqs_enc.slice(i, n),
+                "docs_list": mg.docs_list.slice(i, n),
+                "freqs_list": mg.freqs_list.slice(i, n),
                 "prx_enc": mg.prx_enc.slice(i, n),
                 "prx_lens_enc": mg.prx_lens_enc.slice(i, n),
                 "skip_enc": skip_col,
@@ -840,7 +834,7 @@ class BucketMerger:
         total_postings = int(df.sum())
         write_checkpoint(
             self.index_dir, "shard", key, self.input_fp,
-            [rel, post_rel, frq_file_name(shard_salt)],
+            [rel, post_rel],
             {"num_terms": n, "num_postings": total_postings},
         )
         return _metrics(shard_salt, n, total_postings, size, False)
@@ -852,10 +846,9 @@ def _skip_blockmax_cols(
     """skip_enc + block_max_tf columns for runs [i, j) in ONE batch.
 
     Element-exact to :func:`_skip_blockmax` per run, but all qualifying
-    runs (df > SKIP_INTERVAL) are decoded with one `vint_decode` per
-    stream, cumsummed segmented, and re-encoded with one `vint_encode`
-    per column — the per-term loop was the last Python hot spot of the
-    merge task."""
+    runs (df > SKIP_INTERVAL) are read straight off the merged int32
+    value arrays (v7), cumsummed segmented, and encoded with one
+    `vint_encode` per column — no per-term Python."""
     df = mg.df[i:j]
     n = j - i
 
@@ -881,10 +874,10 @@ def _skip_blockmax_cols(
     rs = mg._t_starts[i]
     re_ = mg._t_ends[j - 1]
 
-    go, gd = mg._full_docs()
-    deltas = vint_decode(gd[go[rs]:go[re_]])
-    fo, fd = mg._gathered["freqs_enc"]
-    freqs = vint_decode(fd[fo[rs]:fo[re_]])
+    go, gvals = mg._full_docs()
+    deltas = gvals[go[rs]:go[re_]].astype(np.int64)
+    fo, fv = mg._freqs_vals
+    freqs = fv[fo[rs]:fo[re_]].astype(np.int64)
     po, pd_ = mg._gathered["prx_lens_enc"]
     dec_plens = vint_decode(pd_[po[rs]:po[re_]])
 
@@ -910,10 +903,6 @@ def _skip_blockmax_cols(
     docs_abs = docs_cs - np.repeat(
         docs_cs[seg_all] - deltas[seg_all], counts_all
     )
-    b_ = vint_byte_len(deltas) + vint_byte_len(freqs)
-    frq_cs = np.cumsum(b_)
-    frq_cum = frq_cs - np.repeat(frq_cs[seg_all] - b_[seg_all],
-                                 counts_all)
     prx_cs = np.cumsum(plens)
     prx_cum = prx_cs - np.repeat(prx_cs[seg_all] - plens[seg_all],
                                  counts_all)
@@ -940,14 +929,17 @@ def _skip_blockmax_cols(
         out[pt_starts] = vals_at_pts[pt_starts]  # first pt diffs vs 0
         return out
 
+    # v7 skip entries are (docΔ, prx byteΔ) pairs every 16 docs: the
+    # freq-stream byte offset of the unified format is meaningless for
+    # list storage (a block's value offset is just 16·k), while prx
+    # remains a VInt byte stream and keeps its skip component
     sd = _seg_diff(docs_abs[pts])
-    sf = _seg_diff(frq_cum[pts])
     sp = _seg_diff(prx_cum[pts])
-    tri = np.empty(pts.size * 3, dtype=np.int64)
-    tri[0::3], tri[1::3], tri[2::3] = sd, sf, sp
+    tri = np.empty(pts.size * 2, dtype=np.int64)
+    tri[0::2], tri[1::2] = sd, sp
     tri_buf = vint_encode(tri)
     tri_lens = vint_byte_len(tri)
-    skip_lens_sel = np.add.reduceat(tri_lens, pt_starts * 3)
+    skip_lens_sel = np.add.reduceat(tri_lens, pt_starts * 2)
 
     # block maxima: gather the qualifying runs' freqs into one compact
     # array (value-level, one fancy-index) so consecutive reduceat
@@ -994,22 +986,21 @@ def _skip_blockmax_cols(
 def _skip_blockmax(
     docs: np.ndarray,
     freqs: np.ndarray,
-    doc_blens: np.ndarray,
     prx_lens_enc: bytes,
 ) -> tuple[bytes, bytes]:
-    """Ferret-style skip triples every 16 docs + per-block max tf
-    (c/src/index.c:5275-5327; block-max is our WAND addition)."""
+    """Ferret-style skip entries every 16 docs + per-block max tf
+    (c/src/index.c:5275-5327; block-max is our WAND addition).  Under
+    format v7 an entry is the (docΔ, prx byteΔ) pair — the freq-stream
+    byte component of the reference's triple has no meaning for the
+    int32-list docs/freqs storage, whose block offsets are just 16·k."""
     n = docs.size
-    frq_blens = vint_byte_len(freqs)
-    frq_cum = np.cumsum(doc_blens + frq_blens)
     plens = vint_decode(prx_lens_enc)
     prx_cum = np.cumsum(plens) if plens.size == n else np.zeros(n, np.int64)
     pts = np.arange(SKIP_INTERVAL - 1, n, SKIP_INTERVAL)
     sd = np.diff(np.concatenate(([0], docs[pts])))
-    sf = np.diff(np.concatenate(([0], frq_cum[pts])))
     sp = np.diff(np.concatenate(([0], prx_cum[pts])))
-    tri = np.empty(pts.size * 3, dtype=np.int64)
-    tri[0::3], tri[1::3], tri[2::3] = sd, sf, sp
+    tri = np.empty(pts.size * 2, dtype=np.int64)
+    tri[0::2], tri[1::2] = sd, sp
     nblocks = (n + SKIP_INTERVAL - 1) // SKIP_INTERVAL
     pad = nblocks * SKIP_INTERVAL - n
     fpad = np.concatenate([freqs, np.zeros(pad, dtype=np.int64)])

@@ -46,11 +46,8 @@ def test_dictionary_only_open(code_index):
 def test_lazy_matches_full_decode(code_index):
     """Blob-by-blob fetch decodes identically to a full-file read."""
     import numpy as np
-    import pyarrow.parquet as pq
 
-    from ferret_ray.codec.postings import decode_docs_freqs
     from ferret_ray.search.reader import IndexReader
-
     from ferret_ray.stages.merge import read_shard_table
     from ferret_ray.state.fs import resolve_fs
 
@@ -61,15 +58,18 @@ def test_lazy_matches_full_decode(code_index):
     full = read_shard_table(fs, root, f"shards/shard-{salt:08d}.parquet")
     n = full.num_rows
     for i in [0, 1, n // 2, n - 1]:
-        assert sh.docs_enc[i] == full.column("docs_enc")[i].as_py()
+        deltas, freqs = sh.postings_row(i)
+        assert deltas.tolist() == full.column("docs_list")[i].as_py()
+        assert freqs.tolist() == full.column("freqs_list")[i].as_py()
         assert sh.term_at(i) == full.column("term")[i].as_py()
     # decoded postings agree end-to-end for a mid-dictionary term
     i = n // 2
-    d1, f1 = decode_docs_freqs(sh.docs_enc[i], sh.freqs_enc[i])
-    d2, f2 = decode_docs_freqs(
-        full.column("docs_enc")[i].as_py(),
-        full.column("freqs_enc")[i].as_py(),
+    deltas, f1 = sh.postings_row(i)
+    d1 = np.cumsum(deltas, dtype=np.int64)
+    d2 = np.cumsum(
+        np.asarray(full.column("docs_list")[i].as_py(), dtype=np.int64)
     )
+    f2 = np.asarray(full.column("freqs_list")[i].as_py())
     assert np.array_equal(d1, d2) and np.array_equal(f1, f2)
 
 

@@ -1,8 +1,9 @@
 """Batched skip/block-max encoder == scalar reference, byte for byte.
 
-`_skip_blockmax_cols` re-derives the Ferret-style skip triples
-(c/src/index.c:5275-5327) for every qualifying run of a merge slice in
-one numpy pass; `_skip_blockmax` is the per-run scalar it replaced.
+`_skip_blockmax_cols` re-derives the Ferret-style skip entries
+(c/src/index.c:5275-5327; (docΔ, prxΔ) pairs under format v7) for every
+qualifying run of a merge slice in one numpy pass; `_skip_blockmax` is
+the per-run scalar it replaced.
 This test drives both through `_MergedGroups` on randomized segment
 rows (mixed dfs around the SKIP_INTERVAL threshold, runs with and
 without positions, multi-fragment runs needing re-delta) and asserts
@@ -13,7 +14,7 @@ import numpy as np
 import pyarrow as pa
 import pytest
 
-from ferret_ray.codec.vint import vint_byte_len, vint_decode, vint_encode
+from ferret_ray.codec.vint import vint_encode
 from ferret_ray.stages.invert import SEGMENT_SCHEMA
 from ferret_ray.stages.merge import (
     SKIP_INTERVAL,
@@ -27,8 +28,6 @@ def _make_row(rng, term, salt, doc_base, df, with_positions):
     deltas = rng.integers(1, 50, size=df).astype(np.int64)
     docs = np.cumsum(deltas)
     freqs = rng.integers(1, 30, size=df).astype(np.int64)
-    docs_enc = vint_encode(deltas)
-    first_len = int(vint_byte_len(deltas[:1])[0])
     if with_positions:
         plens = rng.integers(0, 9, size=df).astype(np.int64)
         prx = bytes(rng.integers(0, 256, size=int(plens.sum()), dtype=np.uint8))
@@ -45,8 +44,8 @@ def _make_row(rng, term, salt, doc_base, df, with_positions):
         "df": df,
         "tf_sum": int(freqs.sum()),
         "max_tf": int(freqs.max()),
-        "docs_rest_enc": docs_enc[first_len:],
-        "freqs_enc": vint_encode(freqs),
+        "docs_rest": deltas[1:].astype(np.int32),
+        "freqs_list": freqs.astype(np.int32),
         "prx_enc": prx,
         "prx_lens_enc": plens_enc,
     }
@@ -80,11 +79,10 @@ def test_batched_equals_scalar(seed):
         for k in range(i, j):
             df_k = int(mg.df[k])
             if df_k > SKIP_INTERVAL:
-                deltas_k = vint_decode(mg.run_docs_bytes(k))
+                deltas_k = mg.run_docs_vals(k).astype(np.int64)
                 exp_skip, exp_bmax = _skip_blockmax(
                     np.cumsum(deltas_k),
-                    vint_decode(mg.run_bytes("freqs_enc", k)),
-                    vint_byte_len(deltas_k),
+                    mg.run_freq_vals(k).astype(np.int64),
                     mg.run_bytes("prx_lens_enc", k),
                 )
             else:
