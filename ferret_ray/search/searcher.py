@@ -445,6 +445,11 @@ class _BooleanWeight:
 
 
 class Searcher:
+    # test hook: forces the sparse intersect/searchsorted boolean
+    # evaluation so its parity with _boolean_dense stays covered (the
+    # dense gate otherwise captures every corpus under 4M docs)
+    _force_sparse_boolean = False
+
     def __init__(self, reader: IndexReader, similarity: str | None = None):
         self.reader = reader
         self.sim_name = similarity or reader.manifest["config"].get(
@@ -775,6 +780,22 @@ class Searcher:
             return ScoredDocs(
                 np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
             )
+        # dense scatter-add path for postings-heavy clauses: the sparse
+        # intersect1d/searchsorted cascade below is O(P log P) in total
+        # postings P, which dominated the 20M-doc `+hot +hot` tail
+        # (5-6s/query); scatter adds are O(P).  Same gate as the MTQ
+        # scorer: only when the doc space isn't much wider than the
+        # postings (a partition view of a huge corpus stays sparse).
+        total = sum(s.docs.size for occ, s in subs if occ != MUST_NOT)
+        n_docs = self.reader.max_doc()
+        if (
+            not self._force_sparse_boolean
+            and total
+            and n_docs <= max(total * 4, 1 << 22)
+        ):
+            return self._boolean_dense(
+                q, subs, required, optional, prohibited, max_coord, n_docs
+            )
         if required:
             cand = required[0].docs
             for r in required[1:]:
@@ -804,6 +825,70 @@ class Searcher:
                 dtype=np.float32,
             )
             scores = (acc * factors[nmatch]).astype(np.float32)
+        return ScoredDocs(cand, scores)
+
+    def _boolean_dense(
+        self, q, subs, required, optional, prohibited, max_coord, n_docs
+    ) -> ScoredDocs:
+        """Dense bw_score evaluation (c/src/q_boolean.c semantics).
+
+        Bit-identical to the sparse path: at every candidate doc the
+        float32 clause scores are added in the SAME clause order (one
+        fancy-index scatter add per clause — doc ids are unique within
+        a sub-scorer, so buffered `acc[docs] += scores` applies exactly
+        one add per doc per clause), and coord factors index the same
+        match counts.  Adds landing on non-candidate docs are simply
+        never gathered.
+        """
+        from ..state.arena import hp_zeros
+
+        use_coord = not (q.coord_disabled or max_coord == 0)
+        n_req = len(required)
+        if required:
+            req_n = hp_zeros(n_docs, np.int16)
+            for r in required:
+                req_n[r.docs] += np.int16(1)
+            cand_mask = req_n == np.int16(n_req)
+            for p in prohibited:
+                cand_mask[p.docs] = False
+        elif use_coord:
+            cand_mask = None  # derived from nmatch after accumulation
+        else:
+            cand_mask = hp_zeros(n_docs, bool)
+            for o in optional:
+                cand_mask[o.docs] = True
+            for p in prohibited:
+                cand_mask[p.docs] = False
+        acc = hp_zeros(n_docs, np.float32)
+        # per-doc match counts are only needed when coord factors vary
+        # across candidates: with MUST clauses and no SHOULD, every
+        # candidate matched exactly n_req clauses (scalar factor)
+        need_nmatch = use_coord and (bool(optional) or not required)
+        nmatch = hp_zeros(n_docs, np.int16) if need_nmatch else None
+        for occ, s in subs:  # clause order = float32 summation order
+            if occ == MUST_NOT or not s.docs.size:
+                continue
+            acc[s.docs] += s.scores
+            if nmatch is not None:
+                nmatch[s.docs] += np.int16(1)
+        if cand_mask is None:
+            for p in prohibited:
+                nmatch[p.docs] = 0
+            cand = np.flatnonzero(nmatch)
+        else:
+            cand = np.flatnonzero(cand_mask)
+        acc_c = acc[cand]
+        if not use_coord:
+            scores = acc_c
+        else:
+            factors = np.array(
+                [sim_coord(i, max_coord) for i in range(max_coord + 1)],
+                dtype=np.float32,
+            )
+            if nmatch is None:
+                scores = (acc_c * factors[n_req]).astype(np.float32)
+            else:
+                scores = (acc_c * factors[nmatch[cand]]).astype(np.float32)
         return ScoredDocs(cand, scores)
 
     _PH_SHIFT = np.int64(21)

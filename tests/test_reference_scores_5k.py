@@ -135,3 +135,29 @@ def test_reference_score_identity_5k(big_searcher, golden):
             assert _within_one_ulp(
                 np.float32(got[gd]), np.float32(want[wd])
             ), (golden["query"], i, gd, wd)
+
+
+BOOL_QUERIES = [k for k in build_queries() if k.startswith("bool:")]
+
+
+@pytest.mark.parametrize("name", BOOL_QUERIES)
+def test_boolean_dense_sparse_parity(big_searcher, name):
+    """The dense scatter-add boolean path (searcher._boolean_dense) must
+    be bit-identical to the sparse intersect/searchsorted path — same
+    docs, same float32 scores, same ranks.  The dense gate captures
+    every corpus under 4M docs, so the sparse path is exercised here
+    explicitly via the test hook."""
+    from ferret_ray.search.searcher import Searcher
+
+    q = build_queries()[name]
+    dense = big_searcher.search(q, 0, 50)
+    try:
+        Searcher._force_sparse_boolean = True
+        sparse = big_searcher.search(q, 0, 50)
+    finally:
+        Searcher._force_sparse_boolean = False
+    assert dense.total_hits == sparse.total_hits
+    assert [h.doc for h in dense.hits] == [h.doc for h in sparse.hits]
+    assert [np.float32(h.score) for h in dense.hits] == [
+        np.float32(h.score) for h in sparse.hits
+    ]
