@@ -9,11 +9,12 @@ merge -> commit lifecycle, SURVEY.md §3.1):
    tokenize+invert tasks, one per fragment group, each writing its docs
    partition plus BUCKETED segment files (one per shard_salt %
    merge_buckets) and a checkpoint (skip on resume);
-3. ``from_items(buckets) -> map_batches(BucketMerger)``  — the shuffle is
+3. ``from_items(shards) -> map_batches(ShardMerger)``  — the shuffle is
    map-side through shared storage: each merge task reads only its own
-   bucket's files and writes the final per-salt shard files (skip on
-   resume per shard).  No Ray all-to-all, no sort — the salted layout
-   makes doc-ordered concatenation the exact merge;
+   hash shard's bucket dirs and streams the shard's doc bands into ONE
+   dictionary/postings file pair (skip on resume per shard).  No Ray
+   all-to-all, no sort — the salted layout makes doc-ordered
+   concatenation the exact merge;
 4. driver commits ``manifest.json`` atomically (generation protocol) with
    global stats (N, per-field doc-length sums for BM25), per-stage metrics
    and lineage records.
@@ -45,7 +46,7 @@ from ..state.manifest import read_manifest, write_manifest
 def _clear_stale_build(index_dir: str, build_fp: str) -> None:
     """Rebuilding into a dir whose previous build had a DIFFERENT
     fingerprint must not leave that build's segment/shard/docs files
-    behind — BucketMerger merges every file it finds in a bucket dir, so
+    behind — ShardMerger merges every file it finds in a bucket dir, so
     stale segments would silently pollute the new index.  A marker file
     records the in-progress fingerprint; same-fp reruns resume from
     checkpoints untouched."""
@@ -226,16 +227,17 @@ def build_index(
     invert_stats = invert_ds.stats()
     t_invert = time.time()
 
-    # ---- phase 2: per-bucket merge (map-side shuffle, no all-to-all) ----
-    from ..stages.merge import BucketMerger
+    # ---- phase 2: per-shard merge (map-side shuffle, no all-to-all) ----
+    from ..stages.merge import ShardMerger
 
     num_buckets = cfg.resolved_merge_buckets
     bucket_ds = ray.data.from_items(
-        [{"bucket": b} for b in range(num_buckets)],
-        override_num_blocks=num_buckets,
+        [{"shard": s} for s in range(cfg.num_shards)],
+        override_num_blocks=cfg.num_shards,
     )
     shard_ds = bucket_ds.map_batches(
-        BucketMerger(index_dir, build_fp, cfg.shards_row_group_size),
+        ShardMerger(index_dir, build_fp, cfg.shards_row_group_size,
+                    cfg.num_shards, num_buckets),
         batch_size=1,
         batch_format="pyarrow",
         num_cpus=cfg.merge_num_cpus,
@@ -252,6 +254,7 @@ def build_index(
     write_shard_stats(
         index_dir,
         [int(m["shard_salt"]) for m in shard_metrics],
+        cfg.num_shards, cfg.resolved_salt_doc_range,
         concurrency=concurrency,
     )
     # consolidated norms/doc-lens sidecar (the .f<n> analogue): one
@@ -363,7 +366,7 @@ def _group_fragments(
 #  v7: docs/freqs stored as int32 list columns (parquet C++ decode on
 #      the serving path; no VInt work on scoring streams); skip entries
 #      are (docΔ, prxΔ) pairs
-INDEX_FORMAT_VERSION = 7
+INDEX_FORMAT_VERSION = 8
 
 
 def _config_fingerprint(cfg: IndexConfig) -> str:

@@ -113,7 +113,9 @@ class _PurgeTask:
     def __init__(self, src: str, dest: str, fp: str,
                  deleted: list[int], docs_rg_size: int = 1024,
                  shards_rg_size: int = 1024,
-                 docs_codec: dict[str, str] | None = None):
+                 docs_codec: dict[str, str] | None = None,
+                 src_num_shards: int = 0,
+                 src_salt_doc_range: int = 1):
         # per-field STORE_COMPRESS overrides from the manifest config —
         # purged docs parts must keep the source index's codecs so the
         # byte-identity-with-fresh-build invariant holds
@@ -124,6 +126,8 @@ class _PurgeTask:
         self.deleted = np.asarray(sorted(deleted), dtype=np.int64)
         self.docs_rg_size = docs_rg_size
         self.shards_rg_size = shards_rg_size
+        self.src_num_shards = src_num_shards
+        self.src_salt_doc_range = src_salt_doc_range
 
     def __call__(self, batch: dict) -> dict:
         out = []
@@ -142,25 +146,36 @@ class _PurgeTask:
             return rec.get("metrics", {})
         metrics: dict = {}
         if kind == "shard":
-            from ..stages.merge import read_shard_table, \
-                write_shard_tables
+            # format v8: one work item per shard FILE; purge its bands
+            # one at a time and stream survivors through one writer
+            from ..stages.merge import ShardFileWriter, iter_shard_bands
 
-            t = read_shard_table(sfs, sroot, rel)
-            new = _purge_shard_table(t, self.deleted)
+            shard_id = int(rel)
             fs_makedirs(dfs, fs_join(droot, "shards"))
-            outputs = []
-            if new.num_rows:
-                salt = int(rel.split("-")[1].split(".")[0])
-                drel, prel, _sz = write_shard_tables(
-                    new, dfs, droot, salt, self.shards_rg_size
-                )
-                outputs = [drel, prel]
-                metrics = {
-                    "num_terms": new.num_rows,
-                    "num_postings": int(
+            writer = ShardFileWriter(
+                dfs, droot, shard_id, self.shards_rg_size
+            )
+            n_terms = n_posts = 0
+            salts_out: list[int] = []
+            for salt, t in iter_shard_bands(
+                sfs, sroot, shard_id, self.src_num_shards,
+                self.src_salt_doc_range,
+            ):
+                new = _purge_shard_table(t, self.deleted)
+                if new.num_rows:
+                    writer.append_band(salt, new)
+                    salts_out.append(int(salt))
+                    n_terms += new.num_rows
+                    n_posts += int(
                         pa.compute.sum(new.column("df")).as_py()
-                    ),
-                    "salt": salt,
+                    )
+            drel, prel, _sz = writer.close()
+            outputs = [drel, prel] if salts_out else []
+            if salts_out:
+                metrics = {
+                    "num_terms": n_terms,
+                    "num_postings": n_posts,
+                    "salts": salts_out,
                 }
         else:  # docs part
             t = pq.read_table(fs_join(sroot, rel), filesystem=sfs)
@@ -230,9 +245,10 @@ def expunge_deletes(
     fs_makedirs(_dfs, _droot)
 
     sfs, sroot = resolve_fs(src_dir)
+    src_nshards = int(m["config"]["num_shards"])
     work = [
-        {"kind": "shard", "rel": f"shards/shard-{salt:08d}.parquet"}
-        for salt in m["shards"]
+        {"kind": "shard", "rel": str(sid)}
+        for sid in sorted({int(s) % src_nshards for s in m["shards"]})
     ] + [
         {"kind": "docs", "rel": f"docs/{n}"}
         for n in fs_listdir(sfs, fs_join(sroot, "docs"))
@@ -252,6 +268,8 @@ def expunge_deletes(
                 for n, f in m["config"].get("fields", {}).items()
                 if f.get("stored") and f.get("store_compression")
             },
+            src_num_shards=src_nshards,
+            src_salt_doc_range=int(m["config"]["salt_doc_range"]),
         ),
         batch_size=4,
         concurrency=concurrency,
@@ -268,9 +286,30 @@ def expunge_deletes(
         )
     from ..stages.merge import write_shard_stats
 
+    num_shards = int(m["config"]["num_shards"])
+    salt_doc_range = int(m["config"]["salt_doc_range"])
     write_shard_stats(
-        dest_dir, [int(p["salt"]) for p in shard_metrics],
+        dest_dir,
+        [s for p in shard_metrics for s in p["salts"]],
+        num_shards, salt_doc_range,
         concurrency=concurrency,
+    )
+    # manifest salts come from the committed SIDECAR, not the purge
+    # tasks: renumbered docids can shift a band's doc range across a
+    # salt_doc_range boundary, and the sidecar's (clamped-monotonic)
+    # doc_min derivation is the single source of truth readers use for
+    # band spans — manifest and sidecar must agree key-for-key
+    import pyarrow.parquet as _pq
+
+    from ..state.fs import join as _join
+
+    _dfs, _droot = resolve_fs(dest_dir)
+    sidecar = _pq.read_table(
+        _join(_droot, "shards_stats.parquet"), columns=["salt"],
+        filesystem=_dfs,
+    )
+    dest_salts = sorted(
+        set(sidecar.column("salt").to_pylist())
     )
     manifest = dict(m)
     manifest.update(
@@ -278,7 +317,7 @@ def expunge_deletes(
             "fingerprint": fp,
             "num_docs": num_docs,
             "len_sums": len_sums,
-            "shards": sorted(p["salt"] for p in shard_metrics),
+            "shards": dest_salts,
             "metrics": {
                 "purged_docs": len(deleted),
                 "terms_kept": int(

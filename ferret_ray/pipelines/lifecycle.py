@@ -117,19 +117,27 @@ class _RebaseTask:
             return rec.get("outputs", [])
         sfs, sroot = resolve_fs(src)
         if kind == "shard":
-            from ..stages.merge import read_shard_table
+            # format v8: one file pair per hash shard; rebase one BAND
+            # at a time so the working set stays one band's slice
+            from ..stages.merge import iter_shard_bands
 
-            t = read_shard_table(sfs, sroot, rel)
-        else:
-            t = pq.read_table(fs_join(sroot, rel), filesystem=sfs)
-        if kind == "shard":
-            seg = rebase_shard_rows(
-                t, offset, np.asarray(field_map_l, dtype=np.int64),
-                self.field_names, self.cfg,
-            )
-            rels = write_bucketed_segments(seg, self.dest_dir, tag,
-                                           self.cfg)
+            src_m = read_manifest(src)
+            shard_id = int(rel)
+            rels = []
+            for bi, (_salt, t) in enumerate(iter_shard_bands(
+                sfs, sroot, shard_id,
+                int(src_m["config"]["num_shards"]),
+                int(src_m["config"]["salt_doc_range"]),
+            )):
+                seg = rebase_shard_rows(
+                    t, offset, np.asarray(field_map_l, dtype=np.int64),
+                    self.field_names, self.cfg,
+                )
+                rels += write_bucketed_segments(
+                    seg, self.dest_dir, f"{tag}-b{bi:04d}", self.cfg
+                )
         else:  # docs part
+            t = pq.read_table(fs_join(sroot, rel), filesystem=sfs)
             ids = t.column("doc_id").to_numpy() + offset
             t = t.set_column(
                 t.schema.get_field_index("doc_id"), "doc_id",
@@ -196,7 +204,7 @@ def add_indexes(
     import ray.data
 
     from ..pipelines.deletes import load_deleted
-    from ..stages.merge import BucketMerger
+    from ..stages.merge import ShardMerger
 
     t_start = time.time()
     manifests = [read_manifest(d) for d in src_dirs]
@@ -248,13 +256,17 @@ def add_indexes(
     part_idx = 0
     for si, (src, m) in enumerate(zip(src_dirs, manifests)):
         fmap = [field_names.index(f) for f in m["field_names"]]
-        for salt in m["shards"]:
+        src_nshards = int(m["config"]["num_shards"])
+        for sid in sorted({int(s) % src_nshards for s in m["shards"]}):
+            # format v8: one work item per source shard FILE (its bands
+            # stream through rebase one at a time); "rel" carries the
+            # shard id
             work.append(
                 {
                     "kind": "shard", "src": src,
-                    "rel": f"shards/shard-{salt:08d}.parquet",
+                    "rel": str(sid),
                     "offset": int(offsets[si]),
-                    "tag": f"x{si:03d}-{salt:08d}",
+                    "tag": f"x{si:03d}-{sid:08d}",
                     "field_map": json.dumps(fmap),
                 }
             )
@@ -284,11 +296,12 @@ def add_indexes(
 
     num_buckets = cfg.resolved_merge_buckets
     bucket_ds = ray.data.from_items(
-        [{"bucket": b} for b in range(num_buckets)],
-        override_num_blocks=num_buckets,
+        [{"shard": s} for s in range(cfg.num_shards)],
+        override_num_blocks=cfg.num_shards,
     )
     shard_metrics = bucket_ds.map_batches(
-        BucketMerger(dest_dir, fp, cfg.shards_row_group_size),
+        ShardMerger(dest_dir, fp, cfg.shards_row_group_size,
+                    cfg.num_shards, num_buckets),
         batch_size=1,
         batch_format="pyarrow",
         concurrency=concurrency,
@@ -298,6 +311,7 @@ def add_indexes(
     write_shard_stats(
         dest_dir,
         [int(x["shard_salt"]) for x in shard_metrics],
+        cfg.num_shards, cfg.resolved_salt_doc_range,
         concurrency=concurrency,
     )
     t_merge = time.time()

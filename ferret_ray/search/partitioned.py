@@ -361,16 +361,48 @@ class PartitionWorker:
         return r.hits, r.stats
 
     def dictionary_bytes(self) -> int:
-        """Bytes of shard (dictionary+postings) files this partition
-        owns — the 1/N_actors memory-evidence metric."""
+        """Compressed dictionary+postings bytes of the doc bands this
+        partition owns — the 1/N_actors memory-evidence metric.
+        Format v8 packs every band of a hash shard into one file pair,
+        so ownership is per ROW-GROUP RUN: sum the owned salts'
+        row-group ``total_compressed_size`` from the two footers (reads
+        metadata only — the data row groups themselves are never
+        fetched for bands the partition doesn't own)."""
+        from ..stages.merge import POST_RG_SIZE, _file_band_spans
+
         total = 0
         for r in getattr(self.base, "readers", [self.base]):
-            for ss in r._shard_salts:
-                for rel in (
-                    f"shards/shard-{ss:08d}.parquet",
-                    f"shards/shard-{ss:08d}-post.parquet",
-                ):
-                    total += fs_file_size(r._fs, fs_join(r._root, rel))
+            owned = set(int(s) for s in r._shard_salts)
+            cfg = r.manifest["config"]
+            for sid in sorted({s % r.num_shards for s in owned}):
+                spans = _file_band_spans(
+                    r._fs, r._root, sid, r.num_shards,
+                    int(cfg["salt_doc_range"]),
+                )
+                dmd = r._file_for(sid).pf.metadata
+                pmd = r._file_for(sid).pf_post.metadata
+                prg = 0
+                for salt, _rs, rows, rg_start in spans:
+                    ndrg = 0
+                    got = 0
+                    while got < rows:
+                        got += dmd.row_group(rg_start + ndrg).num_rows
+                        ndrg += 1
+                    nprg = (rows + POST_RG_SIZE - 1) // POST_RG_SIZE
+                    if salt in owned:
+                        for i in range(rg_start, rg_start + ndrg):
+                            rg = dmd.row_group(i)
+                            total += sum(
+                                rg.column(c).total_compressed_size
+                                for c in range(rg.num_columns)
+                            )
+                        for i in range(prg, prg + nprg):
+                            rg = pmd.row_group(i)
+                            total += sum(
+                                rg.column(c).total_compressed_size
+                                for c in range(rg.num_columns)
+                            )
+                    prg += nprg
         return total
 
 

@@ -4,8 +4,10 @@ The query-time analogue of Ferret's IndexReader/TermInfosReader
 (c/src/index.c:2712-2869 term dict, :2999-3060 postings enums): each reader
 memoizes per-shard term dictionaries (term -> row) and decodes posting
 blobs to numpy arrays on demand with an LRU cache.  A term lives in exactly
-one term-hash shard, split across doc-range files by the salted shuffle;
-range blocks concatenate in doc order (exact merge).
+one term-hash shard; format v8 packs ALL of a shard's doc bands into ONE
+dictionary/postings file pair (each band a run of row groups), so a cold
+wide expansion opens O(num_shards) files rather than O(shards x bands);
+band blocks concatenate in doc order (exact merge).
 
 Scale note: a scorer actor opens only the shard files it needs, lazily;
 dictionaries are per-shard and sorted, so at cluster scale this maps to
@@ -100,6 +102,14 @@ def _list_np(col) -> tuple[np.ndarray, np.ndarray]:
     return off, vals
 
 
+class _PyList(list):
+    """A plain list quacking like an Arrow array where only
+    ``to_pylist`` is needed (the no-sidecar stats fallback)."""
+
+    def to_pylist(self):
+        return self
+
+
 class _RGBlobs:
     """Per-row bytes access over one blob column, fetched by row-group
     range reads through the shard's shared row-group LRU."""
@@ -128,20 +138,116 @@ def _bisect_terms(terms, x: str, lo: int, hi: int, right: bool = False):
     return lo
 
 
+class _ShardFile:
+    """One hash shard's physical file pair (format v8: ONE dictionary
+    parquet + ONE postings parquet per hash shard; each doc band is a
+    run of row groups inside them).  Owns the lazily-opened handles and
+    the postings row-group table cache SHARED by every band's `_Shard`
+    view — so a cold wide expansion opens O(num_shards) files, not
+    O(num_shards x bands) (the v7 per-band file pairs cost ~1.6 ms of
+    footer parse each; 2,560 of them dominated the 20M-doc cold
+    tail)."""
+
+    __slots__ = (
+        "_fs", "_path", "_pf_obj", "_pf_post_obj", "_rg_cache",
+        "_rg_cap",
+    )
+
+    def __init__(self, path: str, fs, rg_cache: int = 8):
+        self._fs, self._path = fs, path
+        self._pf_obj = None
+        self._pf_post_obj = None
+        # (global rg, first col name) -> table; shared across bands
+        self._rg_cache: OrderedDict[tuple, object] = OrderedDict()
+        self._rg_cap = rg_cache
+
+    @property
+    def pf(self):
+        """Dictionary-file handle, opened on first data access (stats
+        come from the sidecar, so open cost is deferred until a read).
+        Benign under threads: a double open assigns the same handle
+        kind."""
+        pf = self._pf_obj
+        if pf is None:
+            pf = open_parquet(self._fs, self._path)
+            self._pf_obj = pf
+        return pf
+
+    @property
+    def pf_post(self):
+        pf = self._pf_post_obj
+        if pf is None:
+            pf = open_parquet(
+                self._fs,
+                self._path.replace(".parquet", "-post.parquet"),
+            )
+            self._pf_post_obj = pf
+        return pf
+
+    def read_dict_rgs(self, rgs: list[int], columns: list[str]):
+        if len(rgs) == 1:
+            return self.pf.read_row_group(rgs[0], columns=columns)
+        return self.pf.read_row_groups(rgs, columns=columns)
+
+    def post_rg_table(self, rg: int, cols: tuple[str, ...]):
+        """Cached two-column postings row-group read (global rg)."""
+        key = (rg, cols[0])
+        tbl = self._rg_cache.get(key)
+        if tbl is None:
+            tbl = self.pf_post.read_row_group(rg, columns=list(cols))
+            self._rg_cache[key] = tbl
+            if len(self._rg_cache) > self._rg_cap:
+                self._rg_cache.popitem(last=False)
+        else:
+            self._rg_cache.move_to_end(key)
+        return tbl
+
+    def load_post_rgs(
+        self, pairs: list[tuple[int, int]], cols: tuple[str, ...]
+    ) -> None:
+        """Bulk-load postings row groups in ONE parquet read call —
+        ``pairs`` is sorted (global rg, row count).  The combined table
+        is sliced back per group (zero-copy) and cached; the cap grows
+        to hold the whole batch so the decode pass that follows never
+        re-reads what this call just loaded."""
+        missing = [
+            (rg, n) for rg, n in pairs
+            if (rg, cols[0]) not in self._rg_cache
+        ]
+        if not missing:
+            return
+        if len(missing) == 1:
+            self.post_rg_table(missing[0][0], cols)
+            return
+        tbl = self.pf_post.read_row_groups(
+            [rg for rg, _ in missing], columns=list(cols)
+        )
+        if len(self._rg_cache) + len(missing) > self._rg_cap:
+            self._rg_cap = len(self._rg_cache) + len(missing)
+        off = 0
+        for rg, n in missing:
+            self._rg_cache[(rg, cols[0])] = tbl.slice(off, n)
+            off += n
+
+
 class _Shard:
-    """One shard file, opened LAZILY: __init__ reads ONLY the parquet
-    footer (row-group offsets + per-row-group (field, term) min/max
-    statistics).  Dictionary row groups load on demand, pruned by the
-    footer stats — a point lookup or a prefix range touches only the
-    1-2 row groups whose key range can contain it, never the whole
-    dictionary (a 20M-doc corpus carries ~GBs of dictionary across its
-    band files; slurping it at open cost ~58 s cold).  Loaded groups
-    stay cached, so warm behavior equals the old eager reader.  Posting
-    blobs are fetched by row-group range reads with a small LRU; at
-    cluster scale these map to object-store/S3 range requests.  The
-    reference analogue: TermInfosReader's .tix sampled index + seek
-    (c/src/index.c:2712-2869) instead of slurping the whole .tis/.frq —
-    with parquet row-group stats as the sampled index.
+    """One DOC BAND of a hash shard (format v8: a contiguous run of
+    row groups inside the shard's dictionary/postings file pair),
+    constructed from the pre-parsed stats sidecar: no IO at all until
+    a read.  Dictionary row groups load on demand, pruned by the
+    per-row-group (field, term) min/max stats — a point lookup or a
+    prefix range touches only the 1-2 row groups whose key range can
+    contain it, never the whole dictionary.  Loaded groups stay
+    cached.  Posting blobs are fetched by row-group range reads through
+    the file's shared LRU; at cluster scale these map to
+    object-store/S3 range requests.  The reference analogue:
+    TermInfosReader's .tix sampled index + seek (c/src/index.c:
+    2712-2869) instead of slurping the whole .tis/.frq — with parquet
+    row-group stats as the sampled index.
+
+    All row/row-group indices on this class are LOCAL to the band;
+    ``_dict_rg_base`` / ``_post_rg_base`` translate to the file's
+    global row groups.
 
     Statistics are used strictly as BOUNDS (parquet may truncate string
     min/max: stored min <= true min, stored max >= true max), so a
@@ -157,96 +263,63 @@ class _Shard:
         "prx_lens_enc": ("prx_enc", "prx_lens_enc"),
     }
 
-    def __init__(self, path: str, rg_cache: int = 8, fs=None,
-                 stats: tuple | None = None):
-        if fs is None:
-            fs, path = resolve_fs(path)
-        self._fs, self._path = fs, path
-        self._pf_obj = None
-        self._pf_post_obj = None
-        self._post_rg_off: np.ndarray | None = None
-        if stats is not None:
-            # pre-parsed row-group stats (the index's shards_stats
-            # sidecar, the .tix analogue): no file open, no footer
-            # parse — the file opens lazily at the first data read
-            counts, fmin, fmax, tmin, tmax = stats
-        else:
-            md = self._pf.metadata
-            nrg = md.num_row_groups
-            counts = np.empty(nrg, dtype=np.int64)
-            names = self._pf.schema_arrow.names
-            fci, tci = names.index("field"), names.index("term")
-            fmin = np.empty(nrg, dtype=np.int64)
-            fmax = np.empty(nrg, dtype=np.int64)
-            tmin: list[str | None] = [None] * nrg
-            tmax: list[str | None] = [None] * nrg
-            for i in range(nrg):
-                rg = md.row_group(i)
-                counts[i] = rg.num_rows
-                fst = rg.column(fci).statistics
-                tst = rg.column(tci).statistics
-                if fst is not None and fst.has_min_max:
-                    fmin[i], fmax[i] = int(fst.min), int(fst.max)
-                else:  # no stats: range unknown -> always a candidate
-                    fmin[i], fmax[i] = np.iinfo(np.int64).min, np.iinfo(
-                        np.int64).max
-                if tst is not None and tst.has_min_max:
-                    tmin[i], tmax[i] = tst.min, tst.max
+    def __init__(self, file: _ShardFile, stats: tuple,
+                 dict_rg_base: int, post_rg_base: int):
+        self._file = file
+        self._dict_rg_base = dict_rg_base
+        self._post_rg_base = post_rg_base
+        counts, fmin, fmax, tmin, tmax = stats
         self._rg_fmin, self._rg_fmax = fmin, fmax
         self._rg_tmin, self._rg_tmax = tmin, tmax
         self._rg_off = np.concatenate(([0], np.cumsum(counts)))
+        nrows = int(self._rg_off[-1])
+        from ..stages.merge import POST_RG_SIZE as _prs
+
+        nprg = (nrows + _prs - 1) // _prs
+        self._post_rg_off = np.minimum(
+            np.arange(nprg + 1, dtype=np.int64) * _prs, nrows
+        )
         self._dict_rgs: dict[int, tuple] = {}
         self._field_runs: dict[int, range] = {}
-        self._rg_cache: OrderedDict[int, object] = OrderedDict()
-        self._rg_cap = rg_cache
         self.prx_enc = _RGBlobs(self, "prx_enc")
         self.prx_lens_enc = _RGBlobs(self, "prx_lens_enc")
 
-    @property
-    def _pf(self):
-        """The parquet file handle, opened on first data access (a
-        stats-sidecar shard needs no IO at all until a read).  Benign
-        under threads: a double open assigns the same kind of handle."""
-        pf = self._pf_obj
-        if pf is None:
-            pf = open_parquet(self._fs, self._path)
-            self._pf_obj = pf
-        return pf
-
-    @property
-    def _pf_post(self):
-        """The POSTINGS-file handle (the shard's blob columns live in a
-        row-aligned sibling parquet with small stat-less row groups —
-        stages/merge.py POST_COLS).  Row-group offsets derive from the
-        fixed write row_group_size, so the only footer cost is the
-        (tiny, stats-free) metadata parse at first blob access."""
-        pf = self._pf_post_obj
-        if pf is None:
-            pf = open_parquet(
-                self._fs,
-                self._path.replace(".parquet", "-post.parquet"),
-            )
-            self._pf_post_obj = pf
-            md = pf.metadata
-            nrg = md.num_row_groups
-            k = md.row_group(0).num_rows if nrg else 0
-            self._post_rg_off = np.minimum(
-                np.arange(nrg + 1, dtype=np.int64) * max(k, 1),
-                md.num_rows,
-            )
-        return pf
-
     def post_rgs_of_rows(self, rows: np.ndarray) -> np.ndarray:
-        """Postings-file row-group index of each global row."""
-        self._pf_post  # ensure offsets
+        """LOCAL postings row-group index of each local row."""
         return np.searchsorted(
             self._post_rg_off, rows, side="right"
         ) - 1
 
+    def _rg_table(self, rg: int, name: str):
+        """Postings row-group table of LOCAL group ``rg`` via the
+        file's shared cache."""
+        return self._file.post_rg_table(
+            self._post_rg_base + rg, self.BLOB_GROUPS[name]
+        )
+
+    def post_rg_pairs(self, rgs) -> list[tuple[int, int]]:
+        """(GLOBAL rg, row count) pairs for local groups ``rgs`` —
+        the unit the file-level bulk loader consumes."""
+        return [
+            (
+                self._post_rg_base + int(rg),
+                int(self._post_rg_off[int(rg) + 1]
+                    - self._post_rg_off[int(rg)]),
+            )
+            for rg in rgs
+        ]
+
+    def load_rg_tables(self, rgs, name: str) -> None:
+        """Bulk-load LOCAL blob row groups through the file cache."""
+        self._file.load_post_rgs(
+            self.post_rg_pairs(sorted(set(int(r) for r in rgs))),
+            self.BLOB_GROUPS[name],
+        )
+
     def postings_row(self, i: int) -> tuple[np.ndarray, np.ndarray]:
         """(doc-delta int32 view, freqs int32 view) of dictionary row
         ``i`` — zero-copy slices of the cached postings row-group table
-        (format v7: parquet's C++ kernels did all the decoding)."""
+        (format v7+: parquet's C++ kernels did all the decoding)."""
         rg = int(self.post_rgs_of_rows(np.array([i]))[0])
         tbl = self._rg_table(rg, "docs_list")
         do, dv = _list_np(tbl.column("docs_list"))
@@ -259,7 +332,7 @@ class _Shard:
     ) -> list[tuple[np.ndarray, np.ndarray]]:
         """Per sorted dictionary row: (doc-delta int32 view, freqs int32
         view) — the expansion fast path.  One batched row-group read per
-        shard (pre_buffer coalesces the ranges), then pure slicing."""
+        FILE (pre_buffer coalesces the ranges), then pure slicing."""
         rgs = self.post_rgs_of_rows(rows)
         uniq = np.unique(rgs)
         self.load_rg_tables(uniq, "docs_list")
@@ -287,19 +360,21 @@ class _Shard:
 
     def _drg(self, rg: int) -> tuple:
         """(fields np, terms Arrow, df np, tf_sum np) of one dictionary
-        row group, loaded once and kept (warm state == old eager
-        reader)."""
+        row group (LOCAL index), loaded once and kept (warm state ==
+        the old eager reader)."""
         hit = self._dict_rgs.get(rg)
         if hit is None:
-            t = self._pf.read_row_group(rg, columns=self.DICT_COLS)
+            t = self._file.read_dict_rgs(
+                [self._dict_rg_base + rg], self.DICT_COLS
+            )
             hit = self._dict_tuple(t)
             self._dict_rgs[rg] = hit
         return hit
 
     def drg_many(self, rgs) -> None:
-        """Load several dictionary row groups in ONE parquet read call
-        (cold wide expansions touch a few groups per file across
-        hundreds of files; per-call overhead dominates otherwise)."""
+        """Load several LOCAL dictionary row groups in ONE parquet read
+        call (cold wide expansions touch a few groups per band;
+        per-call overhead dominates otherwise)."""
         missing = sorted(
             rg for rg in set(int(r) for r in rgs)
             if rg not in self._dict_rgs
@@ -309,11 +384,24 @@ class _Shard:
         if len(missing) == 1:
             self._drg(missing[0])
             return
-        t = self._pf.read_row_groups(missing, columns=self.DICT_COLS)
+        t = self._file.read_dict_rgs(
+            [self._dict_rg_base + rg for rg in missing], self.DICT_COLS
+        )
         off = 0
         for rg in missing:
             n = int(self._rg_off[rg + 1] - self._rg_off[rg])
             self._dict_rgs[rg] = self._dict_tuple(t.slice(off, n))
+            off += n
+
+    def store_dict_slices(self, rgs: list[int], t) -> None:
+        """Install pre-read dictionary row-group slices (the reader's
+        per-FILE bulk load path): ``t`` is the concatenated table of
+        the LOCAL groups ``rgs`` in order."""
+        off = 0
+        for rg in rgs:
+            n = int(self._rg_off[rg + 1] - self._rg_off[rg])
+            if rg not in self._dict_rgs:
+                self._dict_rgs[rg] = self._dict_tuple(t.slice(off, n))
             off += n
 
     def _rg_of_row(self, i: int) -> int:
@@ -448,51 +536,6 @@ class _Shard:
                 return i
         return None
 
-    def _rg_table(self, rg: int, name: str):
-        """Cached two-column (docs+freqs or prx+lens) POSTINGS-file
-        row-group read (``rg`` indexes the postings file's groups)."""
-        cols = self.BLOB_GROUPS[name]
-        key = (rg, cols[0])
-        tbl = self._rg_cache.get(key)
-        if tbl is None:
-            tbl = self._pf_post.read_row_group(rg, columns=list(cols))
-            self._rg_cache[key] = tbl
-            if len(self._rg_cache) > self._rg_cap:
-                self._rg_cache.popitem(last=False)
-        else:
-            self._rg_cache.move_to_end(key)
-        return tbl
-
-    def load_rg_tables(self, rgs, name: str) -> None:
-        """Bulk-load blob row groups in ONE parquet read call (a cold
-        wide expansion touches a handful of groups per file across
-        hundreds of files — per-read_row_group call overhead dominates
-        the IO there).  The combined table is sliced back per group
-        (zero-copy: read_row_groups keeps one chunk per group) and
-        cached; the cap grows to hold the whole batch so the decode
-        pass that follows never re-reads what this call just loaded."""
-        cols = self.BLOB_GROUPS[name]
-        missing = sorted(
-            rg for rg in set(int(r) for r in rgs)
-            if (rg, cols[0]) not in self._rg_cache
-        )
-        if not missing:
-            return
-        if len(missing) == 1:
-            self._rg_table(missing[0], name)
-            return
-        tbl = self._pf_post.read_row_groups(missing, columns=list(cols))
-        if len(missing) > self._rg_cap:
-            self._rg_cap = len(missing)
-        off = 0
-        poff = self._post_rg_off
-        for rg in missing:
-            n = int(poff[rg + 1] - poff[rg])
-            self._rg_cache[(rg, cols[0])] = tbl.slice(off, n)
-            off += n
-            if len(self._rg_cache) > self._rg_cap:
-                self._rg_cache.popitem(last=False)
-
     def gather_blobs(
         self, name: str, rows: np.ndarray
     ) -> tuple[np.ndarray, np.ndarray]:
@@ -588,6 +631,10 @@ class IndexReader:
         for v in self._by_shard.values():
             v.sort()
         self._shards: dict[int, _Shard] = {}
+        # format v8: one physical file pair per HASH SHARD; _Shard is a
+        # per-band row-group view into it
+        self._files: dict[int, _ShardFile] = {}
+        self._salt_spans: dict[int, tuple[int, int]] = {}
         self._postings_cache: OrderedDict[tuple[int, str], Postings] = (
             OrderedDict()
         )
@@ -641,7 +688,27 @@ class IndexReader:
                 counts[a:b], fmin[a:b], fmax[a:b],
                 tmin.slice(a, b - a), tmax.slice(a, b - a),
             )
+        self._compute_salt_spans(out)
         return out
+
+    def _compute_salt_spans(self, stats: dict[int, tuple]) -> None:
+        """Per salt: (dict rg base, post rg base) inside its hash
+        shard's file — bands are written ascending, so the bases are
+        running sums over the file's smaller salts."""
+        from ..stages.merge import POST_RG_SIZE
+
+        by_file: dict[int, list[int]] = {}
+        for s in stats:
+            by_file.setdefault(s % self.num_shards, []).append(s)
+        for salts in by_file.values():
+            drg = prg = 0
+            for s in sorted(salts):
+                if s not in self._salt_spans:
+                    self._salt_spans[s] = (drg, prg)
+                counts = stats[s][0]
+                drg += len(counts)
+                rows = int(counts.sum())
+                prg += (rows + POST_RG_SIZE - 1) // POST_RG_SIZE
 
     def expansion(self, key: tuple, build) -> list:
         """Memoized term expansion (prefix/wildcard/fuzzy rewrites)."""
@@ -720,63 +787,74 @@ class IndexReader:
 
     # ---- term dictionary / postings ------------------------------------
 
+    def _file_for(self, shard_id: int) -> _ShardFile:
+        f = self._files.get(shard_id)
+        if f is None:
+            f = _ShardFile(
+                fs_join(
+                    self._root, f"shards/shard-{shard_id:08d}.parquet"
+                ),
+                self._fs,
+            )
+            self._files[shard_id] = f
+        return f
+
+    def _stats_from_footer(self, shard_id: int) -> None:
+        """No-sidecar fallback: derive every band's stats + spans of
+        one shard FILE from its dictionary footer (one parse per file;
+        sidecar-less indexes are tool/test artifacts)."""
+        from ..stages.merge import _footer_stats_rows
+
+        cfg = self.manifest["config"]
+        rows = _footer_stats_rows(
+            self._fs, self._root, shard_id, self.num_shards,
+            int(cfg["salt_doc_range"]),
+        )
+        salts = np.asarray(rows["salt"], dtype=np.int64)
+        counts = np.asarray(rows["rows"], dtype=np.int64)
+        fmin = np.asarray(rows["fmin"], dtype=np.int64)
+        fmax = np.asarray(rows["fmax"], dtype=np.int64)
+        new: dict[int, tuple] = {}
+        uniq, starts = np.unique(salts, return_index=True)
+        ends = np.append(starts[1:], len(salts))
+        for s, a, b in zip(uniq.tolist(), starts.tolist(), ends.tolist()):
+            new[int(s)] = (
+                counts[a:b], fmin[a:b], fmax[a:b],
+                rows["tmin"][a:b], rows["tmax"][a:b],
+            )
+        self._compute_salt_spans(new)
+        for s, st in new.items():
+            # wrap string lists so _shard_for's to_pylist-equivalent
+            # branch (Arrow slices from the sidecar) stays uniform
+            self._shard_stats[s] = (
+                st[0], st[1], st[2],
+                _PyList(st[3]), _PyList(st[4]),
+            )
+
     def _shard_for(self, shard_salt: int) -> _Shard:
         sh = self._shards.get(shard_salt)
         if sh is None:
-            path = fs_join(
-                self._root, f"shards/shard-{shard_salt:08d}.parquet"
+            if shard_salt not in self._shard_stats:
+                self._stats_from_footer(shard_salt % self.num_shards)
+            stats = self._shard_stats[shard_salt]
+            c, fmn, fmx, tmn, tmx = stats
+            stats = (c, fmn, fmx, tmn.to_pylist(), tmx.to_pylist())
+            drg, prg = self._salt_spans[shard_salt]
+            sh = _Shard(
+                self._file_for(shard_salt % self.num_shards),
+                stats, drg, prg,
             )
-            stats = self._shard_stats.get(shard_salt)
-            if stats is not None:
-                c, fmn, fmx, tmn, tmx = stats
-                stats = (c, fmn, fmx, tmn.to_pylist(), tmx.to_pylist())
-            sh = _Shard(path, fs=self._fs, stats=stats)
             self._shards[shard_salt] = sh
         return sh
 
     def _ensure_shards(self, salts) -> None:
-        """Open the given shard files concurrently (dictionary-column
-        parquet reads release the GIL in Arrow C++), bounding the
-        cold-expansion file-open tail: a wide dictionary scan touches
-        every doc-band file of a hash shard, and opening them serially
-        dominates first-query latency at many bands (VERDICT r4 #3).
-        With the stats sidecar loaded there is no IO at all here —
-        shards construct from pre-parsed stats and open lazily."""
-        missing = [ss for ss in salts if ss not in self._shards]
-        if self._shard_stats:
-            for ss in missing:
+        """Construct the given band views.  With the stats sidecar
+        loaded (every committed index) there is no IO at all here —
+        shards construct from pre-parsed stats and their files open
+        lazily at the first data read."""
+        for ss in salts:
+            if ss not in self._shards:
                 self._shard_for(ss)
-            missing = [ss for ss in missing if ss not in self._shards]
-        if len(missing) < 4:
-            for ss in missing:
-                self._shard_for(ss)
-            return
-        from concurrent.futures import ThreadPoolExecutor
-
-        nthreads = min(32, len(missing))
-
-        def _open_chunk(chunk: list[int]) -> list[tuple[int, _Shard]]:
-            # one future per THREAD, not per file — thousands of
-            # per-file futures spend more time in lock churn than IO
-            return [
-                (
-                    ss,
-                    _Shard(
-                        fs_join(
-                            self._root,
-                            f"shards/shard-{ss:08d}.parquet",
-                        ),
-                        fs=self._fs,
-                    ),
-                )
-                for ss in chunk
-            ]
-
-        chunks = [missing[i::nthreads] for i in range(nthreads)]
-        with ThreadPoolExecutor(nthreads) as ex:
-            for res in ex.map(_open_chunk, chunks):
-                for ss, sh in res:
-                    self._shards[ss] = sh
 
     def _term_rows(self, field_num: int, term: str) -> list[tuple[_Shard, int]]:
         s = term_shard(field_num, term, self.num_shards)
@@ -837,15 +915,35 @@ class IndexReader:
         jobs = [(sh, rg) for sh, rg in jobs if rg not in sh._dict_rgs]
         if len(jobs) < 4:
             return
-        by_sh: dict[int, tuple] = {}
+        # group per physical FILE (format v8: one file per hash shard,
+        # many band views per file): ONE read_row_groups call per file
+        # covering every requested band's groups
+        by_file: dict[int, tuple] = {}
         for sh, rg in jobs:
-            by_sh.setdefault(id(sh), (sh, []))[1].append(rg)
-        per_file = list(by_sh.values())
-        from concurrent.futures import ThreadPoolExecutor
+            f = sh._file
+            by_file.setdefault(id(f), (f, []))[1].append(
+                (sh._dict_rg_base + rg, sh, rg)
+            )
+        per_file = list(by_file.values())
 
         def _load(chunk):
-            for sh, rgs in chunk:
-                sh.drg_many(rgs)
+            for f, triples in chunk:
+                triples.sort(key=lambda x: x[0])
+                grgs = [g for g, _, _ in triples]
+                t = f.read_dict_rgs(grgs, _Shard.DICT_COLS)
+                off = 0
+                for g, sh, rg in triples:
+                    n = int(sh._rg_off[rg + 1] - sh._rg_off[rg])
+                    if rg not in sh._dict_rgs:
+                        sh._dict_rgs[rg] = sh._dict_tuple(
+                            t.slice(off, n)
+                        )
+                    off += n
+
+        if len(per_file) == 1:
+            _load(per_file)
+            return
+        from concurrent.futures import ThreadPoolExecutor
 
         nthreads = min(32, len(per_file))
         chunks = [per_file[i::nthreads] for i in range(nthreads)]
@@ -986,11 +1084,12 @@ class IndexReader:
                         di += 1
                     if di < len(dict_slice) and dict_slice[di] == t:
                         parts.setdefault(t, []).append((sh, i + di))
-        # bulk fetch: one batched row-group read per shard file (format
-        # v7 list columns — parquet's C++ kernels decompress and decode
-        # off-thread), then zero-copy value slices per matched row.
-        # Cold-expansion hot path (VERDICT r4 #3): no Python-side VInt
-        # work on the scoring streams at all.
+        # bulk fetch: one batched row-group read per shard FILE (format
+        # v8: bands are row-group runs inside one file per hash shard;
+        # the v7+ list columns mean parquet's C++ kernels decompress
+        # and decode off-thread), then zero-copy value slices per
+        # matched row.  Cold-expansion hot path (VERDICT r4 #3): no
+        # Python-side VInt work on the scoring streams at all.
         by_sh: dict[int, tuple] = {}
         for t, rows in parts.items():
             for sh, ri in rows:
@@ -1003,25 +1102,39 @@ class IndexReader:
         import time as _t, os as _os
         _dbg = _os.environ.get("FERRET_DEBUG_PM")
         _t0 = _t.perf_counter()
-        gathered: dict[int, list] = {}
-        if len(sh_rows) > 3:
+        # preload: ONE read_row_groups call per FILE covering every
+        # band's needed groups (pre_buffer coalesces the ranges)
+        by_file: dict[int, tuple] = {}
+        for sh, rws in sh_rows:
+            prs = sh.post_rg_pairs(
+                np.unique(sh.post_rgs_of_rows(rws))
+            )
+            f = sh._file
+            by_file.setdefault(id(f), (f, []))[1].extend(prs)
+        per_file = [
+            (f, sorted(set(prs))) for f, prs in by_file.values()
+        ]
+        if len(per_file) > 1:
             # threaded: the parquet row-group reads release the GIL
             from concurrent.futures import ThreadPoolExecutor
 
-            def _gather(items):
-                for sh, rws in items:
-                    gathered[id(sh)] = sh.gather_postings(rws)
+            def _preload(items):
+                for f, prs in items:
+                    f.load_post_rgs(prs, ("docs_list", "freqs_list"))
 
-            nthreads = min(32, len(sh_rows))
-            chunks = [sh_rows[i::nthreads] for i in range(nthreads)]
+            nthreads = min(32, len(per_file))
+            chunks = [per_file[i::nthreads] for i in range(nthreads)]
             with ThreadPoolExecutor(nthreads) as ex:
-                list(ex.map(_gather, chunks))
+                list(ex.map(_preload, chunks))
         else:
-            for sh, rws in sh_rows:
-                gathered[id(sh)] = sh.gather_postings(rws)
+            for f, prs in per_file:
+                f.load_post_rgs(prs, ("docs_list", "freqs_list"))
+        gathered: dict[int, list] = {}
+        for sh, rws in sh_rows:
+            gathered[id(sh)] = sh.gather_postings(rws)
         if _dbg:
             print(f"  gather: {_t.perf_counter()-_t0:.2f}s "
-                  f"files={len(sh_rows)}")
+                  f"files={len(per_file)}")
         _t0 = _t.perf_counter()
         # absolute doc ids per row: per-row cumsum of the delta values
         # (hugepage-backed output for large rows, state/arena.py)

@@ -5,7 +5,7 @@ reference k-way-merges per-segment TermEnums under one mutex, we run a
 classic map-side shuffle through shared storage:
 
   invert tasks write  segments/bucket={salt % B}/rng{r}-seg-{g}.parquet
-  merge phase:        from_items(buckets) -> map_batches(BucketMerger)
+  merge phase:        from_items(shards) -> map_batches(ShardMerger)
 
 Each merge task reads ONLY its bucket's files — no Ray all-to-all, no
 sort: fragments of the same (shard_salt, field, term) concatenate in
@@ -88,12 +88,36 @@ _METRICS_SCHEMA = pa.schema(
 )
 
 
-def shard_file_name(shard_salt: int) -> str:
-    return f"shards/shard-{shard_salt:08d}.parquet"
+def shard_file_name(shard_id: int) -> str:
+    """Dictionary file of one term-hash shard (format v8: ONE file per
+    hash shard; doc bands are row-group RUNS inside it, ascending)."""
+    return f"shards/shard-{shard_id:08d}.parquet"
 
 
-def post_file_name(shard_salt: int) -> str:
-    return f"shards/shard-{shard_salt:08d}-post.parquet"
+def post_file_name(shard_id: int) -> str:
+    return f"shards/shard-{shard_id:08d}-post.parquet"
+
+
+def bucket_of(salts: np.ndarray, num_shards: int, num_buckets: int):
+    """Segment shuffle bucket of each shard_salt.
+
+    Format v8 keys buckets by (hash shard, band-group) —
+    ``shard * K + band % K`` with ``K = max(1, B // S)`` — so ALL of a
+    hash shard's segments land in its own contiguous K bucket dirs and
+    one merge task can stream the shard's bands into a single shard
+    file pair.  (v7's ``salt % B`` interleaved shards across buckets,
+    forcing one FILE per salt — the per-file footer/open cost made a
+    cold wide expansion touch thousands of files.)"""
+    k = max(1, num_buckets // num_shards)
+    return (salts % num_shards) * k + (salts // num_shards) % k
+
+
+def band_buckets_of_shard(
+    shard_id: int, num_shards: int, num_buckets: int
+) -> range:
+    """The contiguous bucket-dir range owned by one hash shard."""
+    k = max(1, num_buckets // num_shards)
+    return range(shard_id * k, (shard_id + 1) * k)
 
 
 # The shard is TWO row-aligned parquet files — the reference's
@@ -120,41 +144,152 @@ def split_shard_table(table: pa.Table) -> tuple[pa.Table, pa.Table]:
     return dict_t, post_t
 
 
-def read_shard_table(fs, root: str, rel: str) -> pa.Table:
-    """The full logical shard (dictionary + blob columns) for wholesale
-    consumers (LSM rebase, expunge) — reads both files and re-attaches
-    the row-aligned blob columns."""
-    dict_t = pq.read_table(fs_join(root, rel), filesystem=fs)
-    post_rel = rel.replace(".parquet", "-post.parquet")
-    post_t = pq.read_table(fs_join(root, post_rel), filesystem=fs)
-    for name in POST_COLS:
-        dict_t = dict_t.append_column(name, post_t.column(name))
-    return dict_t
+def _file_band_spans(
+    fs, root: str, shard_id: int, num_shards: int, salt_doc_range: int
+) -> list[tuple[int, int, int, int]]:
+    """Per band of one shard file, ascending:
+    ``(salt, row_start, row_count, dict_rg_start)``.
+
+    Derived purely from the dictionary file's footer: each dict row
+    group holds rows of exactly ONE band (the writer flushes groups at
+    band boundaries), so the group's ``doc_min`` column statistics pin
+    its band — ``salt = (doc_min.min // salt_doc_range) * num_shards +
+    shard_id``.  No sidecar or extra metadata file needed."""
+    from ..state.fs import open_parquet
+
+    md = open_parquet(fs, fs_join(root, shard_file_name(shard_id))).metadata
+    # the dict file drops POST_COLS but keeps column order otherwise
+    dict_names = [n for n in SHARD_SCHEMA.names if n not in POST_COLS]
+    dmin_ci = dict_names.index("doc_min")
+    spans: list[tuple[int, int, int, int]] = []
+    row = 0
+    for i in range(md.num_row_groups):
+        rg = md.row_group(i)
+        st = rg.column(dmin_ci).statistics
+        if st is None or not st.has_min_max:
+            raise ValueError(
+                f"shard {shard_id}: dict row group {i} lacks doc_min "
+                "stats (format v8 requires them for band spans)"
+            )
+        salt = (int(st.min) // salt_doc_range) * num_shards + shard_id
+        if spans and salt < spans[-1][0]:
+            # monotonic clamp: an expunged index's renumbered docids can
+            # dip below a band boundary mid-file; bands were WRITTEN
+            # ascending, so never regress (adjacent bands may merge —
+            # safe: doc ranges stay disjoint and ascending)
+            salt = spans[-1][0]
+        if spans and spans[-1][0] == salt:
+            s, rs, rc, rgs = spans[-1]
+            spans[-1] = (s, rs, rc + rg.num_rows, rgs)
+        else:
+            spans.append((salt, row, rg.num_rows, i))
+        row += rg.num_rows
+    return spans
+
+
+def iter_shard_bands(
+    fs, root: str, shard_id: int, num_shards: int, salt_doc_range: int
+):
+    """Yield ``(salt, logical shard table)`` per doc band of one shard
+    file, ascending — the wholesale consumer path (LSM rebase, expunge,
+    browser).  Reads one band at a time so a task's working set is one
+    band, independent of the shard file's total size."""
+    from ..state.fs import open_parquet
+
+    spans = _file_band_spans(fs, root, shard_id, num_shards,
+                             salt_doc_range)
+    dict_pf = open_parquet(fs, fs_join(root, shard_file_name(shard_id)))
+    post_pf = open_parquet(fs, fs_join(root, post_file_name(shard_id)))
+    post_rg_base = 0
+    for salt, _row_start, rows, rg_start in spans:
+        nrg = 0
+        got = 0
+        while got < rows:
+            got += dict_pf.metadata.row_group(rg_start + nrg).num_rows
+            nrg += 1
+        dict_t = dict_pf.read_row_groups(
+            list(range(rg_start, rg_start + nrg))
+        )
+        n_post_rg = (rows + POST_RG_SIZE - 1) // POST_RG_SIZE
+        post_t = post_pf.read_row_groups(
+            list(range(post_rg_base, post_rg_base + n_post_rg))
+        )
+        post_rg_base += n_post_rg
+        for name in POST_COLS:
+            dict_t = dict_t.append_column(name, post_t.column(name))
+        yield salt, dict_t
+
+
+def read_shard_table(
+    fs, root: str, shard_id: int, num_shards: int, salt_doc_range: int
+) -> pa.Table:
+    """The full logical shard file (all bands, dictionary + blob
+    columns re-attached) — small-index/wholesale convenience."""
+    parts = [
+        t for _salt, t in iter_shard_bands(
+            fs, root, shard_id, num_shards, salt_doc_range
+        )
+    ]
+    return pa.concat_tables(parts)
+
+
+class ShardFileWriter:
+    """Streams one hash shard's doc bands (ascending) into the
+    dictionary/postings parquet file pair.  Each band is appended as
+    its own run of row groups — row groups never span bands, which is
+    what lets readers derive band spans from footer stats alone."""
+
+    def __init__(self, fs, root: str, shard_id: int, dict_rg_size: int):
+        self.fs, self.root = fs, root
+        self.rel = shard_file_name(shard_id)
+        self.post_rel = post_file_name(shard_id)
+        self.dict_rg_size = dict_rg_size
+        self._w = None
+        self._pw = None
+        self.salts: list[int] = []
+        self.rows: list[int] = []
+
+    def append_band(self, salt: int, table: pa.Table) -> None:
+        dict_t, post_t = split_shard_table(table)
+        if self._w is None:
+            self._w = pq.ParquetWriter(
+                fs_join(self.root, self.rel), dict_t.schema,
+                compression="zstd", filesystem=self.fs,
+            )
+            self._pw = pq.ParquetWriter(
+                fs_join(self.root, self.post_rel), post_t.schema,
+                compression="zstd", write_statistics=False,
+                filesystem=self.fs,
+            )
+        self._w.write_table(dict_t, row_group_size=self.dict_rg_size)
+        self._pw.write_table(post_t, row_group_size=POST_RG_SIZE)
+        self.salts.append(int(salt))
+        self.rows.append(table.num_rows)
+
+    def close(self) -> tuple[str, str, int]:
+        """Finish both files; returns (dict rel, post rel, bytes)."""
+        if self._w is None:
+            return self.rel, self.post_rel, 0
+        self._w.close()
+        self._pw.close()
+        size = sum(
+            fs_file_size(self.fs, fs_join(self.root, r))
+            for r in (self.rel, self.post_rel)
+        )
+        return self.rel, self.post_rel, size
 
 
 def write_shard_tables(
     table: pa.Table, fs, root: str, shard_salt: int,
-    dict_rg_size: int,
+    dict_rg_size: int, num_shards: int | None = None,
 ) -> tuple[str, str, int]:
-    """Write one logical shard as the dictionary/postings file pair;
-    returns (dict rel, post rel, total bytes)."""
-    dict_t, post_t = split_shard_table(table)
-    rel = shard_file_name(shard_salt)
-    post_rel = post_file_name(shard_salt)
-    pq.write_table(
-        dict_t, fs_join(root, rel), compression="zstd",
-        row_group_size=dict_rg_size, filesystem=fs,
-    )
-    pq.write_table(
-        post_t, fs_join(root, post_rel), compression="zstd",
-        row_group_size=POST_RG_SIZE, filesystem=fs,
-        write_statistics=False,
-    )
-    size = sum(
-        fs_file_size(fs, fs_join(root, r))
-        for r in (rel, post_rel)
-    )
-    return rel, post_rel, size
+    """Write ONE band as a complete shard file pair (single-band
+    convenience for tests/tools; ``shard_salt`` maps to its file by
+    ``% num_shards`` when given, else is used as the file id)."""
+    sid = shard_salt % num_shards if num_shards else shard_salt
+    w = ShardFileWriter(fs, root, sid, dict_rg_size)
+    w.append_band(shard_salt, table)
+    return w.close()
 
 
 SHARD_STATS_SCHEMA = pa.schema(
@@ -170,24 +305,51 @@ SHARD_STATS_SCHEMA = pa.schema(
 )
 
 
-def _footer_stats_rows(fs, root: str, salt: int) -> dict:
+def _footer_stats_rows(
+    fs, root: str, shard_id: int, num_shards: int, salt_doc_range: int
+) -> dict:
     """Per-row-group (rows, field min/max, term min/max) of one shard
-    file, read from its parquet footer — columns for one
-    SHARD_STATS_SCHEMA slice."""
+    FILE, split into its doc bands — SHARD_STATS_SCHEMA columns with
+    the ``rg`` index LOCAL to each band's salt (the per-band _Shard
+    view addresses row groups locally; its file-global base derives
+    from the ascending salt order within the file)."""
     from ..state.fs import open_parquet
 
-    md = open_parquet(fs, fs_join(root, shard_file_name(salt))).metadata
+    md = open_parquet(
+        fs, fs_join(root, shard_file_name(shard_id))
+    ).metadata
+    dict_names = [n for n in SHARD_SCHEMA.names if n not in POST_COLS]
+    dmin_ci = dict_names.index("doc_min")
     nrg = md.num_row_groups
     out = {
-        "salt": [salt] * nrg, "rg": list(range(nrg)), "rows": [],
+        "salt": [], "rg": [], "rows": [],
         "fmin": [], "fmax": [], "tmin": [], "tmax": [],
     }
     imin, imax = np.iinfo(np.int64).min, np.iinfo(np.int64).max
+    cur_salt, local = None, 0
     for i in range(nrg):
         rg = md.row_group(i)
+        dst = rg.column(dmin_ci).statistics
+        if dst is None or not dst.has_min_max:
+            raise ValueError(
+                f"shard {shard_id}: dict row group {i} lacks doc_min "
+                "stats (format v8 requires them for band spans)"
+            )
+        salt = (
+            int(dst.min) // salt_doc_range
+        ) * num_shards + shard_id
+        if cur_salt is not None and salt < cur_salt:
+            # monotonic clamp — see _file_band_spans: expunged indexes'
+            # renumbered docids may dip below a band boundary mid-file
+            salt = cur_salt
+        if salt != cur_salt:
+            cur_salt, local = salt, 0
+        out["salt"].append(salt)
+        out["rg"].append(local)
+        local += 1
         out["rows"].append(rg.num_rows)
-        fst = rg.column(0).statistics  # field (SHARD_SCHEMA col 0)
-        tst = rg.column(1).statistics  # term  (SHARD_SCHEMA col 1)
+        fst = rg.column(0).statistics  # field (dict col 0)
+        tst = rg.column(1).statistics  # term  (dict col 1)
         if fst is not None and fst.has_min_max:
             out["fmin"].append(int(fst.min))
             out["fmax"].append(int(fst.max))
@@ -204,17 +366,21 @@ def _footer_stats_rows(fs, root: str, salt: int) -> dict:
 
 
 class _ShardStatsTask:
-    """map_batches UDF: shard salts -> SHARD_STATS_SCHEMA rows (one
-    footer read per salt; distributed so a 100k-file index builds its
+    """map_batches UDF: shard FILE ids -> SHARD_STATS_SCHEMA rows (one
+    footer read per file; distributed so a 100k-file index builds its
     sidecar in one short fan-out)."""
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, num_shards: int,
+                 salt_doc_range: int):
         self.fs, self.root = resolve_fs(index_dir)
+        self.num_shards = num_shards
+        self.salt_doc_range = salt_doc_range
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         parts = [
-            _footer_stats_rows(self.fs, self.root, int(s))
-            for s in batch.column("salt").to_pylist()
+            _footer_stats_rows(self.fs, self.root, int(s),
+                               self.num_shards, self.salt_doc_range)
+            for s in batch.column("shard").to_pylist()
         ]
         cols = {
             name: sum((p[name] for p in parts), [])
@@ -224,25 +390,26 @@ class _ShardStatsTask:
 
 
 def write_shard_stats(
-    index_dir: str, salts: list[int], concurrency: int | None = None
+    index_dir: str, salts: list[int], num_shards: int,
+    salt_doc_range: int, concurrency: int | None = None,
 ) -> None:
     """Write the consolidated ``shards_stats.parquet`` sidecar: one
     small file holding every shard file's per-row-group (field, term)
-    min/max + row counts.  Readers load it in ONE read instead of
-    parsing N-thousand footers (the .tix term-index analogue,
-    c/src/index.c:2712-2770 — a sampled in-memory index over the
-    on-disk dictionaries).  Deterministic: rows sorted by (salt, rg),
-    derived from the (deterministic) shard files themselves."""
+    min/max + row counts, split per doc band.  Readers load it in ONE
+    read instead of parsing per-file footers (the .tix term-index
+    analogue, c/src/index.c:2712-2770 — a sampled in-memory index over
+    the on-disk dictionaries).  Deterministic: rows sorted by
+    (salt, rg), derived from the (deterministic) shard files."""
     fs, root = resolve_fs(index_dir)
-    salts = sorted(int(s) for s in salts)
-    if len(salts) > 2048:
+    shard_ids = sorted({int(s) % num_shards for s in salts})
+    if len(shard_ids) > 2048:
         import ray
 
         ds = ray.data.from_items(
-            [{"salt": s} for s in salts],
-            override_num_blocks=max(1, len(salts) // 256),
+            [{"shard": s} for s in shard_ids],
+            override_num_blocks=max(1, len(shard_ids) // 256),
         ).map_batches(
-            _ShardStatsTask(index_dir),
+            _ShardStatsTask(index_dir, num_shards, salt_doc_range),
             batch_size=256,
             batch_format="pyarrow",
             concurrency=concurrency,
@@ -252,20 +419,25 @@ def write_shard_stats(
              isinstance(b, pa.Table) else b for b in ds.iter_batches(
                  batch_size=None, batch_format="pyarrow")]
         )
-        t = t.sort_by([("salt", "ascending"), ("rg", "ascending")])
     else:
         from concurrent.futures import ThreadPoolExecutor
 
-        nthreads = min(16, max(1, len(salts)))
+        nthreads = min(16, max(1, len(shard_ids)))
         with ThreadPoolExecutor(nthreads) as ex:
             parts = list(
-                ex.map(lambda s: _footer_stats_rows(fs, root, s), salts)
+                ex.map(
+                    lambda s: _footer_stats_rows(
+                        fs, root, s, num_shards, salt_doc_range
+                    ),
+                    shard_ids,
+                )
             )
         cols = {
             name: sum((p[name] for p in parts), [])
             for name in SHARD_STATS_SCHEMA.names
         }
         t = pa.table(cols, schema=SHARD_STATS_SCHEMA)
+    t = t.sort_by([("salt", "ascending"), ("rg", "ascending")])
     pq.write_table(
         t, fs_join(root, "shards_stats.parquet"),
         compression="zstd", filesystem=fs,
@@ -608,7 +780,7 @@ def write_bucketed_segments(
     num_buckets = cfg.resolved_merge_buckets
     salts = seg_table.column("shard_salt").to_numpy()
     ranges = salts // cfg.num_shards
-    buckets = salts % num_buckets
+    buckets = bucket_of(salts, cfg.num_shards, num_buckets)
     order = np.lexsort((salts, ranges, buckets))
     sorted_tbl = seg_table.take(pa.array(order))
     sb = buckets[order]
@@ -718,73 +890,44 @@ def rebase_shard_rows(
     )
 
 
-class BucketMerger:
-    """map_batches UDF: one shuffle bucket -> all its shard files.
+class ShardMerger:
+    """map_batches UDF: one HASH SHARD -> its single shard file pair.
 
-    Reads ``segments/bucket={b}/*.parquet`` (this bucket's slice of every
-    invert task's output), merges per (salt-range, shard_salt) and writes
-    one shard parquet per shard_salt — each with its own resumable
-    checkpoint.  Files are processed one salt-range group at a time so a
-    task's working set is one (bucket x range) slice, independent of the
-    corpus size."""
+    Format v8: reads the shard's contiguous bucket-dir range
+    (``segments/bucket={shard*K .. shard*K+K-1}``), merges one doc band
+    (salt range) at a time in ascending band order, and streams each
+    band's merged rows into ONE dictionary/postings parquet pair as
+    its own run of row groups.  A task's working set stays one band's
+    slice (independent of corpus size), while readers get O(num_shards)
+    files instead of O(num_shards x bands) — the per-file footer/open
+    cost was the cold wide-expansion tail (VERDICT r4 #3: 2,560 files
+    at 20M docs cost ~29 s first-touch; v8 keeps it at 2 files per
+    hash shard)."""
 
     def __init__(
         self, index_dir: str, input_fp: str,
         shards_rg_size: int = 1024,
+        num_shards: int = 0, num_buckets: int = 0,
     ):
         self.index_dir = index_dir
         self.fs, self.root = resolve_fs(index_dir)
         self.input_fp = input_fp
         self.shards_rg_size = shards_rg_size
+        self.num_shards = num_shards
+        self.num_buckets = num_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         tables = [
-            self._merge_bucket(int(b))
-            for b in batch.column("bucket").to_pylist()
+            self._merge_shard(int(s))
+            for s in batch.column("shard").to_pylist()
         ]
         tables = [t for t in tables if t is not None]
         if not tables:
             return _METRICS_SCHEMA.empty_table()
         return pa.concat_tables(tables)
 
-    def _merge_bucket(self, bucket: int) -> pa.Table | None:
-        bdir = fs_join(self.root, f"segments/bucket={bucket:04d}")
-        names = [
-            n for n in fs_listdir(self.fs, bdir)
-            if n.endswith(".parquet")
-        ]
-        if not names:
-            return None
-        rows: list[pa.Table] = []
-        from itertools import groupby as _groupby
-
-        # names sort as rng{range:06d}-seg-{group:06d}: grouping by the
-        # 9-char prefix batches one salt range at a time
-        for _rng, grp in _groupby(names, key=lambda n: n[:9]):
-            t = pa.concat_tables(
-                [
-                    pq.read_table(fs_join(bdir, n), filesystem=self.fs)
-                    for n in grp
-                ],
-                promote_options="default",
-            )
-            if t.num_rows == 0:
-                continue
-            mg = _MergedGroups(t)
-            salts = mg.salt
-            uniq, starts = np.unique(salts, return_index=True)
-            ends = np.append(starts[1:], mg.num_runs)
-            for salt, i, j in zip(
-                uniq.tolist(), starts.tolist(), ends.tolist()
-            ):
-                rows.append(self._write_shard(mg, int(salt), int(i), int(j)))
-        return pa.concat_tables(rows) if rows else None
-
-    def _write_shard(
-        self, mg: "_MergedGroups", shard_salt: int, i: int, j: int
-    ) -> pa.Table:
-        key = f"{shard_salt:08d}"
-        rel = shard_file_name(shard_salt)
+    def _merge_shard(self, shard: int) -> pa.Table | None:
+        key = f"{shard:08d}"
         if checkpoint_done(self.index_dir, "shard", key, self.input_fp):
             from ..state.manifest import checkpoint_path, read_json
 
@@ -792,19 +935,87 @@ class BucketMerger:
                 checkpoint_path(self.index_dir, "shard", key)
             ) or {}
             m = rec.get("metrics", {})
-            return _metrics(
-                shard_salt, m.get("num_terms", 0),
-                m.get("num_postings", 0), 0, True,
-            )
+            rows = [
+                _metrics(int(s), int(nt), int(np_), 0, True)
+                for s, nt, np_ in zip(
+                    m.get("salts", ()), m.get("num_terms", ()),
+                    m.get("num_postings", ()),
+                )
+            ]
+            return pa.concat_tables(rows) if rows else None
 
+        # (band -> [(dir, file), ...]) across this shard's bucket dirs;
+        # names sort as rng{range:06d}-seg-{group:06d}
+        by_band: dict[str, list[tuple[str, str]]] = {}
+        for b in band_buckets_of_shard(
+            shard, self.num_shards, self.num_buckets
+        ):
+            bdir = fs_join(self.root, f"segments/bucket={b:04d}")
+            for n in fs_listdir(self.fs, bdir):
+                if n.endswith(".parquet"):
+                    by_band.setdefault(n[:9], []).append((bdir, n))
+        if not by_band:
+            return None
+        fs_makedirs(self.fs, fs_join(self.root, "shards"))
+        writer = ShardFileWriter(
+            self.fs, self.root, shard, self.shards_rg_size
+        )
+        out_rows: list[pa.Table] = []
+        salts_w: list[int] = []
+        terms_w: list[int] = []
+        posts_w: list[int] = []
+        for band in sorted(by_band):
+            files = sorted(by_band[band], key=lambda p: p[1])
+            t = pa.concat_tables(
+                [
+                    pq.read_table(fs_join(d, n), filesystem=self.fs)
+                    for d, n in files
+                ],
+                promote_options="default",
+            )
+            if t.num_rows == 0:
+                continue
+            mg = _MergedGroups(t)
+            salts = mg.salt
+            uniq = np.unique(salts)
+            assert uniq.size == 1 and int(uniq[0]) % self.num_shards \
+                == shard, f"bucket mix-up: salts {uniq} in shard {shard}"
+            salt = int(uniq[0])
+            writer.append_band(
+                salt, self._band_table(mg, 0, mg.num_runs)
+            )
+            salts_w.append(salt)
+            terms_w.append(mg.num_runs)
+            posts_w.append(int(mg.df.sum()))
+        rel, post_rel, size = writer.close()
+        if not salts_w:
+            return None
+        write_checkpoint(
+            self.index_dir, "shard", key, self.input_fp,
+            [rel, post_rel],
+            {"salts": salts_w, "num_terms": terms_w,
+             "num_postings": posts_w},
+        )
+        for k, (salt, nt, np_) in enumerate(
+            zip(salts_w, terms_w, posts_w)
+        ):
+            # file bytes attributed to the first band's row: per-salt
+            # byte split isn't tracked, sums stay exact
+            out_rows.append(
+                _metrics(salt, nt, np_, size if k == 0 else 0, False)
+            )
+        return pa.concat_tables(out_rows)
+
+    def _band_table(
+        self, mg: "_MergedGroups", i: int, j: int
+    ) -> pa.Table:
         n = j - i
         df = mg.df[i:j]
         # skip + block-max only where postings are long enough (the
         # reference likewise only writes skip data every SKIP_INTERVAL
         # docs) — batched over the whole slice, no per-term Python
         skip_col, bmax_col = _skip_blockmax_cols(mg, i, j)
-
-        table = pa.table(
+        return pa.table(
             {
                 "field": pa.array(mg.field[i:j].astype(np.int32),
                                   type=pa.int32()),
@@ -824,20 +1035,6 @@ class BucketMerger:
             },
             schema=SHARD_SCHEMA,
         )
-        fs_makedirs(self.fs, fs_join(self.root, "shards"))
-        # dictionary/postings file pair: large dict row groups for scan
-        # + footer-stat pruning, tiny stat-less postings row groups to
-        # bound blob range-read amplification (one rg ~ one .frq seek)
-        rel, post_rel, size = write_shard_tables(
-            table, self.fs, self.root, shard_salt, self.shards_rg_size
-        )
-        total_postings = int(df.sum())
-        write_checkpoint(
-            self.index_dir, "shard", key, self.input_fp,
-            [rel, post_rel],
-            {"num_terms": n, "num_postings": total_postings},
-        )
-        return _metrics(shard_salt, n, total_postings, size, False)
 
 
 def _skip_blockmax_cols(

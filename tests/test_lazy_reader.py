@@ -33,14 +33,14 @@ def test_dictionary_only_open(code_index):
     # doc_freq touches only the dictionary: no blob row-groups fetched
     assert r.doc_freq("content", "tok1") > 0
     assert r.doc_freq("content", "int") > 0
-    for sh in r._shards.values():
-        assert len(sh._rg_cache) == 0, "doc_freq must not fetch blobs"
+    for f in r._files.values():
+        assert len(f._rg_cache) == 0, "doc_freq must not fetch blobs"
 
     # postings() fetches blobs, bounded by the LRU cap
     p = r.postings("content", "tok1")
     assert p is not None and p.docs.size == r.doc_freq("content", "tok1")
-    for sh in r._shards.values():
-        assert len(sh._rg_cache) <= sh._rg_cap
+    for f in r._files.values():
+        assert len(f._rg_cache) <= f._rg_cap
 
 
 def test_lazy_matches_full_decode(code_index):
@@ -48,14 +48,23 @@ def test_lazy_matches_full_decode(code_index):
     import numpy as np
 
     from ferret_ray.search.reader import IndexReader
-    from ferret_ray.stages.merge import read_shard_table
     from ferret_ray.state.fs import resolve_fs
 
     r = IndexReader(code_index)
     salt = r.manifest["shards"][0]
     sh = r._shard_for(salt)
     fs, root = resolve_fs(code_index)
-    full = read_shard_table(fs, root, f"shards/shard-{salt:08d}.parquet")
+    cfg = r.manifest["config"]
+    # the logical table of THIS band (v8: one file per hash shard,
+    # bands inside) — iter_shard_bands yields per-band tables
+    from ferret_ray.stages.merge import iter_shard_bands
+
+    full = dict(
+        iter_shard_bands(
+            fs, root, salt % r.num_shards, r.num_shards,
+            int(cfg["salt_doc_range"]),
+        )
+    )[salt]
     n = full.num_rows
     for i in [0, 1, n // 2, n - 1]:
         deltas, freqs = sh.postings_row(i)
@@ -135,13 +144,18 @@ def test_stats_sidecar_written_and_loaded(code_index):
     # a stats-backed shard opens NO file handle until data is read
     salt = r.manifest["shards"][0]
     sh = r._shard_for(salt)
-    assert sh._pf_obj is None
+    assert sh._file._pf_obj is None
     assert r.doc_freq("content", "tok1") > 0  # triggers dict reads
-    # row counts in the sidecar match the real footer
+    # per-band row counts in the sidecar sum to the real footer total
+    sid = salt % r.num_shards
     full = pq.ParquetFile(
-        os.path.join(code_index, f"shards/shard-{salt:08d}.parquet")
+        os.path.join(code_index, f"shards/shard-{sid:08d}.parquet")
     )
-    assert int(sh._rg_off[-1]) == full.metadata.num_rows
+    band_rows = sum(
+        int(r._shard_stats[s][0].sum()) for s in r.manifest["shards"]
+        if s % r.num_shards == sid
+    )
+    assert band_rows == full.metadata.num_rows
 
 
 def test_sidecar_reader_matches_footer_reader(code_index):
@@ -154,6 +168,8 @@ def test_sidecar_reader_matches_footer_reader(code_index):
     r_foot = IndexReader(code_index)
     r_foot._shard_stats = {}
     r_foot._shards = {}
+    r_foot._salt_spans = {}
+    r_foot._files = {}
 
     for field, term in [("content", "tok1"), ("content", "int"),
                         ("content", "zzz_absent")]:
@@ -187,7 +203,10 @@ def test_write_shard_stats_deterministic(code_index, tmp_path):
     m = read_manifest(code_index)
     dup = str(tmp_path / "dup")
     shutil.copytree(code_index, dup)
-    write_shard_stats(dup, m["shards"])
+    write_shard_stats(
+        dup, m["shards"], int(m["config"]["num_shards"]),
+        int(m["config"]["salt_doc_range"]),
+    )
     a = open(os.path.join(code_index, "shards_stats.parquet"), "rb").read()
     b = open(os.path.join(dup, "shards_stats.parquet"), "rb").read()
     assert a == b

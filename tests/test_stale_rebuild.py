@@ -1,6 +1,6 @@
 """Rebuilding into an existing index dir with a changed fingerprint
 must not merge the previous build's leftover segment files (ADVICE r2:
-BucketMerger merges every file it finds in a bucket dir)."""
+ShardMerger merges every file it finds in a bucket dir)."""
 
 import hashlib
 import os
