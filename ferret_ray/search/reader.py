@@ -138,6 +138,11 @@ def _bisect_terms(terms, x: str, lo: int, hi: int, right: bool = False):
     return lo
 
 
+import os as _os
+
+_INNER_THREADS = _os.environ.get("FERRET_INNER_THREADS", "0") == "1"
+
+
 class _ShardFile:
     """One hash shard's physical file pair (format v8: ONE dictionary
     parquet + ONE postings parquet per hash shard; each doc band is a
@@ -185,16 +190,27 @@ class _ShardFile:
         return pf
 
     def read_dict_rgs(self, rgs: list[int], columns: list[str]):
+        # use_threads=False everywhere on shard row groups: the groups
+        # are small, Arrow's inner pool gains nothing single-call
+        # (measured 0.130 vs 0.132 s on a 740-group read) and LOSES 8x
+        # under the reader's own outer threading (16 concurrent calls:
+        # 5.4 s inner-on vs 0.64 s inner-off — pool oversubscription)
         if len(rgs) == 1:
-            return self.pf.read_row_group(rgs[0], columns=columns)
-        return self.pf.read_row_groups(rgs, columns=columns)
+            return self.pf.read_row_group(
+                rgs[0], columns=columns, use_threads=_INNER_THREADS
+            )
+        return self.pf.read_row_groups(
+            rgs, columns=columns, use_threads=_INNER_THREADS
+        )
 
     def post_rg_table(self, rg: int, cols: tuple[str, ...]):
         """Cached two-column postings row-group read (global rg)."""
         key = (rg, cols[0])
         tbl = self._rg_cache.get(key)
         if tbl is None:
-            tbl = self.pf_post.read_row_group(rg, columns=list(cols))
+            tbl = self.pf_post.read_row_group(
+                rg, columns=list(cols), use_threads=_INNER_THREADS
+            )
             self._rg_cache[key] = tbl
             if len(self._rg_cache) > self._rg_cap:
                 self._rg_cache.popitem(last=False)
@@ -202,32 +218,51 @@ class _ShardFile:
             self._rg_cache.move_to_end(key)
         return tbl
 
-    def load_post_rgs(
+    def missing_post_rgs(
         self, pairs: list[tuple[int, int]], cols: tuple[str, ...]
-    ) -> None:
-        """Bulk-load postings row groups in ONE parquet read call —
-        ``pairs`` is sorted (global rg, row count).  The combined table
-        is sliced back per group (zero-copy) and cached; the cap grows
-        to hold the whole batch so the decode pass that follows never
-        re-reads what this call just loaded."""
-        missing = [
+    ) -> list[tuple[int, int]]:
+        return [
             (rg, n) for rg, n in pairs
             if (rg, cols[0]) not in self._rg_cache
         ]
-        if not missing:
-            return
-        if len(missing) == 1:
-            self.post_rg_table(missing[0][0], cols)
-            return
-        tbl = self.pf_post.read_row_groups(
-            [rg for rg, _ in missing], columns=list(cols)
+
+    def read_post_rgs(self, missing: list[tuple[int, int]],
+                      cols: tuple[str, ...]):
+        """Pure bulk read (GIL-free in Arrow C++) of the given (global
+        rg, rows) pairs — threading-friendly half of the loader."""
+        return self.pf_post.read_row_groups(
+            [rg for rg, _ in missing], columns=list(cols),
+            use_threads=_INNER_THREADS,
         )
+
+    def install_post_rgs(self, missing: list[tuple[int, int]],
+                         cols: tuple[str, ...], tbl) -> None:
+        """Slice a bulk-read table back per row group (zero-copy) into
+        the cache — the Python half, run OUTSIDE the thread pool (11k
+        tbl.slice calls inside threads just churn the GIL).  The cap
+        grows to hold the whole batch so the decode pass that follows
+        never re-reads what was just loaded."""
         if len(self._rg_cache) + len(missing) > self._rg_cap:
             self._rg_cap = len(self._rg_cache) + len(missing)
         off = 0
         for rg, n in missing:
             self._rg_cache[(rg, cols[0])] = tbl.slice(off, n)
             off += n
+
+    def load_post_rgs(
+        self, pairs: list[tuple[int, int]], cols: tuple[str, ...]
+    ) -> None:
+        """Bulk-load postings row groups in ONE parquet read call —
+        ``pairs`` is sorted (global rg, row count)."""
+        missing = self.missing_post_rgs(pairs, cols)
+        if not missing:
+            return
+        if len(missing) == 1:
+            self.post_rg_table(missing[0][0], cols)
+            return
+        self.install_post_rgs(
+            missing, cols, self.read_post_rgs(missing, cols)
+        )
 
 
 class _Shard:
@@ -917,7 +952,10 @@ class IndexReader:
             return
         # group per physical FILE (format v8: one file per hash shard,
         # many band views per file): ONE read_row_groups call per file
-        # covering every requested band's groups
+        # covering every requested band's groups.  Reads run in threads
+        # (GIL-free in Arrow C++); the Python slicing/conversion pass
+        # runs AFTER on the main thread — doing it inside the pool just
+        # serializes on the GIL while adding lock churn.
         by_file: dict[int, tuple] = {}
         for sh, rg in jobs:
             f = sh._file
@@ -925,30 +963,49 @@ class IndexReader:
                 (sh._dict_rg_base + rg, sh, rg)
             )
         per_file = list(by_file.values())
+        for _f, triples in per_file:
+            triples.sort(key=lambda x: x[0])
+        tables: dict[int, object] = {}
 
-        def _load(chunk):
+        def _read(chunk):
             for f, triples in chunk:
-                triples.sort(key=lambda x: x[0])
-                grgs = [g for g, _, _ in triples]
-                t = f.read_dict_rgs(grgs, _Shard.DICT_COLS)
-                off = 0
-                for g, sh, rg in triples:
-                    n = int(sh._rg_off[rg + 1] - sh._rg_off[rg])
-                    if rg not in sh._dict_rgs:
-                        sh._dict_rgs[rg] = sh._dict_tuple(
-                            t.slice(off, n)
-                        )
-                    off += n
+                tables[id(f)] = f.read_dict_rgs(
+                    [g for g, _, _ in triples], _Shard.DICT_COLS
+                )
 
         if len(per_file) == 1:
-            _load(per_file)
-            return
-        from concurrent.futures import ThreadPoolExecutor
+            _read(per_file)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
 
-        nthreads = min(32, len(per_file))
-        chunks = [per_file[i::nthreads] for i in range(nthreads)]
-        with ThreadPoolExecutor(nthreads) as ex:
-            list(ex.map(_load, chunks))
+            nthreads = min(32, len(per_file))
+            chunks = [per_file[i::nthreads] for i in range(nthreads)]
+            with ThreadPoolExecutor(nthreads) as ex:
+                list(ex.map(_read, chunks))
+        for f, triples in per_file:
+            t = tables[id(f)]
+            # whole-table numpy views once, then free per-rg slices
+            fields = t.column("field").to_numpy(zero_copy_only=False)
+            dfv = t.column("df").to_numpy(zero_copy_only=False)
+            tfv = t.column("tf_sum").to_numpy(zero_copy_only=False)
+            terms = t.column("term")
+            chunk_per_rg = terms.num_chunks == len(triples)
+            if not chunk_per_rg:
+                terms = terms.combine_chunks()
+            off = 0
+            for k, (_g, sh, rg) in enumerate(triples):
+                n = int(sh._rg_off[rg + 1] - sh._rg_off[rg])
+                if rg not in sh._dict_rgs:
+                    tslice = (
+                        terms.chunk(k)
+                        if chunk_per_rg and len(terms.chunk(k)) == n
+                        else terms.slice(off, n)
+                    )
+                    sh._dict_rgs[rg] = (
+                        fields[off: off + n], tslice,
+                        dfv[off: off + n], tfv[off: off + n],
+                    )
+                off += n
 
     def _prefetch_dict(self, fn: int, lo: str, hi: str | None,
                        hi_inclusive: bool = False) -> None:
@@ -1114,21 +1171,32 @@ class IndexReader:
         per_file = [
             (f, sorted(set(prs))) for f, prs in by_file.values()
         ]
+        _CG = ("docs_list", "freqs_list")
         if len(per_file) > 1:
-            # threaded: the parquet row-group reads release the GIL
+            # threaded PURE reads (GIL-free in Arrow C++); the Python
+            # slice-install pass runs after, on the main thread
             from concurrent.futures import ThreadPoolExecutor
 
-            def _preload(items):
-                for f, prs in items:
-                    f.load_post_rgs(prs, ("docs_list", "freqs_list"))
+            read_jobs = [
+                (f, f.missing_post_rgs(prs, _CG)) for f, prs in per_file
+            ]
+            read_jobs = [(f, m) for f, m in read_jobs if m]
+            tbls: dict[int, object] = {}
 
-            nthreads = min(32, len(per_file))
-            chunks = [per_file[i::nthreads] for i in range(nthreads)]
-            with ThreadPoolExecutor(nthreads) as ex:
-                list(ex.map(_preload, chunks))
+            def _preload(items):
+                for f, m in items:
+                    tbls[id(f)] = f.read_post_rgs(m, _CG)
+
+            nthreads = min(32, len(read_jobs))
+            chunks = [read_jobs[i::nthreads] for i in range(nthreads)]
+            if chunks:
+                with ThreadPoolExecutor(nthreads) as ex:
+                    list(ex.map(_preload, chunks))
+            for f, m in read_jobs:
+                f.install_post_rgs(m, _CG, tbls[id(f)])
         else:
             for f, prs in per_file:
-                f.load_post_rgs(prs, ("docs_list", "freqs_list"))
+                f.load_post_rgs(prs, _CG)
         gathered: dict[int, list] = {}
         for sh, rws in sh_rows:
             gathered[id(sh)] = sh.gather_postings(rws)
@@ -1140,35 +1208,66 @@ class IndexReader:
         # (hugepage-backed output for large rows, state/arena.py)
         from ..state.arena import hp_empty
 
-        seg: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
-        for sh, rws in sh_rows:
-            sid = id(sh)
-            for ri, (deltas, freqs) in zip(rws, gathered[sid]):
-                d = hp_empty(deltas.size, np.int64)
-                np.cumsum(deltas, dtype=np.int64, out=d)
-                seg[(sid, int(ri))] = (d, freqs)
+        # ---- one GLOBAL vectorized delta decode ----------------------
+        # Gather every matched row's (delta, freq) views grouped by
+        # term, concatenate once, and decode all absolute doc ids in
+        # THREE array passes (cumsum + repeat + subtract) instead of
+        # one cumsum + one hugepage alloc per dictionary row (a 11k-term
+        # expansion paid ~16k numpy calls here; at 73.6M postings that
+        # was seconds of pure call overhead).  Per-term Postings then
+        # hold zero-copy slices of the two global arrays.
+        view_of = {
+            (id(sh), int(ri)): view
+            for sh, rws in sh_rows
+            for ri, view in zip(rws, gathered[id(sh)])
+        }
+        term_list = list(parts.items())
+        delta_views: list[np.ndarray] = []
+        freq_views: list[np.ndarray] = []
+        row_lens: list[int] = []
+        term_rows: list[int] = []   # rows per term (for prx metadata)
+        for t, rows in term_list:
+            term_rows.append(len(rows))
+            for sh, ri in rows:
+                dview, fview = view_of[(id(sh), int(ri))]
+                delta_views.append(dview)
+                freq_views.append(fview)
+                row_lens.append(dview.size)
+        lens = np.asarray(row_lens, dtype=np.int64)
+        bounds = np.concatenate(([0], np.cumsum(lens)))
+        total = int(bounds[-1])
+        all_docs = hp_empty(total, np.int64)
+        all_freqs = hp_empty(total, np.int32)
+        off = 0
+        for dv, fv in zip(delta_views, freq_views):
+            n = dv.size
+            all_docs[off: off + n] = dv
+            all_freqs[off: off + n] = fv
+            off += n
+        # absolute ids: global cumsum, then cancel the carry-over at
+        # each row start (every row's first value is already absolute)
+        np.cumsum(all_docs, out=all_docs)
+        if lens.size > 1:
+            corr = all_docs[bounds[1:-1] - 1]
+            all_docs[bounds[1]:] -= np.repeat(corr, lens[1:])
         if _dbg:
             print(f"  decode+seg: {_t.perf_counter()-_t0:.2f}s")
         _t0 = _t.perf_counter()
-        for t, rows in parts.items():
-            docs_l, freqs_l, prx_parts = [], [], []
-            for sh, ri in rows:
-                d, f = seg[(id(sh), ri)]
-                docs_l.append(d)
-                freqs_l.append(f)
-                # deferred position blobs — fetched only if a caller
-                # actually decodes positions
-                prx_parts.append(
-                    (
-                        (sh.prx_enc, ri),
-                        (sh.prx_lens_enc, ri),
-                        d.size,
-                    )
+        row_i = 0
+        for (t, rows), nrows in zip(term_list, term_rows):
+            a = int(bounds[row_i])
+            b = int(bounds[row_i + nrows])
+            prx_parts = [
+                (
+                    (sh.prx_enc, ri),
+                    (sh.prx_lens_enc, ri),
+                    int(lens[row_i + k]),
                 )
+                for k, (sh, ri) in enumerate(rows)
+            ]
+            row_i += nrows
             out[t] = Postings(
-                np.concatenate(docs_l),
-                np.concatenate(freqs_l),
-                prx_parts,
+                all_docs[a:b], all_freqs[a:b], prx_parts,
             )
         return out
 
