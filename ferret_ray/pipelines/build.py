@@ -33,6 +33,7 @@ from ..sources.fragments import list_fragments
 from ..stages.invert import InvertFragment
 from ..state.fs import (
     fs_exists,
+    fs_listdir,
     fs_makedirs,
     fs_read_json,
     fs_rmtree,
@@ -60,6 +61,54 @@ def _clear_stale_build(index_dir: str, build_fp: str) -> None:
                 fs_rmtree(fs, p)
     if rec is None or rec.get("fingerprint") != build_fp:
         fs_write_json_atomic(fs, marker, {"fingerprint": build_fp})
+
+
+def _repair_gc_orphans(index_dir: str, build_fp: str) -> None:
+    """Self-heal the one state streaming segment-GC cannot resume from:
+    a shard checkpoint whose OUTPUT files are lost after its segment
+    inputs were GC'd (e.g. a shard file deleted by hand, a partial
+    storage loss).  Re-merging needs the segments back, and segments
+    come from invert — so drop every segGC marker and the broken shard
+    checkpoints: invert fragment verification then fails on the missing
+    segment files and regenerates them byte-identically (docids are
+    pure functions of (fragment, row)), after which the broken shards
+    re-merge and healthy shards skip on their checkpoints.  No markers
+    or no broken shards -> no-op (the normal resume fast path)."""
+    fs, root = resolve_fs(index_dir)
+    ck = fs_join(root, "checkpoints")
+    if not fs_exists(fs, ck):
+        return
+    names = fs_listdir(fs, ck)
+    markers = [n for n in names if n.startswith("segGC-")]
+    if not markers:
+        return
+    from ..state.fs import fs_delete_file
+
+    broken = []
+    ck_shards: set[int] = set()
+    for n in names:
+        if not n.startswith("shard-") or not n.endswith(".json"):
+            continue
+        rec = fs_read_json(fs, fs_join(ck, n))
+        if not rec or rec.get("fingerprint") != build_fp:
+            continue
+        ck_shards.add(int(n[len("shard-"):-len(".json")]))
+        if any(
+            not fs_exists(fs, fs_join(root, o))
+            for o in rec.get("outputs", [])
+        ):
+            broken.append(n)
+    # a marker whose shard has NO checkpoint at all (partial storage
+    # loss) is equally unrecoverable without re-invert
+    orphaned = any(
+        (fs_read_json(fs, fs_join(ck, m)) or {}).get("shard")
+        not in ck_shards
+        for m in markers
+    )
+    if not broken and not orphaned:
+        return
+    for n in broken + markers:
+        fs_delete_file(fs, fs_join(ck, n))
 
 
 def gc_build_intermediates(index_dir: str) -> int:
@@ -202,6 +251,7 @@ def build_index(
     _fs, _root = resolve_fs(index_dir)
     fs_makedirs(_fs, _root)
     _clear_stale_build(index_dir, build_fp)
+    _repair_gc_orphans(index_dir, build_fp)
 
     # ---- phase 1: tokenize + invert, one task per fragment GROUP --------
     # deterministic grouping (split at salt-range boundaries) => resumable
@@ -237,7 +287,8 @@ def build_index(
     )
     shard_ds = bucket_ds.map_batches(
         ShardMerger(index_dir, build_fp, cfg.shards_row_group_size,
-                    cfg.num_shards, num_buckets),
+                    cfg.num_shards, num_buckets,
+                    gc_segments=cfg.gc_segments_during_merge),
         batch_size=1,
         batch_format="pyarrow",
         num_cpus=cfg.merge_num_cpus,

@@ -99,6 +99,16 @@ class IndexConfig:
     # CPUs reserved per merge (bucket) task — same knob for the merge
     # stage; >1 caps concurrency for bandwidth-emulation measurements
     merge_num_cpus: float = 1.0
+    # Each merge task deletes its own shard's segment bucket dirs right
+    # after writing that shard's durable checkpoint: peak disk drops
+    # from O(segments + shards) to O(segments) because a shard's
+    # intermediates are released the moment its output is committed
+    # (measured: the 50M-doc soak's 31 GB of segments coexisted with
+    # 19 GB of shards and bottomed the disk at 3.6 GB free).  Safe for
+    # resume — a checkpoint-done shard never re-reads its segments —
+    # and execution-only, so it is excluded from the build fingerprint
+    # like the *_num_cpus knobs.
+    gc_segments_during_merge: bool = True
     # parquet row-group size of the stored-docs parts: the unit of
     # point access for get_doc/highlight (FieldsReader .fdx analogue).
     # Smaller = finer fetches for doc display, larger = better scans.

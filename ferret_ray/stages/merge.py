@@ -908,6 +908,7 @@ class ShardMerger:
         self, index_dir: str, input_fp: str,
         shards_rg_size: int = 1024,
         num_shards: int = 0, num_buckets: int = 0,
+        gc_segments: bool = False,
     ):
         self.index_dir = index_dir
         self.fs, self.root = resolve_fs(index_dir)
@@ -915,6 +916,33 @@ class ShardMerger:
         self.shards_rg_size = shards_rg_size
         self.num_shards = num_shards
         self.num_buckets = num_buckets
+        self.gc_segments = gc_segments
+
+    def _gc_shard_segments(self, shard: int) -> None:
+        """Release this shard's segment bucket dirs (exclusively owned:
+        bucket_of keys dirs shard*K..shard*K+K-1) once the shard's
+        checkpoint + output files are durable.
+
+        A segGC marker is written (atomic) BEFORE each dir is deleted so
+        invert fragment checkpoints still verify on resume: a missing
+        segment output whose bucket carries a marker counts as done
+        (state/manifest.py:_gc_covers) — a mid-merge kill therefore
+        resumes without re-inverting anything.  The one path that NEEDS
+        the deleted bytes back — a shard output lost after its segments
+        were GC'd — is repaired by the driver pre-merge
+        (build.py:_repair_gc_orphans drops the markers, forcing a
+        byte-identical re-invert).  Missing dirs are ignored."""
+        from ..state.fs import fs_rmtree
+        from ..state.manifest import atomic_write_json, seg_gc_marker_path
+
+        for b in band_buckets_of_shard(
+            shard, self.num_shards, self.num_buckets
+        ):
+            atomic_write_json(
+                seg_gc_marker_path(self.index_dir, b),
+                {"fingerprint": self.input_fp, "shard": shard},
+            )
+            fs_rmtree(self.fs, fs_join(self.root, f"segments/bucket={b:04d}"))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         tables = [
@@ -931,6 +959,9 @@ class ShardMerger:
         if checkpoint_done(self.index_dir, "shard", key, self.input_fp):
             from ..state.manifest import checkpoint_path, read_json
 
+            if self.gc_segments:
+                # resume after a kill between checkpoint and GC
+                self._gc_shard_segments(shard)
             rec = read_json(
                 checkpoint_path(self.index_dir, "shard", key)
             ) or {}
@@ -955,6 +986,21 @@ class ShardMerger:
                 if n.endswith(".parquet"):
                     by_band.setdefault(n[:9], []).append((bdir, n))
         if not by_band:
+            if self.gc_segments:
+                from ..state.manifest import read_json, seg_gc_marker_path
+
+                first = next(iter(band_buckets_of_shard(
+                    shard, self.num_shards, self.num_buckets
+                )), None)
+                if first is not None and read_json(
+                    seg_gc_marker_path(self.index_dir, first)
+                ) is not None:
+                    raise RuntimeError(
+                        f"shard {shard}: segments were GC'd but no merge "
+                        f"checkpoint survives — run build_index (its "
+                        f"_repair_gc_orphans pass re-inverts) instead of "
+                        f"calling ShardMerger directly"
+                    )
             return None
         fs_makedirs(self.fs, fs_join(self.root, "shards"))
         writer = ShardFileWriter(
@@ -996,6 +1042,8 @@ class ShardMerger:
             {"salts": salts_w, "num_terms": terms_w,
              "num_postings": posts_w},
         )
+        if self.gc_segments:
+            self._gc_shard_segments(shard)
         for k, (salt, nt, np_) in enumerate(
             zip(salts_w, terms_w, posts_w)
         ):

@@ -122,6 +122,13 @@ def fs_rmtree(fs: pafs.FileSystem, path: str) -> None:
         pass
 
 
+def fs_delete_file(fs: pafs.FileSystem, path: str) -> None:
+    try:
+        fs.delete_file(path)
+    except (FileNotFoundError, OSError):
+        pass
+
+
 def open_parquet(fs: pafs.FileSystem, path: str):
     """pq.ParquetFile over any filesystem (range-read capable).
 

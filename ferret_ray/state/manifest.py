@@ -40,6 +40,29 @@ def checkpoint_path(index_dir: str, kind: str, key: str) -> str:
     return join(index_dir, "checkpoints", f"{kind}-{key}.json")
 
 
+def seg_gc_marker_path(index_dir: str, bucket: int) -> str:
+    """Marker recording that a segment bucket dir was GC'd after its
+    hash shard's merge checkpoint became durable (streaming-disk mode,
+    ``IndexConfig.gc_segments_during_merge``)."""
+    return join(index_dir, "checkpoints", f"segGC-{bucket:04d}.json")
+
+
+def _gc_covers(fs, root: str, out: str, cache: dict) -> bool:
+    """A missing output under ``segments/bucket=NNNN/`` still counts as
+    done when bucket NNNN carries a segGC marker: the files were merged
+    into their shard pair and deliberately released.  Stale markers
+    cannot survive a fingerprint change (_clear_stale_build wipes the
+    checkpoints dir wholesale)."""
+    if not out.startswith("segments/bucket="):
+        return False
+    bucket = out[len("segments/bucket="):].split("/", 1)[0]
+    if bucket not in cache:
+        cache[bucket] = fs_exists(
+            fs, join(root, "checkpoints", f"segGC-{bucket}.json")
+        )
+    return cache[bucket]
+
+
 def checkpoint_done(
     index_dir: str, kind: str, key: str, fingerprint: str
 ) -> bool:
@@ -50,8 +73,11 @@ def checkpoint_done(
     )
     if not rec or rec.get("fingerprint") != fingerprint:
         return False
+    gc_cache: dict = {}
     for out in rec.get("outputs", []):
         if not fs_exists(fs, join(root, out)):
+            if _gc_covers(fs, root, out, gc_cache):
+                continue
             return False
     return True
 

@@ -37,9 +37,13 @@ def _build(corpus_path, index_dir):
     from ferret_ray.pipelines.build import build_index
     from ferret_ray.schema import source_code_config
 
-    return build_index(corpus_path, index_dir, source_code_config(
-        num_shards=4
-    ))
+    cfg = source_code_config(num_shards=4)
+    # keep segments: this file pins the keep-intermediates semantics
+    # (any lost output regenerates with everything else SKIPPED).  With
+    # the default streaming GC a lost shard output instead self-heals
+    # via full re-invert — that path is pinned in test_gc_segments.py.
+    cfg.gc_segments_during_merge = False
+    return build_index(corpus_path, index_dir, cfg)
 
 
 def test_resume_and_determinism(ray_session, corpus_path, tmp_path):
