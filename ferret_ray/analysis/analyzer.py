@@ -829,14 +829,26 @@ class Analyzer:
         # first-appearance-in-batch order (the persistent table's id
         # order depends on which batches this worker saw earlier)
         if tids.size:
-            uniq_g, first_idx, inv = np.unique(
-                tids, return_index=True, return_inverse=True
+            # O(n) scatter instead of np.unique's O(n log n) sort over
+            # the token stream: ids are bounded by the (small) vocab, so
+            # a REVERSED scatter leaves each id's earliest position
+            # (last write wins), then only the vocab-sized array sorts
+            n_tok_out = tids.size
+            vocab_n = len(terms_pa)
+            first_pos = np.full(vocab_n, -1, dtype=np.int64)
+            first_pos[tids[::-1]] = np.arange(
+                n_tok_out - 1, -1, -1, dtype=np.int64
             )
-            order = np.argsort(first_idx, kind="stable")
-            rank = np.empty(order.size, dtype=np.int32)
-            rank[order] = np.arange(order.size, dtype=np.int32)
-            tids = rank[inv]
-            term_table = pc.take(terms_pa, pa.array(uniq_g[order]))
+            present = np.flatnonzero(first_pos >= 0)
+            ids_in_order = present[
+                np.argsort(first_pos[present], kind="stable")
+            ]
+            rank = np.empty(vocab_n, dtype=np.int32)
+            rank[ids_in_order] = np.arange(
+                ids_in_order.size, dtype=np.int32
+            )
+            tids = rank[tids]
+            term_table = pc.take(terms_pa, pa.array(ids_in_order))
         else:
             term_table = pa.array([], type=pa.string())
         return tids, poss, lens, term_table

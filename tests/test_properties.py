@@ -187,3 +187,39 @@ def test_parser_never_raises_with_error_handling(raw):
     q = p.parse(raw)
     if q is not None:
         to_s(q, "xx")  # canonicalization must not raise either
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=200_000), max_size=400),
+    st.booleans(),
+)
+def test_stable_argsort_ids_matches_numpy(ids, wide):
+    """stable_argsort_ids (uint16 LSD radix) == np.argsort(stable) for
+    any non-negative bounded ids, including >65535 keys and both input
+    dtypes the invert path produces (int32 batch path, int64 fallback)."""
+    from ferret_ray.stages.invert import stable_argsort_ids
+
+    arr = np.asarray(ids, dtype=np.int64 if wide else np.int32)
+    assert np.array_equal(
+        stable_argsort_ids(arr), np.argsort(arr, kind="stable")
+    )
+
+
+def test_batch_vocab_ids_independent_of_worker_history():
+    """Output term ids are first-appearance-in-batch order regardless of
+    which batches the worker's persistent vocab table saw earlier —
+    the property that makes shard bytes deterministic across runs."""
+    from ferret_ray.analysis import standard_analyzer
+
+    batch = ["gamma beta alpha", "beta delta"]
+    fresh = standard_analyzer()
+    t1 = fresh.batch_terms_positions(batch, 10_000)
+    warmed = standard_analyzer()
+    # warm the persistent table with a DIFFERENT batch first
+    warmed.batch_terms_positions(
+        ["zeta epsilon alpha", "delta omega"], 10_000
+    )
+    t2 = warmed.batch_terms_positions(batch, 10_000)
+    assert np.array_equal(t1[0], t2[0])          # tids
+    assert t1[3].to_pylist() == t2[3].to_pylist()  # term table order
