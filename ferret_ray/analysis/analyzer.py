@@ -719,11 +719,10 @@ class Analyzer:
         flat = flat.filter(pa.array(keep))
         dcodes = flat.dictionary_encode()
         codes = dcodes.indices.to_numpy().astype(np.int64)
-        uniq = dcodes.dictionary.to_pylist()
 
         # PERSISTENT per-process vocab tables: each distinct region is
         # expanded exactly once per worker lifetime; repeat batches do
-        # one dict hit per unique region and pure numpy gathers after
+        # one C++ hash probe per unique region and pure numpy gathers
         shared = _shared_state(self._cache_key())
         bv = getattr(self, "_batch_vocab", None) or shared.get("vocab")
         if bv is None or bv["n_tok"][0] > 5_000_000:  # bound memory
@@ -731,16 +730,32 @@ class Analyzer:
                 "row": {}, "term_ids": {}, "terms": [],
                 "k": [], "adv": [], "tok_off": [0],
                 "tids": [], "pref": [], "np": None, "n_tok": [0],
+                "known_pa": None,
             }
             shared["vocab"] = bv
         self.__dict__["_batch_vocab"] = bv
-        rget = bv["row"].get
-        process = self._process_region
-        rows = np.empty(len(uniq), dtype=np.int64)
+        # warm-path lookup: one pc.index_in against the persistent
+        # region array (insertion order == row index) — no to_pylist of
+        # the batch dictionary, no Python loop, for already-seen regions
+        uniq_arr = dcodes.dictionary
+        if bv["known_pa"] is None and bv["row"]:
+            bv["known_pa"] = pa.array(bv["row"].keys(), type=pa.string())
+        if bv["known_pa"] is not None and len(bv["known_pa"]):
+            rows = pc.fill_null(
+                pc.index_in(uniq_arr, value_set=bv["known_pa"]), -1
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            miss_ui = np.flatnonzero(rows < 0)
+        else:
+            rows = np.full(len(uniq_arr), -1, dtype=np.int64)
+            miss_ui = np.arange(len(uniq_arr))
         dirty = False
-        for ui, region in enumerate(uniq):
-            r = rget(region)
-            if r is None:
+        if miss_ui.size:
+            process = self._process_region
+            miss_regions = uniq_arr.take(pa.array(miss_ui)).to_pylist()
+            for ui, region in zip(miss_ui.tolist(), miss_regions):
+                # a region can miss twice within one batch dictionary
+                # only if Arrow dedup produced duplicates (it doesn't),
+                # so each miss is genuinely new
                 pairs, tgap = process(region)
                 run = 0
                 for t, pinc, _s, _e in pairs:
@@ -758,8 +773,9 @@ class Analyzer:
                 bv["n_tok"][0] += len(pairs)
                 r = len(bv["k"]) - 1
                 bv["row"][region] = r
-                dirty = True
-            rows[ui] = r
+                rows[ui] = r
+            dirty = True
+            bv["known_pa"] = pa.array(bv["row"].keys(), type=pa.string())
         if dirty or bv["np"] is None:
             bv["np"] = (
                 np.asarray(bv["k"], dtype=np.int64),
