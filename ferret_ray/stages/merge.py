@@ -4,7 +4,10 @@ The Ray analogue of SegmentMerger (c/src/index.c:5816-6159): where the
 reference k-way-merges per-segment TermEnums under one mutex, we run a
 classic map-side shuffle through shared storage:
 
-  invert tasks write  segments/bucket={salt % B}/rng{r}-seg-{g}.parquet
+  invert tasks write  segments/bucket={b}/seg-{g}.parquet
+                      (one file per touched bucket; row groups aligned
+                      to salt-range slices, band recoverable from
+                      shard_salt row-group stats)
   merge phase:        from_items(shards) -> map_batches(ShardMerger)
 
 Each merge task reads ONLY its bucket's files — no Ray all-to-all, no
@@ -13,8 +16,8 @@ sort: fragments of the same (shard_salt, field, term) concatenate in
 non-overlapping doc ranges per group, so concatenation IS the exact
 merge).  This removes the sort-shuffle constant entirely and scales as
 one independent task per bucket; memory per task is bounded by one
-(bucket x salt-range) slice because files are grouped by their ``rng``
-prefix before merging.
+(bucket x salt-range) slice because a band reads only its own row
+groups of each file.
 
 The vectorized core (:class:`_MergedGroups`) never turns postings into
 Python objects — rows are permuted by Arrow C++ ``take`` and
@@ -775,8 +778,9 @@ def write_bucketed_segments(
     seg_table: pa.Table, index_dir: str, tag: str, cfg
 ) -> list[str]:
     """Split SEGMENT_SCHEMA rows by (salt range, shuffle bucket) and write
-    ``segments/bucket={b}/rng{r}-seg-{tag}.parquet`` files (the map side
-    of the bucketed shuffle).  Returns the written rels."""
+    one ``segments/bucket={b}/seg-{tag}.parquet`` file per touched
+    bucket, row groups aligned to salt-range slices (the map side of
+    the bucketed shuffle).  Returns the written rels."""
     num_buckets = cfg.resolved_merge_buckets
     salts = seg_table.column("shard_salt").to_numpy()
     ranges = salts // cfg.num_shards
@@ -794,20 +798,32 @@ def write_bucketed_segments(
     ends = np.concatenate((starts[1:], [n]))
     fs, root = resolve_fs(index_dir)
     rels: list[str] = []
-    made: set[str] = set()
+    # ONE file per touched bucket, with row groups aligned to (salt
+    # range) slices: the merge side recovers each row group's band from
+    # its shard_salt footer stats (band = salt // num_shards), so this
+    # replaces the old one-file-per-(bucket, band) layout — measured
+    # ~1ms of writer setup per file, x256 files per invert task at
+    # sf0.1 it was ~15% of the whole task
+    writer = None
+    cur_bucket = -1
     for s, e in zip(starts.tolist(), ends.tolist()):
-        b, r = int(sb[s]), int(sr[s])
-        rel = f"segments/bucket={b:04d}/rng{r:06d}-seg-{tag}.parquet"
-        path = fs_join(root, rel)
-        parent = fs_join(root, f"segments/bucket={b:04d}")
-        if parent not in made:
+        b = int(sb[s])
+        if b != cur_bucket:
+            if writer is not None:
+                writer.close()
+            rel = f"segments/bucket={b:04d}/seg-{tag}.parquet"
+            parent = fs_join(root, f"segments/bucket={b:04d}")
             fs_makedirs(fs, parent)
-            made.add(parent)
-        pq.write_table(
-            sorted_tbl.slice(s, e - s), path, compression="lz4",
-            filesystem=fs,
-        )
-        rels.append(rel)
+            writer = pq.ParquetWriter(
+                fs_join(root, rel), sorted_tbl.schema,
+                compression="lz4", filesystem=fs,
+            )
+            rels.append(rel)
+            cur_bucket = b
+        # one write_table call per band slice -> its own row group(s)
+        writer.write_table(sorted_tbl.slice(s, e - s))
+    if writer is not None:
+        writer.close()
     return rels
 
 
@@ -975,16 +991,44 @@ class ShardMerger:
             ]
             return pa.concat_tables(rows) if rows else None
 
-        # (band -> [(dir, file), ...]) across this shard's bucket dirs;
-        # names sort as rng{range:06d}-seg-{group:06d}
-        by_band: dict[str, list[tuple[str, str]]] = {}
+        # (band -> [sources]) across this shard's bucket dirs.  Two
+        # source shapes: consolidated per-bucket files (``seg-{tag}``,
+        # one row-group run per band, band recovered from shard_salt
+        # row-group stats) and the legacy per-band files
+        # (``rng{range:06d}-seg-{tag}``, band in the name) so a build
+        # checkpointed under the old layout still resumes.
+        from ..state.fs import open_parquet
+
+        by_band: dict[int, list] = {}
         for b in band_buckets_of_shard(
             shard, self.num_shards, self.num_buckets
         ):
             bdir = fs_join(self.root, f"segments/bucket={b:04d}")
             for n in fs_listdir(self.fs, bdir):
-                if n.endswith(".parquet"):
-                    by_band.setdefault(n[:9], []).append((bdir, n))
+                if not n.endswith(".parquet"):
+                    continue
+                path = fs_join(bdir, n)
+                if n.startswith("rng"):
+                    by_band.setdefault(int(n[3:9]), []).append(
+                        ("file", path)
+                    )
+                    continue
+                pf = open_parquet(self.fs, path)
+                md = pf.metadata
+                salt_leaf = next(
+                    j for j in range(len(md.schema))
+                    if md.schema.column(j).path == "shard_salt"
+                )
+                rg_bands: dict[int, list[int]] = {}
+                for i in range(md.num_row_groups):
+                    st = md.row_group(i).column(salt_leaf).statistics
+                    band = int(st.min) // self.num_shards
+                    assert int(st.max) // self.num_shards == band, (
+                        f"segment file {n} row group {i} spans bands"
+                    )
+                    rg_bands.setdefault(band, []).append(i)
+                for band, rgs in rg_bands.items():
+                    by_band.setdefault(band, []).append(("rgs", pf, rgs))
         if not by_band:
             if self.gc_segments:
                 from ..state.manifest import read_json, seg_gc_marker_path
@@ -1011,11 +1055,12 @@ class ShardMerger:
         terms_w: list[int] = []
         posts_w: list[int] = []
         for band in sorted(by_band):
-            files = sorted(by_band[band], key=lambda p: p[1])
             t = pa.concat_tables(
                 [
-                    pq.read_table(fs_join(d, n), filesystem=self.fs)
-                    for d, n in files
+                    pq.read_table(src[1], filesystem=self.fs)
+                    if src[0] == "file"
+                    else src[1].read_row_groups(src[2])
+                    for src in by_band[band]
                 ],
                 promote_options="default",
             )
@@ -1033,6 +1078,12 @@ class ShardMerger:
             salts_w.append(salt)
             terms_w.append(mg.num_runs)
             posts_w.append(int(mg.df.sum()))
+        closed: set[int] = set()
+        for srcs in by_band.values():
+            for src in srcs:
+                if src[0] == "rgs" and id(src[1]) not in closed:
+                    closed.add(id(src[1]))
+                    src[1].close()
         rel, post_rel, size = writer.close()
         if not salts_w:
             return None
