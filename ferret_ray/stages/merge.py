@@ -255,14 +255,20 @@ class ShardFileWriter:
     def append_band(self, salt: int, table: pa.Table) -> None:
         dict_t, post_t = split_shard_table(table)
         if self._w is None:
+            # use_dictionary=False on both files: the term column is
+            # all-unique (sorted dictionary) and the posting blobs are
+            # high-entropy binary — parquet dictionary encoding is pure
+            # hash/copy overhead for them (measured ~25% of the write
+            # wall AND slightly larger files)
             self._w = pq.ParquetWriter(
                 fs_join(self.root, self.rel), dict_t.schema,
-                compression="zstd", filesystem=self.fs,
+                compression="zstd", use_dictionary=False,
+                filesystem=self.fs,
             )
             self._pw = pq.ParquetWriter(
                 fs_join(self.root, self.post_rel), post_t.schema,
                 compression="zstd", write_statistics=False,
-                filesystem=self.fs,
+                use_dictionary=False, filesystem=self.fs,
             )
         self._w.write_table(dict_t, row_group_size=self.dict_rg_size)
         self._pw.write_table(post_t, row_group_size=POST_RG_SIZE)
