@@ -174,6 +174,39 @@ def q_range_search(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_range_open_search(sf_dir: str) -> pd.DataFrame:
+    """Open-ended exclusive range (c/src/q_range.c: upper=NULL,
+    include_lower=false -> strictly-greater lexicographic scan)."""
+    from ferret_ray.search.query import RangeQuery
+
+    _, _, searcher = _index_for(sf_dir)
+    return _hits_df(
+        searcher, RangeQuery("source", "src13", None, False, False)
+    )
+
+
+def q_matchall_sorted_page(sf_dir: str) -> pd.DataFrame:
+    """MatchAllQuery + Sort by integer field desc with PAGING: page 2
+    of 15 through the field-sorted hit queue (fshq semantics,
+    c/src/sort.c — doc-id ascending tie-break)."""
+    from ferret_ray.search.query import MatchAllQuery
+    from ferret_ray.search.searcher import SortField
+
+    _, _, searcher = _index_for(sf_dir)
+    td = searcher.search(
+        MatchAllQuery(), 10, 15,
+        sort=[SortField("n_chars", "integer", reverse=True)],
+    )
+    return pd.DataFrame(
+        {
+            "rank": np.arange(10, 10 + len(td.hits), dtype="int64"),
+            "doc_id": pd.Series(
+                [h.doc for h in td.hits], dtype="int64"
+            ),
+        }
+    )
+
+
 def q_term_df_top20(sf_dir: str) -> pd.DataFrame:
     """Dictionary aggregate straight off the shard files (term enum +
     doc_freq, SURVEY §2.5) — a Ray Data groupby over the index itself."""
@@ -856,6 +889,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_search": q_prefix_search,
         "wildcard_search": q_wildcard_search,
         "range_search": q_range_search,
+        "range_open_search": q_range_open_search,
+        "matchall_sorted_page": q_matchall_sorted_page,
         "term_df_top20": q_term_df_top20,
         "token_stats": q_token_stats,
         "mb_token_stats": q_mb_token_stats,
@@ -1021,6 +1056,17 @@ def oracle_sql() -> dict[str, str]:
         "range_search": """
             SELECT doc_id FROM documents
             WHERE source >= 'src1' AND source <= 'src13'
+        """,
+        "range_open_search": """
+            SELECT doc_id FROM documents WHERE source > 'src13'
+        """,
+        "matchall_sorted_page": """
+            SELECT rank, doc_id FROM (
+                SELECT CAST(ROW_NUMBER() OVER (
+                    ORDER BY n_chars DESC, doc_id ASC) - 1 AS BIGINT)
+                    AS rank, doc_id
+                FROM documents
+            ) WHERE rank BETWEEN 10 AND 24 ORDER BY rank
         """,
         "term_df_top20": f"""
             SELECT term, count(*) AS df FROM (
