@@ -736,15 +736,29 @@ class Analyzer:
         self.__dict__["_batch_vocab"] = bv
         # warm-path lookup: one pc.index_in against the persistent
         # region array (insertion order == row index) — no to_pylist of
-        # the batch dictionary, no Python loop, for already-seen regions
+        # the batch dictionary, no Python loop, for already-seen regions.
+        # index_in hashes value_set per call (O(known)), so tiny batches
+        # against a grown vocab fall back to per-region dict probes —
+        # the crossover keeps per-batch cost O(batch), not O(lifetime).
         uniq_arr = dcodes.dictionary
         if bv["known_pa"] is None and bv["row"]:
             bv["known_pa"] = pa.array(bv["row"].keys(), type=pa.string())
-        if bv["known_pa"] is not None and len(bv["known_pa"]):
+        n_known = len(bv["known_pa"]) if bv["known_pa"] is not None else 0
+        if n_known and n_known <= 32 * len(uniq_arr):
             rows = pc.fill_null(
                 pc.index_in(uniq_arr, value_set=bv["known_pa"]), -1
             ).to_numpy(zero_copy_only=False).astype(np.int64)
             miss_ui = np.flatnonzero(rows < 0)
+        elif n_known:
+            rget = bv["row"].get
+            rows = np.empty(len(uniq_arr), dtype=np.int64)
+            miss = []
+            for ui, region in enumerate(uniq_arr.to_pylist()):
+                r = rget(region)
+                rows[ui] = -1 if r is None else r
+                if r is None:
+                    miss.append(ui)
+            miss_ui = np.asarray(miss, dtype=np.int64)
         else:
             rows = np.full(len(uniq_arr), -1, dtype=np.int64)
             miss_ui = np.arange(len(uniq_arr))
@@ -775,7 +789,25 @@ class Analyzer:
                 bv["row"][region] = r
                 rows[ui] = r
             dirty = True
-            bv["known_pa"] = pa.array(bv["row"].keys(), type=pa.string())
+            # incremental append: only the new regions are converted to
+            # Arrow (a fresh chunk), never the whole lifetime vocab —
+            # known_pa is a ChunkedArray whose chunk concatenation is
+            # insertion order, i.e. chunk-wise row ids stay aligned
+            new_arr = pa.array(miss_regions, type=pa.string())
+            if bv["known_pa"] is None or not len(bv["known_pa"]):
+                bv["known_pa"] = pa.chunked_array([new_arr])
+            else:
+                prev = bv["known_pa"]
+                chunks = (
+                    list(prev.chunks)
+                    if isinstance(prev, pa.ChunkedArray) else [prev]
+                )
+                ca = pa.chunked_array(chunks + [new_arr])
+                # bound chunk count over a long worker lifetime: one
+                # consolidation per 64 dirty batches is O(V)/64 amortized
+                bv["known_pa"] = (
+                    ca.combine_chunks() if ca.num_chunks > 64 else ca
+                )
         if dirty or bv["np"] is None:
             bv["np"] = (
                 np.asarray(bv["k"], dtype=np.int64),

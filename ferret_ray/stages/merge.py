@@ -1002,7 +1002,11 @@ class ShardMerger:
         # one row-group run per band, band recovered from shard_salt
         # row-group stats) and the legacy per-band files
         # (``rng{range:06d}-seg-{tag}``, band in the name) so a build
-        # checkpointed under the old layout still resumes.
+        # checkpointed under the old layout still resumes.  Footers are
+        # read ONCE here and the file is closed immediately (sources
+        # carry (path, row-group ids)); the band loop reopens each file
+        # for just its slice — fds stay bounded by one band's sources,
+        # not the whole shard's file count.
         from ..state.fs import open_parquet
 
         by_band: dict[int, list] = {}
@@ -1010,31 +1014,55 @@ class ShardMerger:
             shard, self.num_shards, self.num_buckets
         ):
             bdir = fs_join(self.root, f"segments/bucket={b:04d}")
-            for n in fs_listdir(self.fs, bdir):
-                if not n.endswith(".parquet"):
-                    continue
+            names = [
+                n for n in fs_listdir(self.fs, bdir)
+                if n.endswith(".parquet")
+            ]
+            # If a fragment was re-inverted after a layout upgrade, the
+            # re-run wrote seg-{tag}.parquet but any stale in-flight
+            # legacy rng*-seg-{tag}.parquet files (same tag, never
+            # checkpointed) survive with different names — merging both
+            # would duplicate the fragment's postings.  The new file is
+            # authoritative: skip legacy files whose tag it covers.
+            new_tags = {
+                n[len("seg-"):-len(".parquet")]
+                for n in names if n.startswith("seg-")
+            }
+            for n in names:
                 path = fs_join(bdir, n)
                 if n.startswith("rng"):
+                    tag = n.split("-seg-", 1)[1][:-len(".parquet")]
+                    if tag in new_tags:
+                        continue
                     by_band.setdefault(int(n[3:9]), []).append(
                         ("file", path)
                     )
                     continue
                 pf = open_parquet(self.fs, path)
-                md = pf.metadata
-                salt_leaf = next(
-                    j for j in range(len(md.schema))
-                    if md.schema.column(j).path == "shard_salt"
-                )
-                rg_bands: dict[int, list[int]] = {}
-                for i in range(md.num_row_groups):
-                    st = md.row_group(i).column(salt_leaf).statistics
-                    band = int(st.min) // self.num_shards
-                    assert int(st.max) // self.num_shards == band, (
-                        f"segment file {n} row group {i} spans bands"
+                try:
+                    md = pf.metadata
+                    salt_leaf = next(
+                        j for j in range(len(md.schema))
+                        if md.schema.column(j).path == "shard_salt"
                     )
-                    rg_bands.setdefault(band, []).append(i)
+                    rg_bands: dict[int, list[int]] = {}
+                    for i in range(md.num_row_groups):
+                        st = md.row_group(i).column(
+                            salt_leaf
+                        ).statistics
+                        band = int(st.min) // self.num_shards
+                        if int(st.max) // self.num_shards != band:
+                            raise ValueError(
+                                f"segment file {n} row group {i} "
+                                f"spans bands"
+                            )
+                        rg_bands.setdefault(band, []).append(i)
+                finally:
+                    pf.close()
                 for band, rgs in rg_bands.items():
-                    by_band.setdefault(band, []).append(("rgs", pf, rgs))
+                    by_band.setdefault(band, []).append(
+                        ("rgs", path, rgs)
+                    )
         if not by_band:
             if self.gc_segments:
                 from ..state.manifest import read_json, seg_gc_marker_path
@@ -1060,14 +1088,18 @@ class ShardMerger:
         salts_w: list[int] = []
         terms_w: list[int] = []
         posts_w: list[int] = []
+        def _read_source(src) -> pa.Table:
+            if src[0] == "file":
+                return pq.read_table(src[1], filesystem=self.fs)
+            pf = open_parquet(self.fs, src[1])
+            try:
+                return pf.read_row_groups(src[2])
+            finally:
+                pf.close()
+
         for band in sorted(by_band):
             t = pa.concat_tables(
-                [
-                    pq.read_table(src[1], filesystem=self.fs)
-                    if src[0] == "file"
-                    else src[1].read_row_groups(src[2])
-                    for src in by_band[band]
-                ],
+                [_read_source(src) for src in by_band[band]],
                 promote_options="default",
             )
             if t.num_rows == 0:
@@ -1075,8 +1107,10 @@ class ShardMerger:
             mg = _MergedGroups(t)
             salts = mg.salt
             uniq = np.unique(salts)
-            assert uniq.size == 1 and int(uniq[0]) % self.num_shards \
-                == shard, f"bucket mix-up: salts {uniq} in shard {shard}"
+            if uniq.size != 1 or int(uniq[0]) % self.num_shards != shard:
+                raise ValueError(
+                    f"bucket mix-up: salts {uniq} in shard {shard}"
+                )
             salt = int(uniq[0])
             writer.append_band(
                 salt, self._band_table(mg, 0, mg.num_runs)
@@ -1084,12 +1118,6 @@ class ShardMerger:
             salts_w.append(salt)
             terms_w.append(mg.num_runs)
             posts_w.append(int(mg.df.sum()))
-        closed: set[int] = set()
-        for srcs in by_band.values():
-            for src in srcs:
-                if src[0] == "rgs" and id(src[1]) not in closed:
-                    closed.add(id(src[1]))
-                    src[1].close()
         rel, post_rel, size = writer.close()
         if not salts_w:
             return None
