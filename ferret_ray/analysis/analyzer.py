@@ -702,9 +702,19 @@ class Analyzer:
         import pyarrow.compute as pc
 
         n_docs = len(texts)
-        arr = pa.array(
-            ["" if t is None else t for t in texts], type=pa.string()
-        )
+        if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+            # zero-copy Arrow input from the invert stage: nulls -> ""
+            # in C++, no Python string materialization at all
+            arr = pc.fill_null(texts, "")
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if pa.types.is_large_string(arr.type):
+                arr = arr.cast(pa.string())
+        else:
+            arr = pa.array(
+                ["" if t is None else t for t in texts],
+                type=pa.string(),
+            )
         from .tokenizer import ARROW_SEPARATOR_PATTERN
 
         lists = pc.split_pattern_regex(arr, ARROW_SEPARATOR_PATTERN)

@@ -125,11 +125,18 @@ def _invert_texts(
     Token-order arrays with ABSOLUTE doc ids (``doc_offset`` + row);
     ``lens`` is per-doc token count (for norms).  Term-id assignment is
     one Arrow ``dictionary_encode`` over the whole token stream (C++
-    hashing, not a Python dict per token)."""
+    hashing, not a Python dict per token).
+
+    ``texts`` may be a Python list OR an Arrow string column
+    (Array/ChunkedArray) — the Arrow form feeds the batch tokenizer
+    zero-copy, with no to_pylist round-trip of the text bytes."""
     from ..analysis.tokenizer import StandardTokenizer
 
-    if isinstance(analyzer.tokenizer, StandardTokenizer) and not any(
-        isinstance(t, (list, tuple, np.ndarray)) for t in texts
+    is_arrow = isinstance(texts, (pa.Array, pa.ChunkedArray))
+    if isinstance(analyzer.tokenizer, StandardTokenizer) and (
+        is_arrow or not any(
+            isinstance(t, (list, tuple, np.ndarray)) for t in texts
+        )
     ):
         # batch-vectorized path: one Arrow regex split for the whole
         # column, each unique region processed once (fuzz-tested
@@ -143,6 +150,9 @@ def _invert_texts(
             lens.astype(np.int64),
         )
         return tids, docs, poss, lens, term_dict
+
+    if is_arrow:
+        texts = texts.to_pylist()
 
     all_terms: list[str] = []
     all_poss: list[int] = []
@@ -448,9 +458,21 @@ class InvertFragment:
                     docs_cols[fname] = table.column(fname)
                 if not fc.indexed or fname not in table.column_names:
                     continue
-                texts = table.column(fname).to_pylist()
+                col = table.column(fname)
+                # plain string columns feed the batch tokenizer as
+                # Arrow (no to_pylist round-trip of the whole text
+                # column); list-typed / fallback paths still get the
+                # Python values inside _invert_texts
+                texts = None
+                if not (
+                    pa.types.is_string(col.type)
+                    or pa.types.is_large_string(col.type)
+                ):
+                    texts = col.to_pylist()
                 tids, docs, poss, lens, term_dict = _invert_texts(
-                    analyzers[fname], texts, fc.max_field_length,
+                    analyzers[fname],
+                    texts if texts is not None else col,
+                    fc.max_field_length,
                     fc.positions, doc_offset=fb,
                 )
                 total_tokens += int(tids.size)
@@ -465,6 +487,9 @@ class InvertFragment:
                     # stored term vectors with positions + offsets
                     # (fw_add_postings; TERM_VECTOR_WITH_POSITIONS_OFFSETS)
                     from ..codec.termvector import encode_term_vector
+
+                    if texts is None:
+                        texts = col.to_pylist()
 
                     an = analyzers[fname]
                     from ..analysis.tokenizer import StandardTokenizer
