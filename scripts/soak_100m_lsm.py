@@ -48,7 +48,12 @@ def main() -> None:
     import ray
 
     total_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000_000
-    half = total_docs // 2
+    # SOAK_DELTAS: number of equal LSM deltas (default 2).  More,
+    # smaller deltas lower the per-delta disk peak — the knob that
+    # takes the same corpus-bigger-than-disk pattern past what two
+    # halves fit (e.g. 200M docs as 4 x 50M on this sandbox).
+    n_deltas = int(os.environ.get("SOAK_DELTAS", "2"))
+    half = total_docs // n_deltas
     max_tokens = int(os.environ.get("SOAK_MAX_TOKENS", "100"))
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     if not ray.is_initialized():
@@ -61,6 +66,7 @@ def main() -> None:
     from ferret_ray.schema import source_code_config
 
     out: dict = {"metric": "soak100m_lsm", "num_docs": total_docs,
+                 "n_deltas": int(os.environ.get("SOAK_DELTAS", "2")),
                  "num_cpus": num_cpus, "max_tokens": max_tokens,
                  "load_avg_start": [round(x, 2) for x in os.getloadavg()],
                  "disk_free_gb_start": _free_gb()}
@@ -86,7 +92,7 @@ def main() -> None:
 
     halves = []
     t_all = time.time()
-    for h in range(2):
+    for h in range(n_deltas):
         rec: dict = {}
         if resume and len(inc.delta_dirs) > h:
             rec["skipped"] = True  # delta already committed
