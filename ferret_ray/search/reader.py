@@ -20,6 +20,7 @@ reference mmaps (c/src/index.c:5676-5681).
 from __future__ import annotations
 
 import bisect
+import itertools
 import os
 from collections import OrderedDict
 from typing import NamedTuple
@@ -143,28 +144,82 @@ import os as _os
 _INNER_THREADS = _os.environ.get("FERRET_INNER_THREADS", "0") == "1"
 
 
+class _PostRGCache:
+    """PROCESS-WIDE byte-budgeted LRU over postings row-group tables.
+
+    The cache must be global, not per file: a reader holds one
+    `_ShardFile` per (hash shard x delta) — ~1,000 files at soak scale
+    — and a per-file entry cap multiplies into tens of GB (measured:
+    a 200M-doc partition actor OOM-killed at 25.7 GB RSS; the per-file
+    cap also grew permanently after every bulk expansion load).  One
+    shared budget bounds serving memory independently of shard count,
+    delta count, and query history.  Slices installed by a bulk read
+    share the bulk table's buffers (zero-copy), so each is charged its
+    pro-rata share of the parent and consecutive LRU order retires a
+    batch together.  Budget: FERRET_RAY_POST_CACHE_MB (default 4096).
+    """
+
+    def __init__(self, budget_bytes: int):
+        self.budget = budget_bytes
+        self.map: OrderedDict[tuple, tuple[object, int]] = OrderedDict()
+        self.bytes = 0
+
+    def get(self, key):
+        hit = self.map.get(key)
+        if hit is None:
+            return None
+        self.map.move_to_end(key)
+        return hit[0]
+
+    def put_batch(self, items) -> None:
+        """items: [(key, table, charged_bytes)].  Evicts down to budget
+        BEFORE inserting so the whole batch stays resident for the
+        decode pass that immediately follows a bulk load."""
+        add = sum(b for _, _, b in items)
+        while self.map and self.bytes + add > self.budget:
+            _, (_, old_b) = self.map.popitem(last=False)
+            self.bytes -= old_b
+        for k, t, b in items:
+            prev = self.map.pop(k, None)
+            if prev is not None:
+                self.bytes -= prev[1]
+            self.map[k] = (t, b)
+            self.bytes += b
+
+
+_POST_RG_CACHE: _PostRGCache | None = None
+
+
+def _post_rg_cache() -> _PostRGCache:
+    global _POST_RG_CACHE
+    if _POST_RG_CACHE is None:
+        mb = int(os.environ.get("FERRET_RAY_POST_CACHE_MB", "4096"))
+        _POST_RG_CACHE = _PostRGCache(mb * 1024 * 1024)
+    return _POST_RG_CACHE
+
+
+_SHARD_FILE_IDS = itertools.count()
+
+
 class _ShardFile:
     """One hash shard's physical file pair (format v8: ONE dictionary
     parquet + ONE postings parquet per hash shard; each doc band is a
-    run of row groups inside them).  Owns the lazily-opened handles and
-    the postings row-group table cache SHARED by every band's `_Shard`
-    view — so a cold wide expansion opens O(num_shards) files, not
-    O(num_shards x bands) (the v7 per-band file pairs cost ~1.6 ms of
-    footer parse each; 2,560 of them dominated the 20M-doc cold
-    tail)."""
+    run of row groups inside them).  Owns the lazily-opened handles;
+    postings row-group tables go through the process-wide
+    byte-budgeted LRU (see _PostRGCache) keyed by this file's id — so
+    a cold wide expansion opens O(num_shards) files, not
+    O(num_shards x bands), and total cached postings bytes stay
+    bounded regardless of how many shard files a reader holds."""
 
     __slots__ = (
-        "_fs", "_path", "_pf_obj", "_pf_post_obj", "_rg_cache",
-        "_rg_cap",
+        "_fs", "_path", "_pf_obj", "_pf_post_obj", "_fid",
     )
 
     def __init__(self, path: str, fs, rg_cache: int = 8):
         self._fs, self._path = fs, path
         self._pf_obj = None
         self._pf_post_obj = None
-        # (global rg, first col name) -> table; shared across bands
-        self._rg_cache: OrderedDict[tuple, object] = OrderedDict()
-        self._rg_cap = rg_cache
+        self._fid = next(_SHARD_FILE_IDS)
 
     @property
     def pf(self):
@@ -205,25 +260,23 @@ class _ShardFile:
 
     def post_rg_table(self, rg: int, cols: tuple[str, ...]):
         """Cached two-column postings row-group read (global rg)."""
-        key = (rg, cols[0])
-        tbl = self._rg_cache.get(key)
+        cache = _post_rg_cache()
+        key = (self._fid, rg, cols[0])
+        tbl = cache.get(key)
         if tbl is None:
             tbl = self.pf_post.read_row_group(
                 rg, columns=list(cols), use_threads=_INNER_THREADS
             )
-            self._rg_cache[key] = tbl
-            if len(self._rg_cache) > self._rg_cap:
-                self._rg_cache.popitem(last=False)
-        else:
-            self._rg_cache.move_to_end(key)
+            cache.put_batch([(key, tbl, int(tbl.nbytes))])
         return tbl
 
     def missing_post_rgs(
         self, pairs: list[tuple[int, int]], cols: tuple[str, ...]
     ) -> list[tuple[int, int]]:
+        cache = _post_rg_cache()
         return [
             (rg, n) for rg, n in pairs
-            if (rg, cols[0]) not in self._rg_cache
+            if (self._fid, rg, cols[0]) not in cache.map
         ]
 
     def read_post_rgs(self, missing: list[tuple[int, int]],
@@ -238,16 +291,20 @@ class _ShardFile:
     def install_post_rgs(self, missing: list[tuple[int, int]],
                          cols: tuple[str, ...], tbl) -> None:
         """Slice a bulk-read table back per row group (zero-copy) into
-        the cache — the Python half, run OUTSIDE the thread pool (11k
-        tbl.slice calls inside threads just churn the GIL).  The cap
-        grows to hold the whole batch so the decode pass that follows
-        never re-reads what was just loaded."""
-        if len(self._rg_cache) + len(missing) > self._rg_cap:
-            self._rg_cap = len(self._rg_cache) + len(missing)
+        the shared cache — the Python half, run OUTSIDE the thread pool
+        (11k tbl.slice calls inside threads just churn the GIL).  The
+        batch is installed atomically (eviction runs first), so the
+        decode pass that follows never re-reads what was just loaded;
+        each slice is charged its pro-rata share of the bulk table."""
+        per = int(tbl.nbytes) // max(1, len(missing))
+        items = []
         off = 0
         for rg, n in missing:
-            self._rg_cache[(rg, cols[0])] = tbl.slice(off, n)
+            items.append(
+                ((self._fid, rg, cols[0]), tbl.slice(off, n), per)
+            )
             off += n
+        _post_rg_cache().put_batch(items)
 
     def load_post_rgs(
         self, pairs: list[tuple[int, int]], cols: tuple[str, ...]

@@ -27,20 +27,27 @@ def code_index(ray_session, tmp_path_factory):
 
 
 def test_dictionary_only_open(code_index):
-    from ferret_ray.search.reader import IndexReader
+    from ferret_ray.search.reader import IndexReader, _post_rg_cache
 
+    cache = _post_rg_cache()
     r = IndexReader(code_index)
     # doc_freq touches only the dictionary: no blob row-groups fetched
+    # (_files populates lazily, so collect fids AFTER the queries)
     assert r.doc_freq("content", "tok1") > 0
     assert r.doc_freq("content", "int") > 0
-    for f in r._files.values():
-        assert len(f._rg_cache) == 0, "doc_freq must not fetch blobs"
+    fids = {f._fid for f in r._files.values()}
+    assert fids, "doc_freq must have opened shard files"
+    assert not any(
+        k[0] in fids for k in cache.map
+    ), "doc_freq must not fetch blobs"
 
-    # postings() fetches blobs, bounded by the LRU cap
+    # postings() fetches blobs through the process-wide byte-budgeted
+    # LRU; the accounted bytes never exceed the budget
     p = r.postings("content", "tok1")
     assert p is not None and p.docs.size == r.doc_freq("content", "tok1")
-    for f in r._files.values():
-        assert len(f._rg_cache) <= f._rg_cap
+    fids = {f._fid for f in r._files.values()}
+    assert any(k[0] in fids for k in cache.map)
+    assert cache.bytes <= cache.budget
 
 
 def test_lazy_matches_full_decode(code_index):
@@ -210,3 +217,24 @@ def test_write_shard_stats_deterministic(code_index, tmp_path):
     a = open(os.path.join(code_index, "shards_stats.parquet"), "rb").read()
     b = open(os.path.join(dup, "shards_stats.parquet"), "rb").read()
     assert a == b
+
+
+def test_post_rg_cache_bounded_across_files(code_index, monkeypatch):
+    """The postings row-group cache budget is PROCESS-WIDE: loading
+    blobs from every shard file evicts older entries instead of
+    holding per-file caps x num_files tables (the 200M-soak OOM
+    shape)."""
+    import ferret_ray.search.reader as rd
+
+    tiny = rd._PostRGCache(64 * 1024)  # 64 KB — forces eviction
+    monkeypatch.setattr(rd, "_POST_RG_CACHE", tiny)
+    r = rd.IndexReader(code_index)
+    for t in ("tok1", "int", "tok5", "tok17", "tok99", "tok999",
+              "return", "class", "def", "tok3"):
+        p = r.postings("content", t)
+        assert p is None or p.docs.size >= 0
+        assert tiny.bytes <= tiny.budget + 1_000_000  # one batch slack
+    # repeat reads still DECODE correctly after eviction
+    p1 = r.postings("content", "tok1")
+    p2 = r.postings("content", "tok1")
+    assert (p1.docs == p2.docs).all() and (p1.freqs == p2.freqs).all()
